@@ -1,0 +1,83 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count-style action (collect for small
+results) after a warmup pass of the session. Timings are per-query
+wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "rel_pricing_summary",
+    "rel_shipping_priority",
+    "rel_local_supplier_volume",
+    "rel_having",
+    "rel_window_rank",
+    "rel_top_n_per_group",
+    "rel_set_ops",
+    "rel_events_daily",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry
+    from graphview_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # include any operator-suite headliners registered later
+    for n in qs:
+        if n not in names and any(
+            n.startswith(p) for p in ("dedup_", "sim_", "text_", "match_")
+        ):
+            names.append(n)
+
+    # warmup: spin up the JVM + parquet footer reads (not timed)
+    qs[names[0]](spark, sf_dir).limit(1).collect()
+
+    # Each query runs twice; we report the steady-state (min) time so the
+    # number reflects the plan, not one-off codegen/file-listing/JIT noise.
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        n = 0
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

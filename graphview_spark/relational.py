@@ -1,0 +1,630 @@
+"""Relational operator surface (SURVEY.md §2.2–2.5).
+
+The reference passes plain T-SQL through to SQL Server untranslated
+(GraphView/TSQL Syntax Tree/WSelectQuery.cs, WBooleanExpression.cs,
+WScalarExpression.cs — parse + ToString round-trip only). Our engine
+executes the same relational surface natively on Spark SQL. Each query
+below is a (spark_fn, oracle_sql) pair registered with the driver's
+correctness gate; together they exercise every row of the SURVEY §2.2–2.5
+operator inventory on the driver's TPC-H-ish tables.
+
+Scale notes (100 TB): every query here is expressed declaratively so
+Catalyst applies predicate pushdown / column pruning to the parquet scan,
+partial aggregation happens map-side, and AQE picks broadcast vs
+sort-merge joins at runtime. Dimension tables (region/nation/supplier/
+customer/part) are broadcast explicitly where they are guaranteed small
+relative to the fact tables (region: 5 rows, nation: 25 rows at any SF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from graphview_spark.session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregation + §2.2 filter/arithmetic — TPC-H Q1 shape
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + groupBy + sum/avg/count (SURVEY §2.4 GROUP BY, scalar aggs).
+
+    Ref semantics: passthrough T-SQL aggregate query
+    (GraphView/WScalarExpression.cs:272-350 function-call passthrough).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+       round(avg(l_quantity), 2)                                            AS avg_qty,
+       round(avg(l_discount), 4)                                            AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins (3-way) + §2.5 ORDER BY / TOP — TPC-H Q3 shape
+# --------------------------------------------------------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, group, order, limit (SURVEY §2.3/§2.5).
+
+    customer is small relative to lineitem at every SF → broadcast; the
+    orders⋈lineitem join shuffles on orderkey, which is also the grouping
+    key, so the groupBy reuses the shuffle partitioning.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 deep join chain — TPC-H Q5 shape (6-way)
+# --------------------------------------------------------------------------
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-table join with dual join condition on nationkey (SURVEY §2.3).
+
+    region/nation/supplier broadcast; the fact-side joins shuffle once on
+    orderkey. The c_nationkey = s_nationkey condition is the classic Q5
+    'local supplier' constraint — an extra equi predicate, not a shuffle.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+ORACLE_LOCAL_SUPPLIER = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.2 scalar/boolean surface: BETWEEN, IN, LIKE, CASE, CAST, arithmetic
+# --------------------------------------------------------------------------
+
+def q_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN / IN-list / LIKE / CASE / CAST / arithmetic in one query
+    (SURVEY §2.2 rows: Comparison, BETWEEN, IN, LIKE, CASE, CAST,
+    Arithmetic; ref WBooleanExpression.cs:259-489, WScalarExpression.cs).
+    """
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_size").between(5, 35)
+            & F.col("p_brand").isin("Brand#10", "Brand#12", "Brand#24")
+            & F.col("p_type").like("%O%")
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.when(F.col("p_size") < 15, F.lit("small"))
+            .when(F.col("p_size") < 30, F.lit("medium"))
+            .otherwise(F.lit("large"))
+            .alias("size_class"),
+            F.col("p_size").cast("long").alias("size_l"),
+            F.round(F.col("p_retailprice") * 1.1 - 5.0, 2).alias("adj_price"),
+            (F.col("p_size") % 7).alias("size_mod"),
+            (-F.col("p_size")).alias("neg_size"),
+        )
+    )
+
+
+ORACLE_SCALAR_SURFACE = """
+SELECT p_partkey, p_brand,
+       CASE WHEN p_size < 15 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END                  AS size_class,
+       CAST(p_size AS BIGINT)                 AS size_l,
+       round(p_retailprice * 1.1 - 5.0, 2)    AS adj_price,
+       p_size % 7                             AS size_mod,
+       -p_size                                AS neg_size
+FROM part
+WHERE p_size BETWEEN 5 AND 35
+  AND p_brand IN ('Brand#10', 'Brand#12', 'Brand#24')
+  AND p_type LIKE '%O%'
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.2 EXISTS / NOT EXISTS / IN-subquery → semi/anti joins
+# --------------------------------------------------------------------------
+
+def q_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS(subquery) → left-semi join (SURVEY §2.2 EXISTS;
+    ref WBooleanExpression.cs:324-356)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_EXISTS_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+"""
+
+
+def q_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (SURVEY §2.3 semi/anti row)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+ORACLE_NOT_EXISTS_ANTI = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) membership → left-semi join on the subquery result
+    (SURVEY §2.2 IN row; ref WBooleanExpression.cs:357-438)."""
+    orders = _t(spark, sf_dir, "orders")
+    big_items = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(big_items, orders.o_orderkey == big_items.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+ORACLE_IN_SUBQUERY = """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expr op (SELECT agg) — scalar subquery via cross-joined 1-row agg
+    (SURVEY §2.2 Subquery comparison; ref WBooleanExpression.cs:490-540).
+    The 1-row aggregate is broadcast — no shuffle of the probe side.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("_avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal") * 1.5)
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+ORACLE_SCALAR_SUBQUERY = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) * 1.5
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 HAVING, DISTINCT aggregation
+# --------------------------------------------------------------------------
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING as post-aggregation filter (SURVEY §2.4 HAVING;
+    ref WClauses.cs:255+)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .filter(F.col("order_count") >= 3)
+    )
+
+
+ORACLE_HAVING = """
+SELECT o_custkey, count(*) AS order_count, round(sum(o_totalprice), 2) AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 3
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + plain aggs in one block (SURVEY §2.4 DISTINCT agg
+    — parity-plus; the reference only passes this through)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_DISTINCT_AGG = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS distinct_parts,
+       count(DISTINCT l_suppkey) AS distinct_supps,
+       count(*)                  AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY §2.4 grouping-sets row — parity-plus,
+    native in Spark and DuckDB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 set operations, DISTINCT
+# --------------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over nation keys (SURVEY §2.5 set ops;
+    ref WSelectQuery.cs:146-194). Produces one labeled result per op."""
+    cust_nations = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_nations = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    union_d = cust_nations.union(supp_nations).distinct().withColumn("op", F.lit("union"))
+    inter = cust_nations.intersect(supp_nations).withColumn("op", F.lit("intersect"))
+    exc = cust_nations.distinct().exceptAll(supp_nations.distinct()).withColumn(
+        "op", F.lit("except")
+    )
+    return union_d.union(inter).union(exc)
+
+
+ORACLE_SET_OPS = """
+SELECT nationkey, 'union' AS op FROM (
+  SELECT DISTINCT nationkey FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL SELECT s_nationkey FROM supplier))
+UNION ALL
+SELECT nationkey, 'intersect' AS op FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'except' AS op FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 window functions (parity-plus: no OVER clause in the reference AST)
+# --------------------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / running sum over a partition (SURVEY §2.5
+    window row — net-new surface, absent from the reference W-AST)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+    )
+
+
+ORACLE_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS rn,
+       rank()       OVER w AS rnk,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def q_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via window + filter — the distributed
+    top-N pattern (no driver-side loop; SURVEY §2.5 TOP + window)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+ORACLE_TOP_N_PER_GROUP = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 outer joins + null handling (IS NULL surface)
+# --------------------------------------------------------------------------
+
+def q_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + IS NULL / coalesce on the null-extended side
+    (SURVEY §2.3 qualified joins, §2.2 IS NULL)."""
+    nation = _t(spark, sf_dir, "nation")
+    cust_per_nation = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return (
+        nation.join(cust_per_nation, nation.n_nationkey == cust_per_nation.c_nationkey, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.col("n_cust").isNull().alias("no_customers"),
+        )
+    )
+
+
+ORACLE_OUTER_JOIN_NULLS = """
+SELECT n_nationkey, n_name,
+       coalesce(n_cust, 0)  AS n_cust,
+       n_cust IS NULL       AS no_customers
+FROM nation
+LEFT JOIN (SELECT c_nationkey, count(*) AS n_cust
+           FROM customer GROUP BY c_nationkey) c
+  ON n_nationkey = c_nationkey
+"""
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two small tables (SURVEY §2.3 cross join —
+    the reference emits these between MATCH connected components)."""
+    region = _t(spark, sf_dir, "region")
+    r2 = region.select(
+        F.col("r_regionkey").alias("r2_regionkey"), F.col("r_name").alias("r2_name")
+    )
+    return (
+        region.crossJoin(r2)
+        .filter(F.col("r_regionkey") < F.col("r2_regionkey"))
+        .select("r_name", "r2_name")
+    )
+
+
+ORACLE_CROSS_JOIN = """
+SELECT a.r_name AS r_name, b.r_name AS r2_name
+FROM region a CROSS JOIN region b
+WHERE a.r_regionkey < b.r_regionkey
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 CTE-as-composition + §2.1 derived table
+# --------------------------------------------------------------------------
+
+def q_cte_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH-CTE / derived-table composition (SURVEY §2.5 CTEs, §2.1
+    derived table; ref WSql.cs:215-313). In Spark a CTE is just a named
+    subplan — Catalyst inlines it."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spent"))
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .filter(F.col("spent") > 300000)
+        .select("c_custkey", "c_name", "spent", "c_mktsegment")
+    )
+
+
+ORACLE_CTE_DERIVED = """
+WITH per_cust AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spent
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, spent, c_mktsegment
+FROM per_cust JOIN customer ON o_custkey = c_custkey
+WHERE spent > 300000
+"""
+
+
+# --------------------------------------------------------------------------
+# events table: §2.2 date functions + groupBy over time buckets
+# --------------------------------------------------------------------------
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-bucketed aggregation over the events table (SURVEY §2.2
+    string/date functions row — inherited builtins; batch shape of the
+    streaming windowed agg in graphview_spark.streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date(F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+ORACLE_EVENTS_DAILY = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*)                AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2)    AS total_value
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_shipping_priority": q_shipping_priority,
+    "rel_local_supplier_volume": q_local_supplier_volume,
+    "rel_scalar_surface": q_scalar_surface,
+    "rel_exists_semi": q_exists_semi,
+    "rel_not_exists_anti": q_not_exists_anti,
+    "rel_in_subquery": q_in_subquery,
+    "rel_scalar_subquery": q_scalar_subquery,
+    "rel_having": q_having,
+    "rel_distinct_agg": q_distinct_agg,
+    "rel_rollup": q_rollup,
+    "rel_set_ops": q_set_ops,
+    "rel_window_rank": q_window_rank,
+    "rel_top_n_per_group": q_top_n_per_group,
+    "rel_outer_join_nulls": q_outer_join_nulls,
+    "rel_cross_join": q_cross_join,
+    "rel_cte_derived": q_cte_derived,
+    "rel_events_daily": q_events_daily,
+}
+
+ORACLES = {
+    "rel_pricing_summary": ORACLE_PRICING_SUMMARY,
+    "rel_shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "rel_local_supplier_volume": ORACLE_LOCAL_SUPPLIER,
+    "rel_scalar_surface": ORACLE_SCALAR_SURFACE,
+    "rel_exists_semi": ORACLE_EXISTS_SEMI,
+    "rel_not_exists_anti": ORACLE_NOT_EXISTS_ANTI,
+    "rel_in_subquery": ORACLE_IN_SUBQUERY,
+    "rel_scalar_subquery": ORACLE_SCALAR_SUBQUERY,
+    "rel_having": ORACLE_HAVING,
+    "rel_distinct_agg": ORACLE_DISTINCT_AGG,
+    "rel_rollup": ORACLE_ROLLUP,
+    "rel_set_ops": ORACLE_SET_OPS,
+    "rel_window_rank": ORACLE_WINDOW_RANK,
+    "rel_top_n_per_group": ORACLE_TOP_N_PER_GROUP,
+    "rel_outer_join_nulls": ORACLE_OUTER_JOIN_NULLS,
+    "rel_cross_join": ORACLE_CROSS_JOIN,
+    "rel_cte_derived": ORACLE_CTE_DERIVED,
+    "rel_events_daily": ORACLE_EVENTS_DAILY,
+}

@@ -1,0 +1,15 @@
+"""Relational surface vs the DuckDB oracle at sf0.001 (fast smoke of the
+same contract the driver enforces at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphview_spark import relational
+from tests.conftest import assert_df_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(relational.QUERIES))
+def test_relational_query_matches_oracle(name, spark, sf_dir, duck):
+    df = relational.QUERIES[name](spark, sf_dir)
+    assert_df_matches_oracle(df, duck, relational.ORACLES[name])
