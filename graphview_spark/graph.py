@@ -1,0 +1,470 @@
+"""GraphDatabase — the engine facade (reference: GraphViewConnection +
+GraphViewCommand, the user-facing API).
+
+Data model (SURVEY.md §1.4):
+- node table  → DataFrame with user properties + ``GlobalNodeId``
+  (``table_id << 48 | seq``, the reference's identity-seed scheme,
+  GraphViewConnection.cs:878-886)
+- edge type   → normalized DataFrame ``(src, edge_id, sink, attrs...)``.
+  The reference packs edges into a varbinary adjacency blob per source row
+  because SQL Server lacks cheap nested collections
+  (NodeTableGraphViewCodeTemplate.cs:212-254); in Spark the relational
+  form IS the decoded form. ``edge_id`` keeps the reference's semantics:
+  1-based ordinal per (src, edge type) (same file :206-216).
+- DML = versioned rewrite of immutable DataFrames (union / anti-join);
+  degrees are computed aggregates, not stored columns.
+
+Scale notes: node/edge DataFrames are plain Spark plans — at 100 TB they
+live in parquet partitioned/bucketed by GlobalNodeId (src for edges, so
+one node's adjacency is co-located, the Spark analog of the in-row
+blob). DML chains grow lineage; ``checkpoint_tables`` truncates it.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphview_spark.catalog import EdgeType, GraphCatalog, NodeTable, StoredProcedure
+from graphview_spark.ddl import parse_create_node_table
+
+EDGE_META_COLS = ("src", "edge_id", "sink")
+
+
+def _spark_type(sql_type: str) -> T.DataType:
+    return T._parse_datatype_string(sql_type)
+
+
+class GraphDatabase:
+    """One property-graph database over Spark DataFrames."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.catalog = GraphCatalog()
+        self.nodes: dict[str, DataFrame] = {}          # table name -> node DF
+        self.edges: dict[str, DataFrame] = {}          # "Table.Edge" -> edge DF
+        self._seq: dict[str, int] = {}                 # table name -> next local seq
+        self._edge_batch: dict[str, int] = {}          # "Table.Edge" -> next _ord
+
+    # ------------------------------------------------------------------
+    # DDL
+    # ------------------------------------------------------------------
+    def create_node_table(self, ddl: str) -> NodeTable:
+        """Parse the annotated CREATE TABLE dialect and register empty
+        node/edge DataFrames (reference: GraphViewConnection.CreateNodeTable,
+        GraphViewConnection.cs:823-992 — minus the CLR codegen, reversed
+        columns and sampling tables, all obsolete on Spark)."""
+        parsed = parse_create_node_table(ddl)
+        node_id_col = None
+        props: list[tuple[str, str]] = []
+        edge_defs: list[EdgeType] = []
+        for c in parsed.columns:
+            if c.role == "nodeid":
+                node_id_col = c.name
+                props.append((c.name, c.sql_type))
+            elif c.role == "property":
+                props.append((c.name, c.sql_type))
+            else:
+                edge_defs.append(
+                    EdgeType(
+                        name=c.name,
+                        source_table=parsed.table,
+                        sink_table=c.reference,
+                        attributes=c.attributes,
+                    )
+                )
+        table = self.catalog.register_table(parsed.table, node_id_col, props, edge_defs)
+
+        node_fields = [T.StructField("GlobalNodeId", T.LongType(), False)] + [
+            T.StructField(n, _spark_type(t), True) for n, t in props
+        ]
+        self.nodes[table.name] = self.spark.createDataFrame([], T.StructType(node_fields))
+        self._seq[table.name] = 0
+        for e in edge_defs:
+            self.edges[e.qualified] = self.spark.createDataFrame(
+                [], self._edge_schema(e)
+            )
+            self._edge_batch[e.qualified] = 0
+        return table
+
+    @staticmethod
+    def _edge_schema(e: EdgeType) -> T.StructType:
+        """Physical storage schema: ``edge_id`` is NOT stored — exactly like
+        the reference, where EdgeId is the running ordinal assigned during
+        adjacency-blob decode (NodeTableGraphViewCodeTemplate.cs:212-254).
+        We store ``_ord`` (insertion batch number) and derive edge_id as
+        ``row_number() over (partition by src order by _ord, sink)`` on
+        demand — this keeps INSERT EDGE a pure lazy union (no read of the
+        current edge DF, no plan doubling, no job per statement)."""
+        return T.StructType(
+            [
+                T.StructField("src", T.LongType(), False),
+                T.StructField("sink", T.LongType(), False),
+                T.StructField("_ord", T.LongType(), False),
+            ]
+            + [T.StructField(n, _spark_type(t), True) for n, t in e.attributes]
+        )
+
+    def edge_with_id(self, qualified: str) -> DataFrame:
+        """The user-visible edge DataFrame: (src, edge_id, sink, attrs...).
+        The window shuffles by ``src`` — the same partitioning every edge
+        join uses, so at scale this folds into the existing exchange."""
+        df = self.edges[qualified]
+        w = W.partitionBy("src").orderBy(F.col("_ord"), F.col("sink"))
+        attr_cols = [c for c in df.columns if c not in ("src", "sink", "_ord")]
+        return df.select(
+            "src",
+            F.row_number().over(w).cast("long").alias("edge_id"),
+            "sink",
+            *attr_cols,
+        )
+
+    # ------------------------------------------------------------------
+    # Node ingestion
+    # ------------------------------------------------------------------
+    def insert_nodes(self, table_name: str, rows: list[dict]) -> None:
+        """INSERT INTO (driver-side literal rows — the tutorial's path,
+        InsAndDelTutorial.cs:30-36)."""
+        t = self.catalog.table(table_name)
+        if t.node_id_column is not None:
+            for r in rows:
+                if r.get(t.node_id_column) is None:
+                    # reference: NodeId column is NOT NULL + unique
+                    # (GraphViewParser.cs:1133-1162)
+                    raise ValueError(
+                        f"INSERT into '{t.name}' requires NodeId column "
+                        f"'{t.node_id_column}'"
+                    )
+        base = t.gid_base()
+        start = self._seq[t.name]
+        data = []
+        for i, r in enumerate(rows):
+            row = {"GlobalNodeId": base + start + i + 1}
+            for name, _typ in t.properties:
+                row[name] = r.get(name)
+            data.append(row)
+        self._seq[t.name] = start + len(rows)
+        # literal rows: one partition — otherwise each insert contributes
+        # defaultParallelism partitions and later cross joins explode into
+        # (partitions²) tasks
+        new_df = self.spark.createDataFrame(data, self.nodes[t.name].schema).coalesce(1)
+        self.nodes[t.name] = self.nodes[t.name].unionByName(new_df).coalesce(8)
+
+    def insert_nodes_df(self, table_name: str, df: DataFrame) -> None:
+        """Bulk node ingestion from a DataFrame (reference: BulkInsertNode,
+        BulkInsert.cs:486-770). GlobalNodeId is assigned as
+        ``base + row_number`` ordered by the NodeId column when present —
+        deterministic; for id-less tables a zipWithIndex-style assignment
+        keeps it distributed (no single-partition window)."""
+        t = self.catalog.table(table_name)
+        base = t.gid_base()
+        start = self._seq[t.name]
+        cols = [n for n, _ in t.properties]
+        df = df.select(*cols)
+        if t.node_id_column:
+            w = W.orderBy(F.col(t.node_id_column))
+            with_id = df.withColumn(
+                "GlobalNodeId", F.lit(base + start) + F.row_number().over(w)
+            )
+        else:
+            with_id = (
+                df.rdd.zipWithIndex()
+                .map(lambda p: (base + start + p[1] + 1, *p[0]))
+                .toDF(["GlobalNodeId"] + cols)
+            )
+        n = df.count()
+        self._seq[t.name] = start + n
+        self.nodes[t.name] = self.nodes[t.name].unionByName(
+            with_id.select("GlobalNodeId", *cols)
+        )
+
+    # ------------------------------------------------------------------
+    # Edge ingestion
+    # ------------------------------------------------------------------
+    def insert_edges_df(self, source_table: str, edge_name: str, pairs: DataFrame) -> None:
+        """INSERT EDGE from a DataFrame of (src, sink, attrs...) global ids.
+
+        Reference semantics (TranslateDataModificationVisitor.cs:183-996):
+        group new pairs by src, append to the adjacency blob, assign
+        EdgeIds continuing each source's ordinal. Here: tag the batch with
+        a monotone ``_ord``; ``edge_with_id`` derives the per-src ordinal
+        lazily (row_number over (_ord, sink)) — so INSERT EDGE is a pure
+        lazy union: no read of the current edge DF, no job per statement,
+        no plan doubling.
+        """
+        e = self.catalog.resolve_edge(source_table, edge_name)
+        cur = self.edges[e.qualified]
+        attr_cols = [n for n, _ in e.attributes]
+        pairs = pairs.select("src", "sink", *[c for c in attr_cols if c in pairs.columns])
+        for c in attr_cols:
+            if c not in pairs.columns:
+                pairs = pairs.withColumn(c, F.lit(None))
+        batch = self._edge_batch.get(e.qualified, 0)
+        self._edge_batch[e.qualified] = batch + 1
+        new_edges = pairs.withColumn("_ord", F.lit(batch).cast("long"))
+        self.edges[e.qualified] = cur.unionByName(
+            self._cast_to(new_edges, self._edge_schema(e))
+        )
+
+    def _cast_to(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+
+    # ------------------------------------------------------------------
+    # Degrees (computed, not stored — SURVEY §1.4)
+    # ------------------------------------------------------------------
+    def out_degree(self, table_name: str, edge_name: str | None = None) -> DataFrame:
+        """(GlobalNodeId, out_degree) for one edge type or all edges of the
+        table. Reference stores <Edge>OutDegree per row
+        (GraphViewParser.cs:1113-1131); we aggregate on demand."""
+        t = self.catalog.table(table_name)
+        names = [edge_name] if edge_name else list(t.edges)
+        parts = [
+            self.edges[t.edges[n.lower()].qualified]
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("out_degree"))
+            for n in names
+        ]
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "src long, out_degree long"
+            ).withColumnRenamed("src", "GlobalNodeId")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return (
+            out.groupBy("src")
+            .agg(F.sum("out_degree").alias("out_degree"))
+            .withColumnRenamed("src", "GlobalNodeId")
+        )
+
+    def in_degree(self, table_name: str) -> DataFrame:
+        """(GlobalNodeId, in_degree) across ALL edge types that reference
+        this table (the reference maintains InDegree transactionally on the
+        sink table, TranslateDataModificationVisitor.cs:2085-2137)."""
+        t = self.catalog.table(table_name)
+        parts = []
+        for nt in self.catalog.tables.values():
+            for e in nt.edges.values():
+                if e.sink_table.lower() == t.name.lower():
+                    parts.append(
+                        self.edges[e.qualified]
+                        .groupBy("sink")
+                        .agg(F.count(F.lit(1)).alias("in_degree"))
+                    )
+        if not parts:
+            return self.spark.createDataFrame([], "GlobalNodeId long, in_degree long")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return (
+            out.groupBy("sink")
+            .agg(F.sum("in_degree").alias("in_degree"))
+            .withColumnRenamed("sink", "GlobalNodeId")
+        )
+
+    # ------------------------------------------------------------------
+    # Graph DML (SURVEY §2.6)
+    # ------------------------------------------------------------------
+    def delete_edges(self, source_table: str, edge_name: str, matched: DataFrame) -> None:
+        """DELETE EDGE: anti-join the edge DF against matched
+        (src, edge_id) pairs. The reference appends tombstones to
+        DeleteCol and filters them in the decoder
+        (NodeTableGraphViewCodeTemplate.cs:186-207); immutable DataFrames
+        need no tombstones — the rewrite IS the delete."""
+        e = self.catalog.resolve_edge(source_table, edge_name)
+        cur = self.edges[e.qualified]
+        w = W.partitionBy("src").orderBy(F.col("_ord"), F.col("sink"))
+        with_id = cur.withColumn("edge_id", F.row_number().over(w).cast("long"))
+        survivors = with_id.join(
+            matched.select("src", "edge_id"), ["src", "edge_id"], "left_anti"
+        ).drop("edge_id")
+        # materialize: matched usually derives from this same edge DF, and
+        # remaining edges renumber on the next derive (the reference's
+        # Recycle compaction, GraphViewConnection.cs:2995-3075)
+        self.edges[e.qualified] = survivors.localCheckpoint(eager=True)
+
+    def delete_nodes(self, table_name: str, cond) -> None:
+        """DELETE NODE ... WHERE cond — connected nodes are silently kept:
+        the reference conjoins ``InDegree = 0 AND every OutDegree = 0`` to
+        the WHERE clause (TranslateDataModificationVisitor.cs:2085-2188;
+        tutorial InsAndDelTutorial.cs:105-108 'you can not delete a node
+        with edge linked to it')."""
+        t = self.catalog.table(table_name)
+        nodes = self.nodes[t.name]
+        doomed = nodes.filter(cond).select("GlobalNodeId")
+        outd = self.out_degree(t.name).filter(F.col("out_degree") > 0)
+        ind = self.in_degree(t.name).filter(F.col("in_degree") > 0)
+        doomed = doomed.join(outd, "GlobalNodeId", "left_anti").join(
+            ind, "GlobalNodeId", "left_anti"
+        )
+        self.nodes[t.name] = nodes.join(doomed, "GlobalNodeId", "left_anti")
+
+    # ------------------------------------------------------------------
+    # Views (SURVEY §2.6 / View.cs)
+    # ------------------------------------------------------------------
+    def create_node_view(self, name: str, members: list[str],
+                         prop_map: dict[str, dict[str, str | None]] | None = None) -> None:
+        """Node view = unionByName over member tables with property
+        alignment (View.cs:95-137). Default mapping is by-name: a property
+        appears in the view if any member has it; members lacking it are
+        null-padded. `_NodeType`/`_NodeId` discriminators included."""
+        from graphview_spark.catalog import NodeView
+
+        if prop_map is None:
+            prop_map = {}
+            for m in members:
+                t = self.catalog.table(m)
+                for pname, _ in t.properties:
+                    prop_map.setdefault(pname, {})
+                    prop_map[pname][t.name] = pname
+        self.catalog.node_views[name] = NodeView(
+            name=name, members=[self.catalog.table(m).name for m in members],
+            prop_map=prop_map,
+        )
+
+    def create_edge_view(self, name: str, members: list[tuple[str, str]]) -> None:
+        from graphview_spark.catalog import EdgeView
+
+        resolved = []
+        for tbl, edge in members:
+            e = self.catalog.resolve_edge(tbl, edge)
+            resolved.append((e.source_table, e.name))
+        self.catalog.edge_views[name] = EdgeView(name=name, members=resolved)
+
+    def node_view_df(self, name: str) -> DataFrame:
+        v = self.catalog.node_view(name)
+        if v is None:
+            raise KeyError(f"node view not found: {name}")
+        parts = []
+        props = sorted(v.prop_map)
+        for m in v.members:
+            t = self.catalog.table(m)
+            df = self.nodes[t.name]
+            cols = [F.col("GlobalNodeId"), F.lit(t.name).alias("_NodeType")]
+            nid = t.node_id_column
+            cols.append(
+                (F.col(nid).cast("string") if nid else F.lit(None).cast("string")).alias("_NodeId")
+            )
+            for p in props:
+                srccol = v.prop_map[p].get(t.name)
+                cols.append(
+                    F.col(srccol).alias(p) if srccol else F.lit(None).alias(p)
+                )
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def global_node_view_df(self) -> DataFrame:
+        """GlobalNodeView — union of ALL node tables (View.cs:2046-2114)."""
+        self.create_node_view("_GlobalNodeView", list(self.catalog.tables))
+        return self.node_view_df("_GlobalNodeView")
+
+    def edge_view_df(self, name: str) -> DataFrame:
+        v = self.catalog.edge_view(name)
+        if v is None:
+            raise KeyError(f"edge view not found: {name}")
+        parts = []
+        # merged attribute schema = union of member attribute names
+        all_attrs: list[str] = []
+        for tbl, edge in v.members:
+            e = self.catalog.resolve_edge(tbl, edge)
+            for aname, _ in e.attributes:
+                if aname not in all_attrs:
+                    all_attrs.append(aname)
+        for tbl, edge in v.members:
+            e = self.catalog.resolve_edge(tbl, edge)
+            df = self.edge_with_id(e.qualified)
+            have = {n for n, _ in e.attributes}
+            cols = [F.col(c) for c in EDGE_META_COLS]
+            cols.append(F.lit(e.qualified).alias("_EdgeType"))
+            for a in all_attrs:
+                cols.append(F.col(a) if a in have else F.lit(None).alias(a))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    # ------------------------------------------------------------------
+    # Stored procedures (GraphViewConnection.cs:1619-1698)
+    # ------------------------------------------------------------------
+    def create_procedure(self, name: str, params: list[str], statements: list[str]) -> None:
+        self.catalog.procedures[name] = StoredProcedure(
+            name=name, params=params, statements=statements
+        )
+
+    def execute_procedure(self, name: str, **args) -> DataFrame | None:
+        from graphview_spark.matching.query import execute_statement
+
+        proc = self.catalog.procedures.get(name)
+        if proc is None:
+            raise KeyError(f"procedure not found: {name}")
+        missing = [p for p in proc.params if p not in args]
+        if missing:
+            raise ValueError(f"procedure {name} missing params: {missing}")
+        result = None
+        for stmt in proc.statements:
+            s = stmt
+            for p, v in args.items():
+                lit = f"'{v}'" if isinstance(v, str) else str(v)
+                s = s.replace(f"@{p}", lit)
+            result = execute_statement(self, s)
+        return result
+
+    # ------------------------------------------------------------------
+    # SQL dialect entry point (reference: GraphViewCommand)
+    # ------------------------------------------------------------------
+    def execute(self, statement: str) -> DataFrame | None:
+        """Execute one statement of the SQL+graph dialect: SELECT..MATCH,
+        INSERT (node), INSERT EDGE, DELETE EDGE, DELETE NODE."""
+        from graphview_spark.matching.query import execute_statement
+
+        return execute_statement(self, statement)
+
+    # ------------------------------------------------------------------
+    # Maintenance
+    # ------------------------------------------------------------------
+    def checkpoint_tables(self) -> None:
+        """Truncate DML lineage by materializing current node/edge DFs
+        (localCheckpoint: cluster-memory persisted, lineage cut)."""
+        for k, df in self.nodes.items():
+            self.nodes[k] = df.localCheckpoint(eager=True)
+        for k, df in self.edges.items():
+            self.edges[k] = df.localCheckpoint(eager=True)
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "_catalog.json"), "w") as f:
+            f.write(self.catalog.to_json())
+        for name, df in self.nodes.items():
+            df.write.mode("overwrite").parquet(os.path.join(path, f"nodes_{name}"))
+        for qual, df in self.edges.items():
+            safe = qual.replace(".", "__")
+            df.write.mode("overwrite").parquet(os.path.join(path, f"edges_{safe}"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "GraphDatabase":
+        g = cls(spark)
+        with open(os.path.join(path, "_catalog.json")) as f:
+            g.catalog = GraphCatalog.from_json(f.read())
+        for name, t in g.catalog.tables.items():
+            g.nodes[name] = spark.read.parquet(os.path.join(path, f"nodes_{name}"))
+            row = g.nodes[name].agg(
+                F.max(F.col("GlobalNodeId") - F.lit(t.gid_base()))
+            ).first()
+            g._seq[name] = int(row[0] or 0)
+            for e in t.edges.values():
+                safe = e.qualified.replace(".", "__")
+                g.edges[e.qualified] = spark.read.parquet(
+                    os.path.join(path, f"edges_{safe}")
+                )
+        return g

@@ -1,0 +1,158 @@
+"""Variable-length paths (``*``, ``*min..max``) — iterative DataFrame BFS.
+
+Reference semantics (generated recursive CTE, GraphView/
+DeployScriptTemplate.cs:208-341): trails, not simple walks —
+**edge-uniqueness** within one path (ExclusiveEdgeGenerator,
+NodeTableGraphViewCodeTemplate.cs:475-587); ``min=0`` contributes the
+source itself as an empty path; per-hop attribute predicates apply at
+every expansion; the ``bfsPath_DifferNodes`` variant
+(DeployScriptTemplate.cs:355-468) enforces **node**-uniqueness instead.
+Path display reproduces PathMessageDecoder's
+``nodeId-[edge]->nodeId`` strings (TranslateMatchClauseVisitor.cs:519-618).
+
+Spark realization: a driver-side fixpoint loop over DataFrames. Each
+iteration joins the frontier's ``end`` against the edge DF's ``src`` and
+filters used edges with ``array_contains`` on the accumulated key array.
+Frontiers are localCheckpoint'ed each iteration — this cuts lineage
+(otherwise plan depth grows linearly and planning time quadratically)
+and makes the empty-frontier convergence test cheap. Unbounded ``*``
+terminates because a trail can use each edge at most once; we bound the
+loop by |E| (exact trail bound) rather than trusting convergence alone.
+
+Scale notes: the frontier join shuffles on node id each hop — the same
+partitioning every iteration, so on a real cluster pre-partitioning the
+edge DF by ``src`` (bucketing) makes every hop a local join. Path state
+(key array + display string) stays columnar; no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphview_spark.matching.pattern import PatternEdge
+
+# checkpoint cadence: every iteration is correct but costs a
+# materialization; lineage depth stays tiny either way at cadence 1
+# because each frontier builds on a checkpointed parent.
+_MAX_SAFETY_ITER = 1_000_000
+
+
+def var_length_paths(
+    g,
+    e: PatternEdge,
+    src_name: str,
+    sink_name: str,
+    node_unique: bool | None = None,
+) -> DataFrame:
+    """Paths of length [min_len, max_len] (max_len=-1 → unbounded).
+
+    Returns columns ``{alias}_start``, ``{alias}_end``, ``{alias}_hops``,
+    ``{alias}_path_str``.
+    """
+    from graphview_spark.matching.planner import _edge_df, _member_tables
+
+    if node_unique is None:
+        node_unique = getattr(g, "path_semantics", "trail") == "simple"
+    alias = e.alias
+
+    edges = _edge_df(g, e, src_name, sink_name, raw=True)
+    ekey = F.concat_ws(":", F.col("_etype"), F.col("src"), F.col("edge_id"))
+    edges = edges.select(
+        "src", "sink", "_etype", ekey.alias("_ekey")
+    )
+
+    min_len = e.min_len
+    max_len = e.max_len
+    if max_len == -1:
+        # exact trail bound: one path can't reuse an edge
+        max_len = edges.count()
+        if max_len == 0:
+            max_len = 1
+
+    # hop 1 frontier
+    frontier = edges.select(
+        F.col("src").alias("start"),
+        F.col("sink").alias("end"),
+        F.lit(1).alias("hops"),
+        F.array(F.col("_ekey")).alias("used_edges"),
+        F.array(F.col("src"), F.col("sink")).alias("used_nodes"),
+        F.concat_ws(
+            "",
+            F.col("src").cast("string"),
+            F.lit(f"-[{e.edge_name}]->"),
+            F.col("sink").cast("string"),
+        ).alias("path_str"),
+    )
+    if node_unique:
+        frontier = frontier.filter(F.col("start") != F.col("end"))
+    frontier = frontier.localCheckpoint(eager=True)
+
+    collected: list[DataFrame] = []
+    if min_len <= 1:
+        collected.append(frontier)
+
+    hop = 1
+    while hop < max_len and hop < _MAX_SAFETY_ITER:
+        if frontier.isEmpty():
+            break
+        nxt = (
+            frontier.join(edges, frontier["end"] == edges["src"])
+            .filter(~F.array_contains(F.col("used_edges"), F.col("_ekey")))
+        )
+        if node_unique:
+            nxt = nxt.filter(~F.array_contains(F.col("used_nodes"), F.col("sink")))
+        nxt = nxt.select(
+            F.col("start"),
+            F.col("sink").alias("end"),
+            (F.col("hops") + 1).alias("hops"),
+            F.array_append(F.col("used_edges"), F.col("_ekey")).alias("used_edges"),
+            F.array_append(F.col("used_nodes"), F.col("sink")).alias("used_nodes"),
+            F.concat_ws(
+                "",
+                F.col("path_str"),
+                F.lit(f"-[{e.edge_name}]->"),
+                F.col("sink").cast("string"),
+            ).alias("path_str"),
+        ).localCheckpoint(eager=True)
+        hop += 1
+        frontier = nxt
+        if hop >= min_len and not nxt.isEmpty():
+            collected.append(nxt)
+        if nxt.isEmpty():
+            break
+
+    parts = []
+    if min_len == 0:
+        # the empty path: every node of the source binding reaches itself
+        # (DeployScriptTemplate.cs:208-341 seeds the CTE with the source)
+        src_nodes = None
+        for tbl in _member_tables(g, src_name):
+            nd = g.nodes[g.catalog.table(tbl).name].select(
+                F.col("GlobalNodeId").alias("start")
+            )
+            src_nodes = nd if src_nodes is None else src_nodes.unionByName(nd)
+        parts.append(
+            src_nodes.select(
+                "start",
+                F.col("start").alias("end"),
+                F.lit(0).alias("hops"),
+                F.col("start").cast("string").alias("path_str"),
+            )
+        )
+    parts.extend(
+        c.select("start", "end", "hops", "path_str") for c in collected
+    )
+    if not parts:
+        schema = "start long, end long, hops int, path_str string"
+        out = g.spark.createDataFrame([], schema)
+    else:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    return out.select(
+        F.col("start").alias(f"{alias}_start"),
+        F.col("end").alias(f"{alias}_end"),
+        F.col("hops").alias(f"{alias}_hops"),
+        F.col("path_str").alias(f"{alias}_path_str"),
+    )

@@ -1,0 +1,269 @@
+"""MATCH planner — pattern graph → DataFrame join DAG.
+
+The reference translates MATCH into a fully-hinted T-SQL join tree via a
+cost-based beam search over SQL Server estimates
+(TranslateMatchClauseVisitor.cs:1631-1727, MatchComponent.cs:561-860).
+On Spark that whole apparatus is replaced by Catalyst + AQE: we emit the
+join DAG in a deterministic greedy order and let the optimizer pick
+physical strategies (broadcast ≈ the reference's LOOP join, shuffle
+hash/sort-merge ≈ its HASH join) and reorder as stats demand
+(SURVEY.md §4.2).
+
+Column namespacing: node alias ``A`` exposes ``A_GlobalNodeId`` and
+``A_<prop>``; edge alias ``e`` exposes ``e_src``, ``e_sink``,
+``e_edge_id`` and ``e_<attr>``; a var-length path alias additionally
+exposes ``e_hops`` and ``e_path_str`` (the reference's PathMessage
+display string, TranslateMatchClauseVisitor.cs:519-618).
+
+Scale notes: every pattern edge is an equi-join on node ids — shuffles
+hash-partition on GlobalNodeId; joining successive hops reuses that
+partitioning. Reverse-direction traversal (the reference's reversed
+adjacency, GraphViewConnection.cs:1053-1144) is free here: when the sink
+side is already bound we join the same edge DF on ``sink`` instead of
+``src``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphview_spark.catalog import EdgeType
+from graphview_spark.matching.pattern import PatternEdge, PatternGraph
+
+
+class MatchPlanError(ValueError):
+    pass
+
+
+def _node_df(g, alias: str, name: str) -> DataFrame:
+    """DataFrame for one FROM entry, columns prefixed ``alias_``."""
+    if g.catalog.has_table(name):
+        t = g.catalog.table(name)
+        df = g.nodes[t.name]
+        cols = [F.col("GlobalNodeId").alias(f"{alias}_GlobalNodeId")] + [
+            F.col(p).alias(f"{alias}_{p}") for p, _ in t.properties
+        ]
+        return df.select(*cols)
+    v = g.catalog.node_view(name)
+    if v is not None:
+        df = g.node_view_df(v.name)
+        cols = [F.col(c).alias(f"{alias}_{c.lstrip('_')}") if c.startswith("_")
+                else F.col(c).alias(f"{alias}_{c}") for c in df.columns]
+        return df.select(*cols)
+    raise MatchPlanError(f"FROM entry '{name}' is neither a node table nor a node view")
+
+
+def _member_tables(g, name: str) -> list[str]:
+    if g.catalog.has_table(name):
+        return [g.catalog.table(name).name]
+    v = g.catalog.node_view(name)
+    if v is not None:
+        return list(v.members)
+    raise MatchPlanError(f"unknown node source '{name}'")
+
+
+def _edge_df(g, e: PatternEdge, src_name: str, sink_name: str, raw: bool = False) -> DataFrame:
+    """Resolve a pattern edge to its physical edge DataFrame(s).
+
+    Binding rules (reference: TranslateMatchClauseVisitor.cs:311-340,
+    CheckValidity :434-517): the edge must be declared on the source
+    table (or, for views, on at least one member / be an edge view whose
+    members lie in the source view's member set); the sink table must
+    match the edge's Reference (or be a member of the sink view).
+    """
+    sink_members = {m.lower() for m in _member_tables(g, sink_name)}
+    ev = g.catalog.edge_view(e.edge_name)
+    parts: list[DataFrame] = []
+    if ev is not None:
+        src_members = {m.lower() for m in _member_tables(g, src_name)}
+        for tbl, edge in ev.members:
+            et = g.catalog.resolve_edge(tbl, edge)
+            if tbl.lower() not in src_members:
+                continue
+            if et.sink_table.lower() not in sink_members:
+                continue
+            parts.append(_one_edge_df(g, et, e, raw))
+        if not parts:
+            raise MatchPlanError(
+                f"edge view '{e.edge_name}' has no member binding "
+                f"{src_name} -> {sink_name}"
+            )
+    else:
+        matched: list[EdgeType] = []
+        for tbl in _member_tables(g, src_name):
+            t = g.catalog.table(tbl)
+            et = t.edges.get(e.edge_name.lower())
+            if et is not None:
+                matched.append(et)
+        if not matched:
+            raise MatchPlanError(
+                f"edge '{e.edge_name}' is not declared on '{src_name}' "
+                f"(reference CheckValidity, TranslateMatchClauseVisitor.cs:434-517)"
+            )
+        for et in matched:
+            if et.sink_table.lower() not in sink_members:
+                raise MatchPlanError(
+                    f"edge '{et.qualified}' references '{et.sink_table}', "
+                    f"but the pattern's sink is '{sink_name}'"
+                )
+            parts.append(_one_edge_df(g, et, e, raw))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def _one_edge_df(g, et: EdgeType, e: PatternEdge, raw: bool = False) -> DataFrame:
+    df = g.edge_with_id(et.qualified)
+    # attribute equality predicates filter the edge DF before the join
+    # ({attr:value} syntax — GraphViewParser.cs:176-191); Catalyst pushes
+    # these to the scan.
+    attr_names = {a.lower(): a for a, _ in et.attributes}
+    for k, v in e.attr_predicates.items():
+        col = attr_names.get(k)
+        if col is None:
+            raise MatchPlanError(
+                f"edge '{et.qualified}' has no attribute '{k}'"
+            )
+        if isinstance(v, str):
+            # the reference compares T-SQL-style: string literal against
+            # the typed column; emulate bool strings for Bool attrs
+            typ = dict(et.attributes)[col]
+            if typ == "boolean" and v.lower() in ("true", "false"):
+                df = df.filter(F.col(col) == (v.lower() == "true"))
+            else:
+                df = df.filter(F.col(col) == v)
+        else:
+            df = df.filter(F.col(col) == v)
+    if raw:
+        # raw form for the BFS path loop: unprefixed join keys + a
+        # physical-edge discriminator (the reference's 16-byte
+        # (nodeId, edgeColumnId, edgeId) triple becomes a string key)
+        return df.select(
+            "src", "edge_id", "sink", F.lit(et.qualified).alias("_etype")
+        )
+    prefix = e.alias
+    cols = [
+        F.col("src").alias(f"{prefix}_src"),
+        F.col("edge_id").alias(f"{prefix}_edge_id"),
+        F.col("sink").alias(f"{prefix}_sink"),
+    ] + [F.col(a).alias(f"{prefix}_{a}") for a, _ in et.attributes]
+    return df.select(*cols)
+
+
+def plan_match(g, pattern: PatternGraph, bindings: dict[str, str]) -> DataFrame:
+    """Emit the join DAG for a MATCH pattern.
+
+    ``bindings``: FROM alias -> node table / node view name. Aliases in
+    ``bindings`` that do not appear in the pattern are cross-joined at
+    the end (the reference appends unlinked FROM entries the same way,
+    TranslateMatchClauseVisitor.cs:1736-1765).
+    """
+    for a in pattern.node_aliases:
+        if a not in bindings:
+            raise MatchPlanError(f"MATCH alias '{a}' is not bound in FROM")
+
+    comp_dfs: list[DataFrame] = []
+    for comp in pattern.components():
+        comp_set = set(comp)
+        comp_edges = [e for e in pattern.edges if e.src_alias in comp_set]
+        cur = _node_df(g, comp[0], bindings[comp[0]])
+        bound = {comp[0]}
+        remaining = list(comp_edges)
+        while remaining:
+            e = _pick_edge(remaining, bound)
+            remaining.remove(e)
+            cur = _join_edge(g, cur, e, bound, bindings)
+        # isolated aliases inside the component can't happen (components
+        # are edge-connected), but FROM-only aliases are handled below
+        comp_dfs.append(cur)
+
+    out = comp_dfs[0]
+    for df in comp_dfs[1:]:
+        out = out.crossJoin(df)
+    for alias, name in bindings.items():
+        if alias not in set(pattern.node_aliases):
+            out = out.crossJoin(_node_df(g, alias, name))
+    return out
+
+
+def _pick_edge(remaining: list[PatternEdge], bound: set[str]) -> PatternEdge:
+    # prefer edges whose BOTH endpoints are bound (cycle-closing filters
+    # first — cheapest), then any edge touching the bound set; among
+    # those, fixed-length before var-length (paths multiply rows).
+    both = [e for e in remaining if e.src_alias in bound and e.sink_alias in bound]
+    if both:
+        return both[0]
+    touching = [
+        e for e in remaining if e.src_alias in bound or e.sink_alias in bound
+    ]
+    if not touching:
+        # disconnected remainder of the component list (possible when the
+        # pattern lists edges before their endpoints are reachable) —
+        # should not happen after components(), but fall back gracefully
+        return remaining[0]
+    fixed = [e for e in touching if not e.is_path]
+    return fixed[0] if fixed else touching[0]
+
+
+def _join_edge(
+    g, cur: DataFrame, e: PatternEdge, bound: set[str], bindings: dict[str, str]
+) -> DataFrame:
+    src_name, sink_name = bindings[e.src_alias], bindings[e.sink_alias]
+
+    if e.is_path:
+        from graphview_spark.matching.paths import var_length_paths
+
+        pdf = var_length_paths(
+            g, e, src_name, sink_name,
+        )
+        # pdf: (<alias>_start, <alias>_end, <alias>_hops, <alias>_path_str)
+        if e.src_alias in bound and e.sink_alias in bound:
+            return cur.join(
+                pdf,
+                (cur[f"{e.src_alias}_GlobalNodeId"] == pdf[f"{e.alias}_start"])
+                & (cur[f"{e.sink_alias}_GlobalNodeId"] == pdf[f"{e.alias}_end"]),
+            )
+        if e.src_alias in bound:
+            j = cur.join(
+                pdf, cur[f"{e.src_alias}_GlobalNodeId"] == pdf[f"{e.alias}_start"]
+            )
+            sink_df = _node_df(g, e.sink_alias, sink_name)
+            bound.add(e.sink_alias)
+            return j.join(
+                sink_df,
+                j[f"{e.alias}_end"] == sink_df[f"{e.sink_alias}_GlobalNodeId"],
+            )
+        j = cur.join(
+            pdf, cur[f"{e.sink_alias}_GlobalNodeId"] == pdf[f"{e.alias}_end"]
+        )
+        src_df = _node_df(g, e.src_alias, src_name)
+        bound.add(e.src_alias)
+        return j.join(
+            src_df, j[f"{e.alias}_start"] == src_df[f"{e.src_alias}_GlobalNodeId"]
+        )
+
+    edf = _edge_df(g, e, src_name, sink_name)
+    if e.src_alias in bound and e.sink_alias in bound:
+        return cur.join(
+            edf,
+            (cur[f"{e.src_alias}_GlobalNodeId"] == edf[f"{e.alias}_src"])
+            & (cur[f"{e.sink_alias}_GlobalNodeId"] == edf[f"{e.alias}_sink"]),
+        )
+    if e.src_alias in bound:
+        j = cur.join(edf, cur[f"{e.src_alias}_GlobalNodeId"] == edf[f"{e.alias}_src"])
+        sink_df = _node_df(g, e.sink_alias, sink_name)
+        bound.add(e.sink_alias)
+        return j.join(
+            sink_df, j[f"{e.alias}_sink"] == sink_df[f"{e.sink_alias}_GlobalNodeId"]
+        )
+    # sink bound, src not: reverse-direction traversal — join on sink
+    # first (the reference would use the reversed adjacency column;
+    # our edge DF answers both directions, SURVEY §1.4)
+    j = cur.join(edf, cur[f"{e.sink_alias}_GlobalNodeId"] == edf[f"{e.alias}_sink"])
+    src_df = _node_df(g, e.src_alias, src_name)
+    bound.add(e.src_alias)
+    return j.join(
+        src_df, j[f"{e.alias}_src"] == src_df[f"{e.src_alias}_GlobalNodeId"]
+    )

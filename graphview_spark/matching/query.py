@@ -1,0 +1,439 @@
+"""SQL+graph dialect executor — the analog of GraphViewCommand.
+
+The reference rewrites graph constructs in the T-SQL token stream, then
+parses with the real T-SQL parser and translates to pure T-SQL
+(GraphViewParser.cs:1447-1640, SURVEY §3). Our version keeps the same
+user-facing dialect but delegates the relational surface to Spark SQL:
+we extract the graph constructs (MATCH clause, graph DML), plan them
+into DataFrames, register the result as a temp view with namespaced
+columns (``A.name`` → ``A_name``), rewrite the remaining statement
+accordingly, and hand it to ``spark.sql`` — Catalyst handles every
+scalar/boolean/aggregate construct natively.
+
+Supported statements:
+  - SELECT ... FROM ... [MATCH ...] [WHERE/GROUP BY/HAVING/ORDER BY/TOP/LIMIT]
+  - CREATE TABLE (annotated node-table DDL)
+  - INSERT INTO T (cols) VALUES (...), (...)
+  - INSERT EDGE INTO T.Edge SELECT src_alias, sink_alias[, attr...] FROM ... WHERE ...
+  - DELETE EDGE [x]-[E]->[y] FROM ... WHERE ...
+  - DELETE NODE FROM T [WHERE ...]
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphview_spark.matching.pattern import parse_match_paths
+from graphview_spark.matching.planner import plan_match
+
+
+# ----------------------------------------------------------------------
+# helpers: string masking + identifier cleanup
+# ----------------------------------------------------------------------
+
+def _mask_strings(sql: str) -> tuple[str, list[str]]:
+    """Replace 'string literals' with placeholders so regex rewrites
+    can't touch their contents."""
+    out: list[str] = []
+    lits: list[str] = []
+
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            buf = ["'"]
+            while j < len(sql):
+                buf.append(sql[j])
+                if sql[j] == "'":
+                    if j + 1 < len(sql) and sql[j + 1] == "'":
+                        buf.append("'")
+                        j += 2
+                        continue
+                    break
+                j += 1
+            lits.append("".join(buf))
+            out.append(f"\x00{len(lits) - 1}\x00")
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), lits
+
+
+def _unmask(sql: str, lits: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], sql)
+
+
+def _strip_ident_brackets(sql: str) -> str:
+    """``[People]`` → ``People`` (only simple bracketed identifiers)."""
+    return re.sub(r"\[([A-Za-z_][\w ]*)\]", r"\1", sql)
+
+
+_CLAUSE_KEYWORDS = [
+    ("match", r"MATCH\b"),
+    ("where", r"WHERE\b"),
+    ("group", r"GROUP\s+BY\b"),
+    ("having", r"HAVING\b"),
+    ("order", r"ORDER\s+BY\b"),
+    ("limit", r"LIMIT\b"),
+]
+
+
+def _split_select(sql_masked: str) -> dict[str, str]:
+    """Split a masked SELECT statement into clauses (keywords only
+    recognized at paren depth 0)."""
+    m = re.match(r"\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<top>TOP\s*\(?\s*(?P<n>\d+)\s*\)?\s+)?",
+                 sql_masked, re.IGNORECASE)
+    if not m:
+        raise ValueError("not a SELECT statement")
+    rest = sql_masked[m.end():]
+    # find FROM at depth 0
+    clauses: dict[str, str] = {
+        "distinct": "DISTINCT " if m.group("distinct") else "",
+        "top": m.group("n") or "",
+    }
+    positions = []
+    depth = 0
+    i = 0
+    upper = rest.upper()
+    while i < len(rest):
+        ch = rest[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            if upper[i:].startswith("FROM") and _is_kw(rest, i, 4):
+                positions.append(("from", i, i + 4))
+                i += 4
+                continue
+            for key, pat in _CLAUSE_KEYWORDS:
+                mm = re.match(pat, upper[i:])
+                if mm and _is_kw(rest, i, mm.end()):
+                    positions.append((key, i, i + mm.end()))
+                    i += mm.end()
+                    break
+            else:
+                i += 1
+                continue
+            continue
+        i += 1
+    positions.sort(key=lambda p: p[1])
+    clauses["select"] = rest[: positions[0][1]].strip() if positions else rest.strip()
+    for idx, (key, start, end) in enumerate(positions):
+        stop = positions[idx + 1][1] if idx + 1 < len(positions) else len(rest)
+        clauses[key] = rest[end:stop].strip()
+    return clauses
+
+
+def _is_kw(text: str, i: int, length: int) -> bool:
+    before = text[i - 1] if i > 0 else " "
+    after = text[i + length] if i + length < len(text) else " "
+    return (not before.isalnum() and before != "_") and (
+        not after.isalnum() and after != "_"
+    )
+
+
+def _parse_from_list(from_text: str) -> dict[str, str]:
+    """``People A, People as B, [Book] C`` → {A: People, B: People, C: Book}.
+    Order-preserving (dicts are)."""
+    bindings: dict[str, str] = {}
+    for entry in _split_depth0(from_text, ","):
+        entry = entry.strip()
+        if not entry:
+            continue
+        entry = _strip_ident_brackets(entry)
+        parts = re.split(r"\s+", entry)
+        if len(parts) >= 3 and parts[1].lower() == "as":
+            bindings[parts[2]] = parts[0]
+        elif len(parts) >= 2:
+            bindings[parts[1]] = parts[0]
+        else:
+            bindings[parts[0]] = parts[0]
+    return bindings
+
+
+def _split_depth0(text: str, sep: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+# ----------------------------------------------------------------------
+# alias-reference rewriting
+# ----------------------------------------------------------------------
+
+def _rewrite_refs(g, text: str, bindings: dict[str, str], pattern) -> str:
+    """``A.name`` → ``A_name``; ``A.*`` / ``e.*`` expansion."""
+    edge_aliases = {e.alias: e for e in pattern.edges} if pattern else {}
+
+    def repl(m: re.Match) -> str:
+        alias, col = m.group(1), m.group(2)
+        if alias in bindings:
+            if col == "*":
+                return _expand_node_star(g, alias, bindings[alias])
+            return f"{alias}_{col}"
+        if alias in edge_aliases:
+            e = edge_aliases[alias]
+            if col == "*":
+                if e.is_path:
+                    # reference: SELECT pathAlias.* → readable path string
+                    # (TranslateMatchClauseVisitor.cs:519-618)
+                    return f"{alias}_path_str AS path"
+                return _expand_edge_star(g, e, bindings)
+            return f"{alias}_{col}"
+        return m.group(0)
+
+    return re.sub(r"\b([A-Za-z_]\w*)\s*\.\s*(\w+|\*)", repl, text)
+
+
+def _expand_node_star(g, alias: str, name: str) -> str:
+    if g.catalog.has_table(name):
+        t = g.catalog.table(name)
+        return ", ".join(f"{alias}_{p} AS {p}" for p, _ in t.properties)
+    v = g.catalog.node_view(name)
+    props = ["NodeType", "NodeId"] + sorted(v.prop_map)
+    return ", ".join(f"{alias}_{p} AS {p}" for p in props)
+
+
+def _expand_edge_star(g, e, bindings) -> str:
+    src_tbl = bindings[e.src_alias]
+    if g.catalog.has_table(src_tbl):
+        et = g.catalog.table(src_tbl).edges.get(e.edge_name.lower())
+        if et and et.attributes:
+            return ", ".join(
+                f"{e.alias}_{a} AS {a}" for a, _ in et.attributes
+            )
+    return f"{e.alias}_edge_id AS edge_id"
+
+
+# ----------------------------------------------------------------------
+# statement executors
+# ----------------------------------------------------------------------
+
+def execute_statement(g, sql: str) -> DataFrame | None:
+    s = sql.strip().rstrip(";").strip()
+    head = re.match(r"(?is)^\s*([A-Za-z]+)(\s+(EDGE|NODE|INTO|TABLE))?", s)
+    kw = (head.group(1) or "").upper() if head else ""
+    kw2 = (head.group(3) or "").upper() if head and head.group(3) else ""
+    if kw == "SELECT":
+        return _exec_select(g, s)
+    if kw == "CREATE" and kw2 == "TABLE":
+        g.create_node_table(s)
+        return None
+    if kw == "INSERT" and kw2 == "EDGE":
+        _exec_insert_edge(g, s)
+        return None
+    if kw == "INSERT":
+        _exec_insert_node(g, s)
+        return None
+    if kw == "DELETE" and kw2 == "EDGE":
+        _exec_delete_edge(g, s)
+        return None
+    if kw == "DELETE" and kw2 == "NODE":
+        _exec_delete_node(g, s)
+        return None
+    raise ValueError(f"unsupported statement: {s[:60]!r}")
+
+
+def _register_views(g) -> None:
+    for name, df in g.nodes.items():
+        df.createOrReplaceTempView(name)
+    for vname in g.catalog.node_views:
+        if not vname.startswith("_"):
+            g.node_view_df(vname).createOrReplaceTempView(vname)
+
+
+def _exec_select(g, sql: str) -> DataFrame:
+    masked, lits = _mask_strings(sql)
+    clauses = _split_select(masked)
+
+    if "match" not in clauses:
+        # plain SQL over node tables/views — Spark SQL handles it all
+        _register_views(g)
+        plain = _strip_ident_brackets(masked)
+        plain = re.sub(
+            r"(?is)^\s*SELECT\s+TOP\s*\(?\s*(\d+)\s*\)?\s+", r"SELECT ", plain
+        )
+        if clauses.get("top"):
+            plain += f" LIMIT {clauses['top']}"
+        return g.spark.sql(_unmask(plain, lits))
+
+    pattern = parse_match_paths(_unmask(clauses["match"], lits))
+    bindings = _parse_from_list(_unmask(clauses["from"], lits))
+    matched = plan_match(g, pattern, bindings)
+    matched.createOrReplaceTempView("__match_result")
+
+    select_list = clauses["select"].strip()
+    if select_list == "*":
+        parts = []
+        for alias in bindings:
+            parts.append(_prefixed_star(g, alias, bindings[alias]))
+        select_list = ", ".join(parts)
+    else:
+        select_list = _rewrite_refs(g, select_list, bindings, pattern)
+
+    out = [f"SELECT {clauses['distinct']}{select_list} FROM __match_result"]
+    for key, kw in [("where", "WHERE"), ("group", "GROUP BY"),
+                    ("having", "HAVING"), ("order", "ORDER BY")]:
+        if clauses.get(key):
+            out.append(f"{kw} {_rewrite_refs(g, clauses[key], bindings, pattern)}")
+    if clauses.get("limit"):
+        out.append(f"LIMIT {clauses['limit']}")
+    elif clauses.get("top"):
+        out.append(f"LIMIT {clauses['top']}")
+    return g.spark.sql(_unmask(" ".join(out), lits))
+
+
+def _prefixed_star(g, alias: str, name: str) -> str:
+    if g.catalog.has_table(name):
+        t = g.catalog.table(name)
+        return ", ".join(f"{alias}_{p}" for p, _ in t.properties)
+    v = g.catalog.node_view(name)
+    props = ["NodeType", "NodeId"] + sorted(v.prop_map)
+    return ", ".join(f"{alias}_{p}" for p in props)
+
+
+def _exec_insert_node(g, sql: str) -> None:
+    masked, lits = _mask_strings(sql)
+    m = re.match(
+        r"(?is)^\s*INSERT\s+INTO\s+(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s*"
+        r"\((?P<cols>[^)]*)\)\s*VALUES\s*(?P<vals>.+)$",
+        masked,
+    )
+    if not m:
+        raise ValueError(f"cannot parse INSERT: {sql[:80]!r}")
+    tbl = m.group("tbl").strip("[]")
+    cols = [c.strip().strip("[]") for c in m.group("cols").split(",")]
+    rows = []
+    for tup in re.finditer(r"\(([^)]*)\)", m.group("vals")):
+        vals = [
+            _parse_literal(_unmask(v.strip(), lits))
+            for v in _split_depth0(tup.group(1), ",")
+        ]
+        if len(vals) != len(cols):
+            raise ValueError("VALUES arity mismatch")
+        rows.append(dict(zip(cols, vals)))
+    g.insert_nodes(tbl, rows)
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    if tok.upper() == "NULL":
+        return None
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1].replace("''", "'")
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    if tok.lower() in ("true", "false"):
+        return tok.lower() == "true"
+    return tok
+
+
+def _exec_insert_edge(g, sql: str) -> None:
+    """INSERT EDGE INTO T.Edge SELECT src, sink[, attr...] FROM ... WHERE ...
+
+    Reference pipeline (TranslateDataModificationVisitor.cs:183-996):
+    select (src, sink, attrs) → GROUP BY src + Encoder aggregate →
+    adjacency update. Here: run the SELECT via Spark SQL (bare node
+    aliases become ``alias.GlobalNodeId``), append to the edge DF.
+    """
+    masked, lits = _mask_strings(sql)
+    m = re.match(
+        r"(?is)^\s*INSERT\s+EDGE\s+INTO\s+"
+        r"(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s*\.\s*(?P<edge>\[[^\]]+\]|[A-Za-z_]\w*)\s+"
+        r"SELECT\s+(?P<list>.+?)\s+FROM\s+(?P<rest>.+)$",
+        masked,
+    )
+    if not m:
+        raise ValueError(f"cannot parse INSERT EDGE: {sql[:80]!r}")
+    tbl = m.group("tbl").strip("[]")
+    edge = m.group("edge").strip("[]")
+    et = g.catalog.resolve_edge(tbl, edge)
+
+    items = [i.strip() for i in _split_depth0(m.group("list"), ",")]
+    if len(items) < 2:
+        raise ValueError("INSERT EDGE SELECT needs source and sink aliases")
+    src_a, sink_a = items[0], items[1]
+    attr_exprs = items[2:]
+    if len(attr_exprs) > len(et.attributes):
+        raise ValueError(
+            f"edge '{et.qualified}' has {len(et.attributes)} attributes, "
+            f"got {len(attr_exprs)} values"
+        )
+    sel = [f"{src_a}.GlobalNodeId AS src", f"{sink_a}.GlobalNodeId AS sink"]
+    for expr, (aname, atype) in zip(attr_exprs, et.attributes):
+        sel.append(f"CAST({expr} AS {atype}) AS {aname}")
+    _register_views(g)
+    q = f"SELECT {', '.join(sel)} FROM {_strip_ident_brackets(m.group('rest'))}"
+    pairs = g.spark.sql(_unmask(q, lits))
+    g.insert_edges_df(tbl, edge, pairs)
+
+
+def _exec_delete_edge(g, sql: str) -> None:
+    """DELETE EDGE [x]-[E]->[y] FROM ... WHERE ...  (1-hop pattern only,
+    reference GraphViewParser.cs:1558-1562)."""
+    masked, lits = _mask_strings(sql)
+    m = re.match(
+        r"(?is)^\s*DELETE\s+EDGE\s+(?P<pat>.+?)\s+FROM\s+(?P<from>.+?)"
+        r"(?:\s+WHERE\s+(?P<where>.+))?$",
+        masked,
+    )
+    if not m:
+        raise ValueError(f"cannot parse DELETE EDGE: {sql[:80]!r}")
+    pattern = parse_match_paths(_unmask(m.group("pat"), lits))
+    if len(pattern.edges) != 1 or pattern.edges[0].is_path:
+        raise ValueError("DELETE EDGE expects exactly one 1-hop pattern edge")
+    e = pattern.edges[0]
+    bindings = _parse_from_list(_unmask(m.group("from"), lits))
+    matched = plan_match(g, pattern, bindings)
+    if m.group("where"):
+        cond = _rewrite_refs(g, m.group("where"), bindings, pattern)
+        matched = matched.filter(F.expr(_unmask(cond, lits)))
+    pairs = matched.select(
+        F.col(f"{e.alias}_src").alias("src"),
+        F.col(f"{e.alias}_edge_id").alias("edge_id"),
+    ).distinct()
+    g.delete_edges(bindings[e.src_alias], e.edge_name, pairs)
+
+
+def _exec_delete_node(g, sql: str) -> None:
+    masked, lits = _mask_strings(sql)
+    m = re.match(
+        r"(?is)^\s*DELETE\s+NODE\s+FROM\s+(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)"
+        r"(?:\s+WHERE\s+(?P<where>.+))?$",
+        masked,
+    )
+    if not m:
+        raise ValueError(f"cannot parse DELETE NODE: {sql[:80]!r}")
+    tbl = m.group("tbl").strip("[]")
+    t = g.catalog.table(tbl)
+    if m.group("where"):
+        cond = m.group("where")
+        # strip table-name qualifiers: People.name → name
+        cond = re.sub(
+            rf"\b{re.escape(t.name)}\s*\.\s*(\w+)", r"\1", cond, flags=re.IGNORECASE
+        )
+        g.delete_nodes(tbl, F.expr(_unmask(cond, lits)))
+    else:
+        g.delete_nodes(tbl, F.lit(True))

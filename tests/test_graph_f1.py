@@ -1,0 +1,106 @@
+"""F1 people_knows — the reference's InsAndDelTutorial end-to-end
+(GraphViewTutorial/InsAndDelTutorial.cs:14-161, FIXTURES.md F1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphview_spark.graph import GraphDatabase
+
+
+@pytest.fixture()
+def people(spark):
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [People] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Property"] name varchar(20),
+            [ColumnRole:"Edge",Reference:"People"] Knows VARBINARY(max) )"""
+    )
+    for i, name in [(1, "Alice"), (2, "Bob"), (3, "Caven"), (4, "David")]:
+        g.execute(f"INSERT INTO [People](id,name) VALUES({i},'{name}')")
+    for a, b in [("Alice", "Bob"), ("Bob", "Caven"), ("Bob", "David")]:
+        g.execute(
+            f"""INSERT EDGE INTO People.Knows
+                SELECT x,y FROM People x , People y
+                WHERE x.name = '{a}' AND y.name = '{b}'"""
+        )
+    return g
+
+
+def test_two_hop_match(people):
+    res = people.execute(
+        """SELECT C.* FROM People A, People B, People C
+           MATCH A-[Knows]->B-[Knows]->C
+           WHERE A.name = 'Alice'"""
+    )
+    names = sorted(r["name"] for r in res.collect())
+    assert names == ["Caven", "David"]
+
+
+def test_one_hop_all_edges(people):
+    res = people.execute(
+        """SELECT x.name as name1, y.name as name2 FROM People x, People y
+           MATCH x-[Knows]->y"""
+    )
+    pairs = sorted((r["name1"], r["name2"]) for r in res.collect())
+    assert pairs == [("Alice", "Bob"), ("Bob", "Caven"), ("Bob", "David")]
+
+
+def test_delete_edge_then_remaining(people):
+    people.execute(
+        """DELETE EDGE [x]-[Knows]->[y]
+           FROM People as x, People as y
+           WHERE y.name='Bob' or y.name = 'Caven'"""
+    )
+    res = people.execute(
+        """SELECT x.name as name1, y.name as name2 FROM People x, People y
+           MATCH x-[Knows]->y"""
+    )
+    pairs = sorted((r["name1"], r["name2"]) for r in res.collect())
+    assert pairs == [("Bob", "David")]
+
+
+def test_delete_node_guards_connected(people):
+    people.execute(
+        """DELETE EDGE [x]-[Knows]->[y]
+           FROM People as x, People as y
+           WHERE y.name='Bob' or y.name = 'Caven'"""
+    )
+    # Bob->David edge remains; tutorial: 'you can not delete a node with
+    # edge linked to it' — Bob and David survive, Alice and Caven go.
+    people.execute(
+        "DELETE NODE FROM People WHERE People.name <> 'Bob' and People.name <> 'David'"
+    )
+    names = sorted(r["name"] for r in people.execute("SELECT * FROM [People]").collect())
+    assert names == ["Bob", "David"]
+    # delete remaining edge, then everything can be deleted
+    people.execute("DELETE EDGE [x]-[Knows]->[y] FROM People as x, People as y")
+    people.execute("DELETE NODE FROM People")
+    assert people.execute("SELECT * FROM [People]").count() == 0
+
+
+def test_degrees(people):
+    outd = {
+        r["GlobalNodeId"]: r["out_degree"]
+        for r in people.out_degree("People").collect()
+    }
+    nodes = {
+        r["name"]: r["GlobalNodeId"] for r in people.nodes["People"].collect()
+    }
+    assert outd[nodes["Alice"]] == 1
+    assert outd[nodes["Bob"]] == 2
+    ind = {
+        r["GlobalNodeId"]: r["in_degree"]
+        for r in people.in_degree("People").collect()
+    }
+    assert ind[nodes["Bob"]] == 1
+    assert nodes["Alice"] not in ind
+
+
+def test_global_node_id_scheme(people):
+    t = people.catalog.table("People")
+    gids = [r["GlobalNodeId"] for r in people.nodes["People"].collect()]
+    base = t.table_id << 48
+    assert all(gid > base for gid in gids)
+    assert len(set(gids)) == 4
