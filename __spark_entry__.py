@@ -31,17 +31,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from graphview_spark import relational
+    from graphview_spark import graph_queries, relational
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
+    out.update(graph_queries.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each ``queries()`` key."""
-    from graphview_spark import relational
+    from graphview_spark import graph_queries, relational
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
+    out.update(graph_queries.ORACLES)
     return out

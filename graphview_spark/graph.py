@@ -166,6 +166,28 @@ class GraphDatabase:
         start = self._seq[t.name]
         cols = [n for n, _ in t.properties]
         df = df.select(*cols)
+        nid_integral = False
+        if t.node_id_column:
+            nid_field = df.schema[t.node_id_column]
+            nid_integral = isinstance(
+                nid_field.dataType,
+                (T.IntegerType, T.LongType, T.ShortType, T.ByteType),
+            )
+        if nid_integral:
+            # Scale fast path: an integral NodeId already IS a unique local
+            # sequence — GlobalNodeId = base + start + nodeid is computed
+            # per-row with NO shuffle (the global row_number window below
+            # would funnel 100 TB through one task).
+            with_id = df.withColumn(
+                "GlobalNodeId",
+                (F.lit(base + start) + F.col(t.node_id_column)).cast("long"),
+            )
+            hi = df.agg(F.max(F.col(t.node_id_column))).first()[0]
+            self._seq[t.name] = start + int(hi or 0) + 1
+            self.nodes[t.name] = self.nodes[t.name].unionByName(
+                with_id.select("GlobalNodeId", *cols)
+            )
+            return
         if t.node_id_column:
             w = W.orderBy(F.col(t.node_id_column))
             with_id = df.withColumn(

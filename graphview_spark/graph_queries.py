@@ -1,0 +1,369 @@
+"""MATCH-surface queries over a property graph built from the driver's
+TPC-H-ish tables — the correctness-gate entries for SURVEY.md §2.6.
+
+The reference demonstrates its surface on hand-inserted toy graphs
+(GraphViewTutorial/InsAndDelTutorial.cs); for the driver's oracle gate we
+derive a deterministic graph from the synthetic parquet tables instead, so
+every MATCH query has a plain-SQL equivalent DuckDB can run on the same
+files:
+
+    Region(r_regionkey, r_name)
+    Nation(n_nationkey, n_name)            -[InRegion]->  Region
+    Supplier(s_suppkey, s_name)            -[FromNation]-> Nation
+    Customer(c_custkey, c_name, ...)       -[FromNation]-> Nation
+                                           -[Refers]->     Customer
+                                           -[Placed {prio}]-> Orders
+    Orders(o_orderkey, o_totalprice)
+
+``Refers`` is a deterministic binary tree: customer k refers customers
+2k and 2k+1 (when they exist and differ from k) — giving the var-length
+path queries a cycle-free, SQL-reproducible topology.
+
+Exercised reference semantics, with citations:
+  - MATCH multi-hop join graph (TranslateMatchClauseVisitor.cs:714-1056)
+  - shared-alias cyclic patterns / reverse traversal
+    (MatchGraphInterface.cs:118-129)
+  - edge attribute predicates ``{attr:value}`` (GraphViewParser.cs:176-191)
+  - var-length paths ``*min..max`` (DeployScriptTemplate.cs:208-341)
+  - node views + ``_NodeType`` discriminator (View.cs:95-137,300-430)
+  - edge views merging physical edge columns (View.cs:830-874)
+
+Scale notes: graph build is pure DataFrame arithmetic — GlobalNodeId =
+base + key per-row (no shuffle, no window); edge DataFrames derive from
+single parquet scans plus equi-joins. The per-process cache below holds
+localCheckpoint'ed node/edge DFs, the local-mode analog of the parquet
+tables a persistent deployment would keep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphview_spark.graph import GraphDatabase
+from graphview_spark.session import read_table
+
+_DDL = [
+    """CREATE TABLE [Region] (
+        [ColumnRole:"NodeId"] r_regionkey BIGINT,
+        [ColumnRole:"Property"] r_name varchar(32) )""",
+    """CREATE TABLE [Nation] (
+        [ColumnRole:"NodeId"] n_nationkey BIGINT,
+        [ColumnRole:"Property"] n_name varchar(32),
+        [ColumnRole:"Edge", Reference:"Region"] InRegion VARBINARY(max) )""",
+    """CREATE TABLE [Orders] (
+        [ColumnRole:"NodeId"] o_orderkey BIGINT,
+        [ColumnRole:"Property"] o_totalprice float )""",
+    """CREATE TABLE [Supplier] (
+        [ColumnRole:"NodeId"] s_suppkey BIGINT,
+        [ColumnRole:"Property"] s_name varchar(40),
+        [ColumnRole:"Edge", Reference:"Nation"] FromNation VARBINARY(max) )""",
+    """CREATE TABLE [Customer] (
+        [ColumnRole:"NodeId"] c_custkey BIGINT,
+        [ColumnRole:"Property"] c_name varchar(40),
+        [ColumnRole:"Property"] c_mktsegment varchar(20),
+        [ColumnRole:"Property"] c_acctbal float,
+        [ColumnRole:"Edge", Reference:"Nation"] FromNation VARBINARY(max),
+        [ColumnRole:"Edge", Reference:"Customer"] Refers VARBINARY(max),
+        [ColumnRole:"Edge", Reference:"Orders",
+         Attributes:{prio:"string"}] Placed VARBINARY(max) )""",
+]
+
+_CACHE: dict[str, tuple[int, GraphDatabase]] = {}
+
+
+def _gid(base: int, key_col: str):
+    return (F.lit(base) + F.col(key_col)).cast("long")
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str) -> GraphDatabase:
+    """Build (or fetch the cached) TPC-H property graph for ``sf_dir``."""
+    tag = id(spark.sparkContext)
+    hit = _CACHE.get(sf_dir)
+    if hit is not None and hit[0] == tag:
+        return hit[1]
+
+    g = GraphDatabase(spark)
+    for ddl in _DDL:
+        g.create_node_table(ddl)
+
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+
+    g.insert_nodes_df("Region", region.select("r_regionkey", "r_name"))
+    g.insert_nodes_df("Nation", nation.select("n_nationkey", "n_name"))
+    g.insert_nodes_df(
+        "Orders",
+        orders.select("o_orderkey", F.col("o_totalprice").cast("double")),
+    )
+    g.insert_nodes_df("Supplier", supp.select("s_suppkey", "s_name"))
+    g.insert_nodes_df(
+        "Customer",
+        cust.select(
+            "c_custkey", "c_name", "c_mktsegment",
+            F.col("c_acctbal").cast("double"),
+        ),
+    )
+
+    rb = g.catalog.table("Region").gid_base()
+    nb = g.catalog.table("Nation").gid_base()
+    ob = g.catalog.table("Orders").gid_base()
+    sb = g.catalog.table("Supplier").gid_base()
+    cb = g.catalog.table("Customer").gid_base()
+
+    g.insert_edges_df(
+        "Nation", "InRegion",
+        nation.select(
+            _gid(nb, "n_nationkey").alias("src"),
+            _gid(rb, "n_regionkey").alias("sink"),
+        ),
+    )
+    g.insert_edges_df(
+        "Customer", "FromNation",
+        cust.select(
+            _gid(cb, "c_custkey").alias("src"),
+            _gid(nb, "c_nationkey").alias("sink"),
+        ),
+    )
+    g.insert_edges_df(
+        "Supplier", "FromNation",
+        supp.select(
+            _gid(sb, "s_suppkey").alias("src"),
+            _gid(nb, "s_nationkey").alias("sink"),
+        ),
+    )
+    g.insert_edges_df(
+        "Customer", "Placed",
+        orders.select(
+            _gid(cb, "o_custkey").alias("src"),
+            _gid(ob, "o_orderkey").alias("sink"),
+            F.col("o_orderpriority").alias("prio"),
+        ),
+    )
+    # Refers tree: k -> 2k and k -> 2k+1 (two equi-joins, NOT an OR-join —
+    # an OR condition would force a nested-loop join at scale)
+    keys = cust.select(F.col("c_custkey").alias("k"))
+    sinks = cust.select(F.col("c_custkey").alias("k2"))
+    refer_parts = [
+        keys.join(sinks, sinks.k2 == keys.k * 2 + off)
+        .filter(F.col("k2") > F.col("k"))
+        .select(
+            _gid(cb, "k").alias("src"),
+            _gid(cb, "k2").alias("sink"),
+        )
+        for off in (0, 1)
+    ]
+    g.insert_edges_df("Customer", "Refers", refer_parts[0].unionByName(refer_parts[1]))
+
+    g.create_node_view("Party", ["Customer", "Supplier"])
+    g.create_edge_view(
+        "LocatedIn", [("Customer", "FromNation"), ("Supplier", "FromNation")]
+    )
+
+    g.checkpoint_tables()
+    _CACHE[sf_dir] = (tag, g)
+    return g
+
+
+# The Refers tree, as DuckDB sees it (shared by several oracles).
+_ORACLE_REFERS = """
+  SELECT a.c_custkey AS src, b.c_custkey AS sink
+  FROM customer a JOIN customer b ON b.c_custkey = 2 * a.c_custkey
+  WHERE b.c_custkey > a.c_custkey
+  UNION ALL
+  SELECT a.c_custkey, b.c_custkey
+  FROM customer a JOIN customer b ON b.c_custkey = 2 * a.c_custkey + 1
+  WHERE b.c_custkey > a.c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# 2-hop MATCH: C-[FromNation]->N-[InRegion]->R  (§2.6 MATCH clause)
+# --------------------------------------------------------------------------
+
+def q_match_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return g.execute(
+        """SELECT R.r_name AS region, COUNT(*) AS n_cust
+           FROM Customer C, Nation N, Region R
+           MATCH C-[FromNation]->N-[InRegion]->R
+           GROUP BY R.r_name"""
+    )
+
+
+ORACLE_MATCH_CUSTOMERS_PER_REGION = """
+SELECT r_name AS region, count(*) AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Shared-alias pattern (two paths meeting at N) + reverse traversal
+# --------------------------------------------------------------------------
+
+def q_match_shared_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return g.execute(
+        """SELECT N.n_name AS nation, COUNT(*) AS n_pairs
+           FROM Customer C, Supplier S, Nation N
+           MATCH C-[FromNation]->N, S-[FromNation]->N
+           GROUP BY N.n_name"""
+    )
+
+
+ORACLE_MATCH_SHARED_NATION = """
+SELECT n_name AS nation, count(*) AS n_pairs
+FROM customer
+JOIN supplier ON c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Edge attribute predicate {prio:'1-URGENT'} (GraphViewParser.cs:176-191)
+# --------------------------------------------------------------------------
+
+def q_match_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return g.execute(
+        """SELECT C.c_mktsegment AS segment, COUNT(*) AS n_orders,
+                  ROUND(SUM(O.o_totalprice), 2) AS total
+           FROM Customer C, Orders O
+           MATCH C-[Placed {prio:'1-URGENT'}]->O
+           GROUP BY C.c_mktsegment"""
+    )
+
+
+ORACLE_MATCH_URGENT_ORDERS = """
+SELECT c_mktsegment AS segment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# 2-hop over the Refers tree (fixed-length multi-hop self-join)
+# --------------------------------------------------------------------------
+
+def q_match_refers_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return g.execute(
+        """SELECT A.c_custkey AS src_key, C2.c_custkey AS dst_key
+           FROM Customer A, Customer B, Customer C2
+           MATCH A-[Refers]->B-[Refers]->C2"""
+    )
+
+
+ORACLE_MATCH_REFERS_2HOP = f"""
+WITH refers AS ({_ORACLE_REFERS})
+SELECT e1.src AS src_key, e2.sink AS dst_key
+FROM refers e1 JOIN refers e2 ON e1.sink = e2.src
+"""
+
+
+# --------------------------------------------------------------------------
+# Var-length path *1..3 (DeployScriptTemplate.cs:208-341 recursive CTE)
+# --------------------------------------------------------------------------
+
+def q_match_refer_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return g.execute(
+        """SELECT P.hops AS hops, B.c_custkey AS dst_key
+           FROM Customer A, Customer B
+           MATCH A-[Refers*1..3 AS P]->B
+           WHERE A.c_custkey = 1"""
+    )
+
+
+ORACLE_MATCH_REFER_PATH = f"""
+WITH RECURSIVE refers AS ({_ORACLE_REFERS}),
+walk(src, dst, hops) AS (
+  SELECT src, sink, 1 FROM refers WHERE src = 1
+  UNION ALL
+  SELECT w.src, r.sink, w.hops + 1
+  FROM walk w JOIN refers r ON r.src = w.dst
+  WHERE w.hops < 3
+)
+SELECT hops, dst AS dst_key FROM walk
+"""
+
+
+# --------------------------------------------------------------------------
+# Node view MATCH: Party = Customer ∪ Supplier (View.cs:95-137)
+# --------------------------------------------------------------------------
+
+def q_match_party_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return g.execute(
+        """SELECT P.NodeType AS party_type, N.n_name AS nation,
+                  COUNT(*) AS n_members
+           FROM Party P, Nation N
+           MATCH P-[FromNation]->N
+           GROUP BY P.NodeType, N.n_name"""
+    )
+
+
+ORACLE_MATCH_PARTY_VIEW = """
+SELECT party_type, n_name AS nation, count(*) AS n_members
+FROM (
+  SELECT 'Customer' AS party_type, c_nationkey AS nk FROM customer
+  UNION ALL
+  SELECT 'Supplier' AS party_type, s_nationkey FROM supplier
+) JOIN nation ON nk = n_nationkey
+GROUP BY party_type, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Edge view MATCH: LocatedIn merges both FromNation columns (View.cs:830-874)
+# --------------------------------------------------------------------------
+
+def q_match_edge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return g.execute(
+        """SELECT N.n_name AS nation, COUNT(*) AS n_links
+           FROM Party P, Nation N
+           MATCH P-[LocatedIn]->N
+           GROUP BY N.n_name"""
+    )
+
+
+ORACLE_MATCH_EDGE_VIEW = """
+SELECT n_name AS nation, count(*) AS n_links
+FROM (
+  SELECT c_nationkey AS nk FROM customer
+  UNION ALL
+  SELECT s_nationkey FROM supplier
+) JOIN nation ON nk = n_nationkey
+GROUP BY n_name
+"""
+
+
+QUERIES = {
+    "match_customers_per_region": q_match_customers_per_region,
+    "match_shared_nation": q_match_shared_nation,
+    "match_urgent_orders": q_match_urgent_orders,
+    "match_refers_2hop": q_match_refers_2hop,
+    "match_refer_path": q_match_refer_path,
+    "match_party_view": q_match_party_view,
+    "match_edge_view": q_match_edge_view,
+}
+
+ORACLES = {
+    "match_customers_per_region": ORACLE_MATCH_CUSTOMERS_PER_REGION,
+    "match_shared_nation": ORACLE_MATCH_SHARED_NATION,
+    "match_urgent_orders": ORACLE_MATCH_URGENT_ORDERS,
+    "match_refers_2hop": ORACLE_MATCH_REFERS_2HOP,
+    "match_refer_path": ORACLE_MATCH_REFER_PATH,
+    "match_party_view": ORACLE_MATCH_PARTY_VIEW,
+    "match_edge_view": ORACLE_MATCH_EDGE_VIEW,
+}
