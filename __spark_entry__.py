@@ -32,18 +32,26 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from graphview_spark import graph_queries, relational
+    from graphview_spark.operators import dedup, similarity, text
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(graph_queries.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(text.QUERIES)
+    out.update(similarity.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each ``queries()`` key."""
     from graphview_spark import graph_queries, relational
+    from graphview_spark.operators import dedup, similarity, text
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
     out.update(graph_queries.ORACLES)
+    out.update(dedup.ORACLES)
+    out.update(text.ORACLES)
+    out.update(similarity.ORACLES)
     return out

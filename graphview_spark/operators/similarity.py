@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (SURVEY.md §7 phase 7).
+
+Two paths, the standard ANN pipeline shape:
+  - ``sim_topk_bruteforce`` — exact cosine top-k: the correctness
+    baseline. Query set × corpus cross join → per-query window top-k.
+    At 100 TB the query side is small (broadcast) and the corpus scan is
+    a single map pass + a top-k-per-group aggregate — no corpus shuffle.
+  - ``sim_ann_lsh`` — random-hyperplane LSH (sign-bit sketch → bucket
+    equi-join): the scale path. Candidates only within equal buckets,
+    verified by exact cosine. Hyperplanes are seeded numpy constants
+    inlined into BOTH the Spark plan and the DuckDB oracle, so the
+    operator stays exactly reproducible.
+
+Everything is higher-order-function column math (zip_with/aggregate) —
+JVM-side, no UDFs, no driver loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from graphview_spark.operators.dedup import cosine_col
+from graphview_spark.session import read_table
+
+TOP_K = 5
+N_QUERIES = 20            # vec_id < 20 form the query set
+DIM = 64
+N_PLANES = 8
+ANN_COSINE_T = 0.35
+_SEED = 7
+
+
+def _planes() -> list[list[float]]:
+    rng = np.random.RandomState(_SEED)
+    return [
+        [round(float(x), 6) for x in rng.randn(DIM)] for _ in range(N_PLANES)
+    ]
+
+
+PLANES = _planes()
+
+
+def _dot_const(v: Column, plane: list[float]) -> Column:
+    """dot(v, constant plane) via zip_with against an array literal."""
+    arr = F.array(*[F.lit(x) for x in plane])
+    return F.aggregate(
+        F.zip_with(v, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def bucket_col(v: Column) -> Column:
+    """LSH bucket id: sign bit per hyperplane packed into an int."""
+    out = F.lit(0)
+    for i, p in enumerate(PLANES):
+        out = out + F.when(_dot_const(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+# --------------------------------------------------------------------------
+# brute-force top-k
+# --------------------------------------------------------------------------
+
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k neighbors for the query subset. Deterministic
+    tie-break: (rounded cosine desc, neighbor id asc)."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("qv"), F.col("v")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine", 4).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+ORACLE_SIM_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT query_id, vec_id,
+         round(list_cosine_similarity(qv, v), 6) AS cosine
+  FROM q CROSS JOIN e WHERE vec_id <> query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM pairs)
+SELECT query_id, vec_id AS neighbor_id, round(cosine, 4) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN
+# --------------------------------------------------------------------------
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate similarity join: pairs sharing an LSH bucket with
+    verified cosine ≥ threshold. The bucket equi-join replaces the
+    all-pairs cross join — the piece that makes this viable at 100 TB."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucketed = emb.withColumn("bucket", bucket_col(F.col("v"))).localCheckpoint(
+        eager=True
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine") >= ANN_COSINE_T)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def _oracle_ann() -> str:
+    plane_lits = ",\n  ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[] AS p{i}".format(i=i)
+        for i, p in enumerate(PLANES)
+    )
+    # DuckDB: bucket = sum of sign bits of list_dot_product(v, plane)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, p{i}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(N_PLANES)
+    )
+    return f"""
+WITH planes AS (SELECT
+  {plane_lits}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bits}) AS bucket FROM e CROSS JOIN planes)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round(list_cosine_similarity(x.v, y.v), 4) AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.v, y.v), 4) >= {ANN_COSINE_T}
+"""
+
+
+QUERIES = {
+    "sim_topk_bruteforce": q_sim_topk_bruteforce,
+    "sim_ann_lsh": q_sim_ann_lsh,
+}
+
+ORACLES = {
+    "sim_topk_bruteforce": ORACLE_SIM_TOPK,
+    "sim_ann_lsh": _oracle_ann(),
+}

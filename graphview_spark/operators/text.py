@@ -1,0 +1,229 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7
+phase 7): token counting, quality scoring, lexicon language-ID, and
+document fingerprinting. All pure column expressions (JVM-side, inside
+whole-stage codegen) — no UDFs, no shuffle except the final aggregates —
+and each has an exact DuckDB oracle.
+
+Scale notes: every operator here is embarrassingly per-row; at 100 TB
+these run map-only over the parquet scan with column pruning (only
+``doc_id``/``text`` read). The fingerprint groupBy shuffles on an
+8-char key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphview_spark.session import read_table
+
+# tiny built-in stopword lexicon (operator parameter in a real pipeline)
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# lexicon profiles for language ID — deterministic scoring; precedence
+# order breaks ties (first profile wins). In a real pipeline these are
+# per-language frequency profiles; the operator shape is the same.
+LANG_PROFILES: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "is", "and", "of"]),
+    ("de", ["der", "die", "und", "ist", "das"]),
+    ("es", ["el", "la", "que", "de", "es"]),
+    ("fr", ["le", "la", "et", "est", "les"]),
+    ("zh", ["de5", "shi4", "le5", "zai4", "he2"]),
+]
+
+TOKEN_PATTERN = "[a-z0-9]+"     # BPE-ish word/number pieces, lowercase corpus
+
+
+def _words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def _count_in(words: Column, vocab: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+# --------------------------------------------------------------------------
+# token counting
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: whitespace tokens, regex tokens,
+    character counts, average word length."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    chars_no_space = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)).alias(
+            "n_tokens"
+        ),
+        F.length("text").alias("len_chars"),
+        F.round(chars_no_space / F.size(words), 3).alias("avg_word_len"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+       len(string_split(text, ' '))                       AS n_words,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}'))   AS n_tokens,
+       length(text)                                       AS len_chars,
+       round(length(replace(text, ' ', ''))::DOUBLE
+             / len(string_split(text, ' ')), 3)           AS avg_word_len
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: type-token ratio, stopword ratio, and a
+    length term, combined into one score + bucket. The exact formula is a
+    pipeline parameter; what matters is the operator shape (pure per-row
+    math over the tokenized text)."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n = F.size(words)
+    uniq_ratio = F.size(F.array_distinct(words)) / n
+    stop_ratio = _count_in(words, STOPWORDS) / n
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    score = F.round(0.5 * uniq_ratio + 0.3 * (1 - stop_ratio) + 0.2 * len_term, 3)
+    return docs.select(
+        "doc_id",
+        F.round(uniq_ratio, 3).alias("unique_ratio"),
+        F.round(stop_ratio, 3).alias("stopword_ratio"),
+        score.alias("quality_score"),
+        F.when(score >= 0.55, "high")
+        .when(score >= 0.45, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+ORACLE_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         len(list_distinct(w))::DOUBLE / len(w) AS uniq_ratio,
+         len(list_filter(w, x -> x IN ({_SW})))::DOUBLE / len(w) AS stop_ratio,
+         least(len(w) / 100.0, 1.0) AS len_term
+  FROM t)
+SELECT doc_id,
+       round(uniq_ratio, 3) AS unique_ratio,
+       round(stop_ratio, 3) AS stopword_ratio,
+       round(0.5 * uniq_ratio + 0.3 * (1 - stop_ratio) + 0.2 * len_term, 3)
+         AS quality_score,
+       CASE WHEN round(0.5 * uniq_ratio + 0.3 * (1 - stop_ratio)
+                       + 0.2 * len_term, 3) >= 0.55 THEN 'high'
+            WHEN round(0.5 * uniq_ratio + 0.3 * (1 - stop_ratio)
+                       + 0.2 * len_term, 3) >= 0.45 THEN 'medium'
+            ELSE 'low' END AS quality_bucket
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# language ID (lexicon scoring)
+# --------------------------------------------------------------------------
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-profile language ID: score = profile-word hits per token;
+    predicted = argmax with profile-order precedence. Aggregated into a
+    confusion count against the labeled ``lang`` column."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            (_count_in(words, vocab) / F.size(words)).alias(f"score_{code}")
+            for code, vocab in LANG_PROFILES
+        ],
+    )
+    # precedence: FIRST profile in order wins ties → nest whens so the
+    # first profile is the outermost test (same shape as the SQL CASE)
+    best = F.greatest(*[F.col(f"score_{c}") for c, _ in LANG_PROFILES])
+    pred = F.lit("unknown")
+    for code, _ in reversed(LANG_PROFILES):
+        pred = F.when(F.col(f"score_{code}") == best, F.lit(code)).otherwise(pred)
+    return (
+        scored.select("doc_id", "lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _oracle_langid() -> str:
+    score_exprs = ",\n  ".join(
+        "len(list_filter(w, x -> x IN ({v})))::DOUBLE / len(w) AS score_{c}".format(
+            v=", ".join(f"'{x}'" for x in vocab), c=code
+        )
+        for code, vocab in LANG_PROFILES
+    )
+    best = "greatest(" + ", ".join(f"score_{c}" for c, _ in LANG_PROFILES) + ")"
+    whens = "\n       ".join(
+        f"WHEN score_{c} = {best} THEN '{c}'" for c, _ in LANG_PROFILES
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id, lang, {score_exprs} FROM t)
+SELECT lang,
+       CASE {whens} ELSE 'unknown' END AS pred_lang,
+       count(*) AS n_docs
+FROM s
+GROUP BY lang, pred_lang
+"""
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting
+# --------------------------------------------------------------------------
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: minimum md5 over word 4-gram shingles (the
+    1-permutation MinHash — a stable content signature robust to small
+    edits), plus the fingerprint-group size across the corpus."""
+    from graphview_spark.operators.dedup import shingles_col
+
+    docs = read_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        F.array_min(
+            F.transform(shingles_col(F.col("text")), lambda s: F.md5(s))
+        ).alias("fp"),
+    )
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_group_size"))
+    return fps.join(sizes, "fp").select("doc_id", "fp", "fp_group_size")
+
+
+def _oracle_fingerprint() -> str:
+    from graphview_spark.operators.dedup import _sql_shingles
+
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+fps AS (SELECT doc_id,
+        list_min(list_transform({_sql_shingles()}, s -> md5(s))) AS fp
+        FROM docs),
+sizes AS (SELECT fp, count(*) AS fp_group_size FROM fps GROUP BY fp)
+SELECT doc_id, fp, fp_group_size FROM fps JOIN sizes USING (fp)
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+ORACLES = {
+    "text_stats": ORACLE_TEXT_STATS,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_langid": _oracle_langid(),
+    "text_fingerprint": _oracle_fingerprint(),
+}
