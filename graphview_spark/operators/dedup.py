@@ -42,6 +42,20 @@ COSINE_T = 0.4
 LENGTH_BAND = 20       # chars per length-blocking band
 
 
+def read_spread(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Read a table and spread it across the cluster's cores.
+
+    The synthetic tables are single small parquet files → Spark scans them
+    as one partition, which would serialize every per-row-heavy operator
+    (md5 signatures, intersections) onto one core. On a real deployment
+    the scan is already split by ``spark.sql.files.maxPartitionBytes``;
+    this repartition makes the local harness behave like that. Hashing on
+    the row key keeps the spread deterministic."""
+    df = read_table(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
+
+
 # --------------------------------------------------------------------------
 # shared shingling (Spark + the DuckDB-SQL mirror)
 # --------------------------------------------------------------------------
@@ -133,9 +147,15 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     keyed by the permutation index; the minimum hex digest over the
     shingle set is an order statistic of a uniform hash, the standard
     MinHash construction. Pure per-row column math: no shuffle."""
-    out = docs.select(
-        "doc_id", shingles_col(F.col("text")).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # Materialize the shingle arrays BEFORE fanning out into n_perm
+    # signature expressions: Catalyst's projection collapse would otherwise
+    # substitute the shingle expression into every signature and recompute
+    # the tokenize+slice work n_perm times per row.
+    sh = (
+        docs.select("doc_id", shingles_col(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
+    )
 
     # NB: the permutation index must be captured in a closure factory — a
     # defaulted lambda parameter (lambda s, i=i: ...) would be treated by
@@ -144,11 +164,14 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     def perm(i: int):
         return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
 
-    for i in range(n_perm):
-        out = out.withColumn(
-            f"sig_{i}", F.array_min(F.transform(F.col("sh"), perm(i)))
-        )
-    return out
+    return sh.select(
+        "doc_id",
+        "sh",
+        *[
+            F.array_min(F.transform(F.col("sh"), perm(i))).alias(f"sig_{i}")
+            for i in range(n_perm)
+        ],
+    )
 
 
 def _band_col(b: int, rows: int) -> Column:
@@ -160,7 +183,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs must agree on at least one full band of the signature; only
     those candidates pay the exact set-intersection cost."""
     rows = N_PERM // N_BANDS
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_spread(spark, sf_dir, "documents", "doc_id")
+    # checkpoint: sigs feed 4 band branches + the verification join — the
+    # md5 signature work must run once, not once per consumer
     sigs = minhash_signatures(docs).localCheckpoint(eager=True)
 
     bands = None
@@ -227,26 +252,32 @@ WHERE round({jac}, 3) >= {MINHASH_JACCARD_T}
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash_col() -> Column:
-    """60-bit SimHash over word occurrences: per bit, strict majority of
+def word_hashes_col(text: Column) -> Column:
+    """Per-word 60-bit hashes (15 hex chars of md5 → bigint)."""
+    return F.transform(
+        F.split(text, " "),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def simhash_from_hashes(hs: Column) -> Column:
+    """60-bit SimHash from a word-hash array: per bit, strict majority of
     word-hash bits sets the fingerprint bit. Expressed entirely with
     higher-order functions — per-row, no shuffle, no UDF."""
-    words = F.split(F.col("text"), " ")
-    hashes = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
-    )
+
     def bit_sum(j: int):
         return F.aggregate(
-            hashes,
+            hs,
             F.lit(0).cast("long"),
             lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)),
         )
 
-    bit_sums = [bit_sum(j) for j in range(SIMHASH_BITS)]
-    n = F.size(words)
+    n = F.size(hs)
     fp = F.lit(0).cast("long")
-    for j, s in enumerate(bit_sums):
-        fp = fp + F.when(s * 2 > n, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    for j in range(SIMHASH_BITS):
+        fp = fp + F.when(bit_sum(j) * 2 > n, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0)
+        )
     return fp
 
 
@@ -254,8 +285,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: fingerprint per doc, candidates via
     pigeonhole chunking (hamming ≤ 3 ⇒ equal on ≥1 of 4 15-bit chunks),
     verified with bit_count(xor)."""
-    docs = read_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", simhash_col().alias("fp")).localCheckpoint(eager=True)
+    docs = read_spread(spark, sf_dir, "documents", "doc_id")
+    # stage the word-hash array first: the 60 per-bit aggregates must read
+    # a materialized array, not re-derive 60× (md5+conv per word) rows
+    hashed = docs.select(
+        "doc_id", word_hashes_col(F.col("text")).alias("hs")
+    ).localCheckpoint(eager=True)
+    fp = hashed.select(
+        "doc_id", simhash_from_hashes(F.col("hs")).alias("fp")
+    ).localCheckpoint(eager=True)
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
 
@@ -325,12 +363,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity join, blocked by a character-length
     band (near-dups have near-equal length): candidate pairs come from
     equal or adjacent bands only, keeping the pair space linear-ish in
-    practice instead of O(n²)."""
-    docs = read_table(spark, sf_dir, "documents")
+    practice instead of O(n²).
+
+    The Jaccard runs over *hashed* shingles (md5 → bigint): Catalyst
+    pushes the similarity filter into the candidate join's condition, so
+    the set intersection is evaluated in the join hot path — intersecting
+    long arrays there is ~10× cheaper than 30-char string arrays, same
+    result (shingle sets are distinct; a 60-bit collision is negligible
+    and the oracle hashes identically anyway)."""
+    docs = read_spread(spark, sf_dir, "documents", "doc_id")
     sh = (
         docs.select(
             "doc_id",
-            shingles_col(F.col("text")).alias("sh"),
+            F.array_distinct(
+                F.transform(
+                    shingles_col(F.col("text")),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                )
+            ).alias("sh"),
             (F.col("n_chars") / LENGTH_BAND).cast("long").alias("band"),
         )
         .filter(F.size("sh") > 0)
@@ -344,14 +394,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
         F.col("band").alias("band_b"),
     )
+    # the three band offsets are disjoint join conditions → a pair can
+    # appear in at most one branch; no distinct needed (and a distinct
+    # here would shuffle the shingle arrays themselves)
     pairs = None
     for off in (0, 1, -1):
         p = a.join(b, b.band_b == a.band_a + off).filter(F.col("doc_a") < F.col("doc_b"))
         pairs = p if pairs is None else pairs.unionByName(p)
     return (
-        pairs.select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
-        .withColumn("jaccard", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 3))
+        pairs.withColumn("jaccard", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 3))
         .filter(F.col("jaccard") >= NGRAM_JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -359,10 +410,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_ngram() -> str:
     jac = _SQL_JACCARD.format(a="x.sh", b="y.sh")
+    hex_to_int = (
+        "list_reduce(list_transform(string_split(substr(md5(s), 1, 15), ''), "
+        "c -> strpos('0123456789abcdef', c)::BIGINT - 1), (a, b) -> a * 16 + b)"
+    )
     return f"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w,
               (n_chars / {LENGTH_BAND})::BIGINT AS band FROM documents),
-sh AS (SELECT doc_id, band, {_sql_shingles()} AS sh FROM docs),
+sh AS (SELECT doc_id, band,
+       list_distinct(list_transform({_sql_shingles()}, s -> {hex_to_int})) AS sh
+       FROM docs),
 shn AS (SELECT * FROM sh WHERE len(sh) > 0),
 cands AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

@@ -188,9 +188,9 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: minimum md5 over word 4-gram shingles (the
     1-permutation MinHash — a stable content signature robust to small
     edits), plus the fingerprint-group size across the corpus."""
-    from graphview_spark.operators.dedup import shingles_col
+    from graphview_spark.operators.dedup import read_spread, shingles_col
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_spread(spark, sf_dir, "documents", "doc_id")
     fps = docs.select(
         "doc_id",
         F.array_min(
