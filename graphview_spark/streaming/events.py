@@ -1,0 +1,181 @@
+"""Structured Streaming surface over the ``events`` table shape.
+
+The reference has NO streaming operators (SURVEY.md §2.7 — GraphView is
+request/response over SQL Server), so this is net-new surface designed
+per the project north star: the same ``events`` schema can run either as
+a batch DataFrame or through ``readStream`` with watermarked windows.
+
+Design rules carried from batch:
+  - the transformation is ONE function used by both batch and streaming
+    paths (build_* below take any DataFrame, batch or streaming);
+  - watermarks bound state for late data; tumbling/sliding windows via
+    ``F.window``, sessions via ``F.session_window`` (JVM-side state
+    store, no Python in the hot path);
+  - the custom stateful operator (running per-user totals) uses
+    ``applyInPandasWithState`` — the Arrow-batched stateful escape hatch
+    for semantics the built-ins can't express.
+
+Scale notes: streaming aggs shuffle on the grouping key exactly like
+batch; state store size is bounded by watermark horizon × key
+cardinality. ``foreachBatch`` sinks reuse the batch writers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SESSION_GAP = "10 minutes"
+
+
+def events_stream(spark: SparkSession, path: str, watermark: str = "1 hour") -> DataFrame:
+    """File-source stream over event parquet files in ``path``."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(path)
+        .withWatermark("ts", watermark)
+    )
+
+
+# ---- transformations usable on batch AND streaming frames ----------------
+
+def build_windowed_counts(
+    events: DataFrame, window: str = "1 hour", slide: str | None = None
+) -> DataFrame:
+    """Tumbling (or sliding) windowed counts per event type."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return events.groupBy(win.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def build_sessions(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Per-user sessions via the native session window (state closes when
+    no event arrives within ``gap``). Output bounds derive from the
+    observed min/max ts so batch results are engine-portable (Spark's
+    ``session_window.end`` includes the gap padding)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.date_trunc("second", F.min("ts")).alias("session_start"),
+            F.date_trunc("second", F.max("ts")).alias("session_end"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "total_value"
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, streaming_df: DataFrame, name: str, mode: str = "complete"
+):
+    """Drain a (finite) file-source stream into an in-memory table with
+    availableNow — the batch-equivalence test harness."""
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# ---- custom stateful operator (applyInPandasWithState) -------------------
+
+RUNNING_STATE_SCHEMA = "total double, n long"
+RUNNING_OUT_SCHEMA = "user_id long, running_total double, n_events long"
+
+
+def _running_totals_fn(key, pdf_iter, state):
+    """Per-user running totals — the applyInPandasWithState kernel.
+    Arrow-batched; state is one (total, n) tuple per user."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        total, n = state.get
+    else:
+        total, n = 0.0, 0
+    for pdf in pdf_iter:
+        total += float(pdf["value"].sum())
+        n += int(len(pdf))
+    state.update((total, n))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "running_total": [round(total, 2)], "n_events": [n]}
+    )
+
+
+def build_running_totals(events: DataFrame) -> DataFrame:
+    """Streaming: continuously-updated per-user totals with explicit
+    state. (Batch equivalent: groupBy(user_id).agg(sum, count).)"""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=RUNNING_OUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---- correctness-gate entry (batch shape of the session operator) --------
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of ``build_sessions`` over the events table — the gate
+    entry proving session semantics against a gaps-and-islands oracle."""
+    from graphview_spark.session import read_table
+
+    return build_sessions(read_table(spark, sf_dir, "events"))
+
+
+# DuckDB has no session_window; the oracle is the classic gaps-and-islands
+# rewrite: a session starts where the gap from the previous event of the
+# same user exceeds the threshold; session id = running count of starts.
+ORACLE_STREAM_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 10 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o)
+SELECT user_id,
+       date_trunc('second', min(ts)) AS session_start,
+       date_trunc('second', max(ts)) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {"stream_sessions": q_stream_sessions}
+ORACLES = {"stream_sessions": ORACLE_STREAM_SESSIONS}

@@ -1,0 +1,120 @@
+"""Structured Streaming: stream results must equal the batch results of
+the same transformation (SURVEY.md §2.7 — net-new surface)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphview_spark.session import read_table
+from graphview_spark.streaming.events import (
+    build_running_totals,
+    build_sessions,
+    build_windowed_counts,
+    events_stream,
+    run_stream_to_memory,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Stage the events table as a parquet directory (2 files, so the
+    file source actually sees multiple input splits)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.rmtree(d, ignore_errors=True)
+    read_table(spark, sf_dir, "events").repartition(2).write.parquet(
+        d, mode="overwrite"
+    )
+    return d
+
+
+def _batch(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_dir):
+    stream = events_stream(spark, events_dir)
+    got = run_stream_to_memory(
+        spark, build_windowed_counts(stream), "win_counts"
+    ).collect()
+    want = build_windowed_counts(_batch(spark, events_dir)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(want) > 0
+
+
+def test_sliding_window(spark, events_dir):
+    stream = events_stream(spark, events_dir)
+    got = run_stream_to_memory(
+        spark,
+        build_windowed_counts(stream, window="2 hours", slide="1 hour"),
+        "win_sliding",
+    ).collect()
+    want = build_windowed_counts(
+        _batch(spark, events_dir), window="2 hours", slide="1 hour"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # each event lands in 2 sliding windows
+    assert sum(r["n_events"] for r in want) == 2 * _batch(spark, events_dir).count()
+
+
+def test_sessions_stream_equals_batch(spark, events_dir):
+    stream = events_stream(spark, events_dir)
+    got = run_stream_to_memory(spark, build_sessions(stream), "sessions").collect()
+    want = build_sessions(_batch(spark, events_dir)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_watermark_bounds_state(spark, events_dir):
+    """The watermarked streaming agg in append mode emits only finalized
+    windows — the state-bounding contract for 100 TB streams."""
+    stream = events_stream(spark, events_dir, watermark="30 minutes")
+    q = (
+        build_windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName("wm_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("wm_append").collect()
+    want = build_windowed_counts(_batch(spark, events_dir)).collect()
+    # append mode withholds windows not yet past the watermark (the last
+    # window(s) of the file batch) — everything emitted must match batch
+    want_map = {(r["window_start"], r["event_type"]): r for r in want}
+    assert 0 < len(got) <= len(want)
+    for r in got:
+        w = want_map[(r["window_start"], r["event_type"])]
+        assert (r["n_events"], r["total_value"]) == (w["n_events"], w["total_value"])
+
+
+def test_running_totals_stateful(spark, events_dir):
+    """applyInPandasWithState custom operator vs the batch aggregate."""
+    stream = events_stream(spark, events_dir)
+    got = run_stream_to_memory(
+        spark, build_running_totals(stream), "running", mode="update"
+    )
+    # update mode may emit a row per user per micro-batch; the LAST emit
+    # per user carries the final state. availableNow + single batch → one
+    # row per user here, but aggregate defensively.
+    final = (
+        got.groupBy("user_id")
+        .agg(
+            F.max("running_total").alias("running_total"),
+            F.max("n_events").alias("n_events"),
+        )
+        .collect()
+    )
+    want = {
+        r["user_id"]: (round(r["t"], 2), r["n"])
+        for r in _batch(spark, events_dir)
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(final) == len(want)
+    for r in final:
+        assert (r["running_total"], r["n_events"]) == want[r["user_id"]]
