@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from graphview_spark import graph_queries, relational
-    from graphview_spark.operators import dedup, similarity, text
+    from graphview_spark.operators import dedup, multimodal, similarity, text
     from graphview_spark.streaming import events as streaming_events
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(text.QUERIES)
     out.update(similarity.QUERIES)
+    out.update(multimodal.QUERIES)
     out.update(streaming_events.QUERIES)
     return out
 
@@ -48,7 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each ``queries()`` key."""
     from graphview_spark import graph_queries, relational
-    from graphview_spark.operators import dedup, similarity, text
+    from graphview_spark.operators import dedup, multimodal, similarity, text
     from graphview_spark.streaming import events as streaming_events
 
     out: dict[str, str] = {}
@@ -57,5 +58,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(text.ORACLES)
     out.update(similarity.ORACLES)
+    out.update(multimodal.ORACLES)
     out.update(streaming_events.ORACLES)
     return out

@@ -1,0 +1,217 @@
+"""Multimodal column support (SURVEY.md §7 phase 7, net-new surface).
+
+Images/audio/video are opaque ``binary`` payload columns plus typed
+metadata. The Spark-side plumbing — schema, partition-preserving Arrow
+batches, UDF signatures, batch shapes — is real and tested; the actual
+codec calls are STUBBED (this container has no image/audio libraries):
+``decode_media`` raises ``NotImplementedError`` unless a decoder is
+injected, and ``fake_feature_extractor`` is the deterministic stand-in
+used by tests and the correctness gate.
+
+Scale notes: payloads stay in executor memory only per Arrow batch
+(``mapInPandas`` streams batches, never materializing a partition);
+metadata-only queries never touch the payload column (column pruning —
+the parquet scan reads just the pruned columns). Feature extraction is
+the Pandas-UDF slow path by necessity (real codecs are C libraries
+behind Python APIs) — exactly the case SURVEY's UDF guidance reserves
+Arrow batching for.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphview_spark.session import read_table
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),       # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),      # opaque bytes
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),       # typed metadata
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic media table: document text bytes as the
+    opaque payload (the harness has no real image files; the plumbing —
+    binary column + typed metadata — is what's exercised)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.col("n_chars") % 640).cast("int").alias("width"),
+        (F.col("n_chars") % 480).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# decode / feature-extract over mapInPandas (Arrow batches)
+# --------------------------------------------------------------------------
+
+def decode_media(df: DataFrame, decoder: Callable | None = None) -> DataFrame:
+    """Decode payloads via an injected codec. No codec libraries ship in
+    this environment → without ``decoder`` this raises at plan-build
+    time, by design (STUB, clearly marked)."""
+    if decoder is None:
+        raise NotImplementedError(
+            "no media codec available in this environment; inject "
+            "decoder=fn(payload: bytes, kind: str) -> features"
+        )
+    return extract_features(df, decoder)
+
+
+def fake_feature_extractor(payload: bytes, kind: str) -> list[float]:
+    """Deterministic stand-in codec: 4 'features' from the raw bytes
+    (length, mean byte, first byte, last byte). Stable across runs and
+    engines — usable in oracle-checked queries."""
+    if payload is None or len(payload) == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    # raw IEEE mean — consumers round; Python's round() is banker's
+    # rounding and would diverge from SQL engines on exact ties
+    return [
+        float(len(payload)),
+        sum(payload) / len(payload),
+        float(payload[0]),
+        float(payload[-1]),
+    ]
+
+
+def extract_features(
+    df: DataFrame, extractor: Callable = fake_feature_extractor
+) -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched, partition-
+    preserving, payload column dropped on output (features replace it)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                extractor(bytes(p) if p is not None else b"", k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    timestamp (the decode of the actual frame is the stubbed codec step).
+    Pure column math — explode over a generated timestamp sequence."""
+    frames = df.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(F.col("duration_ms") - 1, F.lit(0)).cast("long"),
+                F.lit(every_ms).cast("long"),
+            )
+        ).alias("frame_ts_ms"),
+    )
+    return frames
+
+
+# --------------------------------------------------------------------------
+# correctness-gate entries
+# --------------------------------------------------------------------------
+
+def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata + payload hash per media row — binary columns flowing
+    through scan/projection/aggregation (md5 over binary, octet_length)."""
+    media = media_from_documents(spark, sf_dir)
+    return media.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        "width",
+        "height",
+    )
+
+
+ORACLE_MM_BINARY_META = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5,
+       (n_chars % 640)::INT AS width,
+       (n_chars % 480)::INT AS height
+FROM documents
+"""
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF feature extraction (deterministic fake codec) +
+    metadata aggregation: the full multimodal batch shape end-to-end."""
+    media = media_from_documents(spark, sf_dir)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("feature", 2), 4).alias("mean_byte"),
+        F.element_at("feature", 3).alias("first_byte"),
+    )
+
+
+# The documents corpus is ASCII, so the payload's byte values equal the
+# text's character code points — the oracle mirrors the byte math via ord().
+ORACLE_MM_FEATURES = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       round(list_sum(list_transform(string_split_regex(text, ''),
+                                     c -> ord(c)))::DOUBLE
+             / length(text), 4) AS mean_byte,
+       ord(substr(text, 1, 1))::DOUBLE AS first_byte
+FROM documents
+"""
+
+
+QUERIES = {
+    "mm_binary_meta": q_mm_binary_meta,
+    "mm_features": q_mm_features,
+}
+
+ORACLES = {
+    "mm_binary_meta": ORACLE_MM_BINARY_META,
+    "mm_features": ORACLE_MM_FEATURES,
+}

@@ -1,0 +1,70 @@
+"""Multimodal plumbing: binary payload columns, Arrow-batched feature
+extraction, frame sampling, stubbed codec contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphview_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    decode_media,
+    extract_features,
+    frame_sample,
+    media_from_documents,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    # NB: not .cache()d — cache substitution would replace the fresh plan
+    # in the pruning test below with the all-column InMemoryRelation
+    return media_from_documents(spark, sf_dir)
+
+
+def test_media_schema_binary_payload(media):
+    f = dict(zip(media.schema.names, media.schema.fields))
+    assert f["payload"].dataType.typeName() == "binary"
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_decode_without_codec_raises(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media)
+
+
+def test_extract_features_matches_python(media):
+    feats = extract_features(media)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = {r["media_id"]: r for r in feats.collect()}
+    for r in media.limit(20).collect():
+        payload = bytes(r["payload"])
+        got = rows[r["media_id"]]
+        assert got["n_bytes"] == len(payload)
+        assert got["feature"][0] == float(len(payload))
+        assert abs(got["feature"][1] - sum(payload) / len(payload)) < 1e-12
+        assert got["feature"][2] == float(payload[0])
+        assert got["feature"][3] == float(payload[-1])
+
+
+def test_frame_sample_counts(media):
+    frames = frame_sample(media, every_ms=1000)
+    per = {r["media_id"]: r["n"] for r in
+           frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in media.filter(F.col("kind") == "video").collect():
+        # frames at 0, 1000, ... < duration_ms (duration 0 → single frame 0)
+        want = max((r["duration_ms"] - 1) // 1000 + 1, 1)
+        assert per[r["media_id"]] == want
+
+
+def test_payload_column_pruned_for_metadata_query(spark, sf_dir):
+    """Metadata-only projection must not decode payloads or read the
+    text column at the parquet scan (column pruning end-to-end)."""
+    fresh = media_from_documents(spark, sf_dir)   # uncached: prunable plan
+    meta_only = fresh.select("media_id", "width", "height")
+    plan = meta_only._jdf.queryExecution().optimizedPlan().toString()
+    assert "encode" not in plan          # payload expression pruned away
+    scan = meta_only._jdf.queryExecution().executedPlan().toString()
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema     # source column not scanned
