@@ -1,0 +1,136 @@
+"""Bulk load: delimited files → node tables / edge columns.
+
+Reference: GraphView/BulkInsert.cs — BulkInsertNode (:486-770) streams a
+delimited file through a custom IDataReader with KMP field splitting,
+column subsetting and header skip into SqlBulkCopy; BulkInsertEdge
+(:771-2350) loads (srcId, sinkId, attrs) rows, joins both sides to their
+node tables' NodeId columns to resolve GlobalNodeIds, groups by source
+and encodes adjacency blobs, then updates both edge directions.
+
+Spark-native equivalents: the custom reader IS ``spark.read.csv``
+(splitting, quoting, header, column subset all built in); the id-
+resolution joins are two equi-joins against the node DataFrames; the
+Encoder-aggregate/adjacency-update machinery disappears because edges
+stay normalized (SURVEY.md §1.4). The reference's error modes are kept:
+unknown columns and unresolvable node ids raise.
+
+Scale notes: both loads are pure DataFrame plans — the CSV scan splits
+by file blocks, id-resolution joins shuffle on the NodeId columns (or
+broadcast when a node table is small), and nothing passes through the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphview_spark.graph import GraphDatabase
+
+
+def bulk_insert_nodes(
+    g: GraphDatabase,
+    table_name: str,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    columns: list[str] | None = None,
+) -> int:
+    """Load a delimited file into a node table.
+
+    ``columns`` names the file's fields in order when there is no header
+    (the reference's "data column subset" — BulkInsert.cs:520-560);
+    fields are matched to node properties case-insensitively, missing
+    properties are null-padded, unknown fields raise.
+    """
+    t = g.catalog.table(table_name)
+    df = g.spark.read.csv(path, sep=sep, header=header, inferSchema=False)
+    if not header:
+        if columns is None:
+            raise ValueError("headerless bulk load needs explicit columns=[...]")
+        if len(columns) != len(df.columns):
+            raise ValueError(
+                f"file has {len(df.columns)} fields, columns names {len(columns)}"
+            )
+        df = df.toDF(*columns)
+    props = {p.lower(): (p, typ) for p, typ in t.properties}
+    sel = []
+    seen = set()
+    for c in df.columns:
+        hit = props.get(c.lower())
+        if hit is None:
+            raise ValueError(
+                f"file column '{c}' is not a property of node table '{t.name}'"
+            )
+        sel.append(F.col(c).cast(hit[1]).alias(hit[0]))
+        seen.add(hit[0])
+    for p, typ in t.properties:
+        if p not in seen:
+            sel.append(F.lit(None).cast(typ).alias(p))
+    before = g.nodes[t.name].count()
+    g.insert_nodes_df(t.name, df.select(*sel))
+    return g.nodes[t.name].count() - before
+
+
+def bulk_insert_edges(
+    g: GraphDatabase,
+    source_table: str,
+    edge_name: str,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    src_id_col: str | None = None,
+    sink_id_col: str | None = None,
+    attr_cols: list[str] | None = None,
+) -> int:
+    """Load (srcNodeId, sinkNodeId, attrs...) rows into an edge column.
+
+    NodeIds are the user-facing unique keys (ColumnRole:"NodeId"); both
+    endpoints resolve to GlobalNodeIds by joining the node tables —
+    exactly the reference's resolution joins (BulkInsert.cs:890-1010).
+    Rows whose endpoints don't resolve raise (the reference surfaces a
+    SqlBulkCopy FK-style failure).
+    """
+    e = g.catalog.resolve_edge(source_table, edge_name)
+    src_t = g.catalog.table(e.source_table)
+    sink_t = g.catalog.table(e.sink_table)
+    if src_t.node_id_column is None or sink_t.node_id_column is None:
+        raise ValueError("bulk edge load needs NodeId columns on both tables")
+
+    df = g.spark.read.csv(path, sep=sep, header=header, inferSchema=False)
+    cols = df.columns
+    src_c = src_id_col or cols[0]
+    sink_c = sink_id_col or cols[1]
+    attrs = attr_cols if attr_cols is not None else cols[2:]
+
+    # internal names: the file's own columns may be called src/sink
+    src_nodes = g.nodes[src_t.name].select(
+        F.col(src_t.node_id_column).alias("__src_key"),
+        F.col("GlobalNodeId").alias("__src_gid"),
+    )
+    sink_nodes = g.nodes[sink_t.name].select(
+        F.col(sink_t.node_id_column).alias("__sink_key"),
+        F.col("GlobalNodeId").alias("__sink_gid"),
+    )
+    src_key_t = dict(src_t.properties)[src_t.node_id_column]
+    sink_key_t = dict(sink_t.properties)[sink_t.node_id_column]
+
+    n_rows = df.count()
+    resolved = (
+        df.join(src_nodes, df[src_c].cast(src_key_t) == src_nodes["__src_key"])
+        .join(sink_nodes, df[sink_c].cast(sink_key_t) == sink_nodes["__sink_key"])
+    )
+    pairs_cols = [
+        F.col("__src_gid").alias("src"),
+        F.col("__sink_gid").alias("sink"),
+    ]
+    for expr, (aname, atype) in zip(attrs, e.attributes):
+        pairs_cols.append(F.col(expr).cast(atype).alias(aname))
+    pairs = resolved.select(*pairs_cols)
+    n_resolved = pairs.count()
+    if n_resolved < n_rows:
+        raise ValueError(
+            f"{n_rows - n_resolved} of {n_rows} edge rows reference "
+            f"unknown node ids"
+        )
+    g.insert_edges_df(e.source_table, e.name, pairs)
+    return n_resolved
