@@ -44,11 +44,14 @@ def var_length_paths(
     src_name: str,
     sink_name: str,
     node_unique: bool | None = None,
+    start_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Paths of length [min_len, max_len] (max_len=-1 → unbounded).
 
     Returns columns ``{alias}_start``, ``{alias}_end``, ``{alias}_hops``,
-    ``{alias}_path_str``.
+    ``{alias}_path_str``. ``start_nodes`` (one column of GlobalNodeIds)
+    restricts the traversal to paths starting there — the pushed-down
+    source-alias predicate pruning the whole BFS instead of its result.
     """
     from graphview_spark.matching.planner import _edge_df, _member_tables
 
@@ -58,9 +61,20 @@ def var_length_paths(
 
     edges = _edge_df(g, e, src_name, sink_name, raw=True)
     ekey = F.concat_ws(":", F.col("_etype"), F.col("src"), F.col("edge_id"))
+    # materialize once: every hop joins this set, and deriving it repeats
+    # the edge_id window otherwise (one recompute per hop)
     edges = edges.select(
         "src", "sink", "_etype", ekey.alias("_ekey")
-    )
+    ).localCheckpoint(eager=True)
+
+    seed = edges
+    if start_nodes is not None:
+        key = start_nodes.columns[0]
+        seed = edges.join(
+            F.broadcast(start_nodes),
+            edges["src"] == start_nodes[key],
+            "left_semi",
+        )
 
     min_len = e.min_len
     max_len = e.max_len
@@ -71,7 +85,7 @@ def var_length_paths(
             max_len = 1
 
     # hop 1 frontier
-    frontier = edges.select(
+    frontier = seed.select(
         F.col("src").alias("start"),
         F.col("sink").alias("end"),
         F.lit(1).alias("hops"),
@@ -132,6 +146,13 @@ def var_length_paths(
                 F.col("GlobalNodeId").alias("start")
             )
             src_nodes = nd if src_nodes is None else src_nodes.unionByName(nd)
+        if start_nodes is not None:
+            key = start_nodes.columns[0]
+            src_nodes = src_nodes.join(
+                F.broadcast(start_nodes),
+                src_nodes["start"] == start_nodes[key],
+                "left_semi",
+            )
         parts.append(
             src_nodes.select(
                 "start",

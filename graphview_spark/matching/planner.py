@@ -36,22 +36,32 @@ class MatchPlanError(ValueError):
     pass
 
 
-def _node_df(g, alias: str, name: str) -> DataFrame:
-    """DataFrame for one FROM entry, columns prefixed ``alias_``."""
+def _node_df(
+    g, alias: str, name: str, filters: dict[str, list[str]] | None = None
+) -> DataFrame:
+    """DataFrame for one FROM entry, columns prefixed ``alias_``.
+    ``filters`` holds pushed-down single-alias predicates (reference
+    AttachPredicates) applied before any join."""
     if g.catalog.has_table(name):
         t = g.catalog.table(name)
         df = g.nodes[t.name]
         cols = [F.col("GlobalNodeId").alias(f"{alias}_GlobalNodeId")] + [
             F.col(p).alias(f"{alias}_{p}") for p, _ in t.properties
         ]
-        return df.select(*cols)
-    v = g.catalog.node_view(name)
-    if v is not None:
+        out = df.select(*cols)
+    else:
+        v = g.catalog.node_view(name)
+        if v is None:
+            raise MatchPlanError(
+                f"FROM entry '{name}' is neither a node table nor a node view"
+            )
         df = g.node_view_df(v.name)
         cols = [F.col(c).alias(f"{alias}_{c.lstrip('_')}") if c.startswith("_")
                 else F.col(c).alias(f"{alias}_{c}") for c in df.columns]
-        return df.select(*cols)
-    raise MatchPlanError(f"FROM entry '{name}' is neither a node table nor a node view")
+        out = df.select(*cols)
+    for expr in (filters or {}).get(alias, []):
+        out = out.filter(F.expr(expr))
+    return out
 
 
 def _member_tables(g, name: str) -> list[str]:
@@ -152,13 +162,19 @@ def _one_edge_df(g, et: EdgeType, e: PatternEdge, raw: bool = False) -> DataFram
     return df.select(*cols)
 
 
-def plan_match(g, pattern: PatternGraph, bindings: dict[str, str]) -> DataFrame:
+def plan_match(
+    g,
+    pattern: PatternGraph,
+    bindings: dict[str, str],
+    alias_filters: dict[str, list[str]] | None = None,
+) -> DataFrame:
     """Emit the join DAG for a MATCH pattern.
 
     ``bindings``: FROM alias -> node table / node view name. Aliases in
     ``bindings`` that do not appear in the pattern are cross-joined at
     the end (the reference appends unlinked FROM entries the same way,
-    TranslateMatchClauseVisitor.cs:1736-1765).
+    TranslateMatchClauseVisitor.cs:1736-1765). ``alias_filters`` are
+    pushed-down single-alias predicates (see _pushable_filters).
     """
     for a in pattern.node_aliases:
         if a not in bindings:
@@ -168,13 +184,13 @@ def plan_match(g, pattern: PatternGraph, bindings: dict[str, str]) -> DataFrame:
     for comp in pattern.components():
         comp_set = set(comp)
         comp_edges = [e for e in pattern.edges if e.src_alias in comp_set]
-        cur = _node_df(g, comp[0], bindings[comp[0]])
+        cur = _node_df(g, comp[0], bindings[comp[0]], alias_filters)
         bound = {comp[0]}
         remaining = list(comp_edges)
         while remaining:
             e = _pick_edge(remaining, bound)
             remaining.remove(e)
-            cur = _join_edge(g, cur, e, bound, bindings)
+            cur = _join_edge(g, cur, e, bound, bindings, alias_filters)
         # isolated aliases inside the component can't happen (components
         # are edge-connected), but FROM-only aliases are handled below
         comp_dfs.append(cur)
@@ -184,7 +200,7 @@ def plan_match(g, pattern: PatternGraph, bindings: dict[str, str]) -> DataFrame:
         out = out.crossJoin(df)
     for alias, name in bindings.items():
         if alias not in set(pattern.node_aliases):
-            out = out.crossJoin(_node_df(g, alias, name))
+            out = out.crossJoin(_node_df(g, alias, name, alias_filters))
     return out
 
 
@@ -208,15 +224,28 @@ def _pick_edge(remaining: list[PatternEdge], bound: set[str]) -> PatternEdge:
 
 
 def _join_edge(
-    g, cur: DataFrame, e: PatternEdge, bound: set[str], bindings: dict[str, str]
+    g,
+    cur: DataFrame,
+    e: PatternEdge,
+    bound: set[str],
+    bindings: dict[str, str],
+    alias_filters: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     src_name, sink_name = bindings[e.src_alias], bindings[e.sink_alias]
 
     if e.is_path:
         from graphview_spark.matching.paths import var_length_paths
 
+        # start-node pushdown: predicates on the path's source alias
+        # prune the BFS frontier itself — the one pushdown Catalyst can't
+        # do for us (the loop materializes behind checkpoints)
+        start_nodes = None
+        if alias_filters and e.src_alias in alias_filters:
+            start_nodes = _node_df(
+                g, e.src_alias, src_name, alias_filters
+            ).select(F.col(f"{e.src_alias}_GlobalNodeId").alias("__start_gid"))
         pdf = var_length_paths(
-            g, e, src_name, sink_name,
+            g, e, src_name, sink_name, start_nodes=start_nodes,
         )
         # pdf: (<alias>_start, <alias>_end, <alias>_hops, <alias>_path_str)
         if e.src_alias in bound and e.sink_alias in bound:
@@ -229,7 +258,7 @@ def _join_edge(
             j = cur.join(
                 pdf, cur[f"{e.src_alias}_GlobalNodeId"] == pdf[f"{e.alias}_start"]
             )
-            sink_df = _node_df(g, e.sink_alias, sink_name)
+            sink_df = _node_df(g, e.sink_alias, sink_name, alias_filters)
             bound.add(e.sink_alias)
             return j.join(
                 sink_df,
@@ -238,7 +267,7 @@ def _join_edge(
         j = cur.join(
             pdf, cur[f"{e.sink_alias}_GlobalNodeId"] == pdf[f"{e.alias}_end"]
         )
-        src_df = _node_df(g, e.src_alias, src_name)
+        src_df = _node_df(g, e.src_alias, src_name, alias_filters)
         bound.add(e.src_alias)
         return j.join(
             src_df, j[f"{e.alias}_start"] == src_df[f"{e.src_alias}_GlobalNodeId"]
@@ -253,7 +282,7 @@ def _join_edge(
         )
     if e.src_alias in bound:
         j = cur.join(edf, cur[f"{e.src_alias}_GlobalNodeId"] == edf[f"{e.alias}_src"])
-        sink_df = _node_df(g, e.sink_alias, sink_name)
+        sink_df = _node_df(g, e.sink_alias, sink_name, alias_filters)
         bound.add(e.sink_alias)
         return j.join(
             sink_df, j[f"{e.alias}_sink"] == sink_df[f"{e.sink_alias}_GlobalNodeId"]

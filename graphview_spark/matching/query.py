@@ -221,6 +221,62 @@ def _expand_edge_star(g, e, bindings) -> str:
     return f"{e.alias}_edge_id AS edge_id"
 
 
+def _split_and_depth0(text: str) -> list[str]:
+    """Split a boolean expression on top-level ``AND``s."""
+    parts, depth, cur = [], 0, []
+    i, upper = 0, text.upper()
+    while i < len(text):
+        ch = text[i]
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if depth == 0 and upper[i:].startswith("AND") and _is_kw(text, i, 3):
+            parts.append("".join(cur))
+            cur = []
+            i += 3
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _pushable_filters(
+    g, where_masked: str, bindings: dict[str, str], pattern, lits: list[str]
+) -> dict[str, list[str]]:
+    """Predicate pushdown onto pattern nodes (reference AttachPredicates,
+    AttachWhereClauseVisitor.cs:107-213): top-level AND-conjuncts that
+    reference exactly one node alias become pre-join filters on that
+    alias's DataFrame. For fixed-length patterns Catalyst would push
+    them anyway; for var-length paths this is the piece Catalyst cannot
+    see through (the BFS loop materializes behind a checkpoint), so the
+    start-node filter prunes the whole traversal. The conjunct also
+    stays in the final WHERE — double evaluation is free, dropped by
+    Catalyst when it dedupes.
+    """
+    if not where_masked:
+        return {}
+    edge_aliases = {e.alias for e in pattern.edges}
+    out: dict[str, list[str]] = {}
+    for conj in _split_and_depth0(where_masked):
+        if re.search(r"(?i)\bSELECT\b", conj):
+            continue                     # subqueries never push
+        refs = {
+            m.group(1)
+            for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*\w+", conj)
+        }
+        node_refs = refs & set(bindings)
+        if len(node_refs) != 1 or refs & edge_aliases:
+            continue
+        alias = next(iter(node_refs))
+        if refs - {alias}:
+            continue                     # references something non-alias
+        rewritten = _rewrite_refs(g, conj, bindings, pattern)
+        out.setdefault(alias, []).append(_unmask(rewritten, lits))
+    return out
+
+
 # ----------------------------------------------------------------------
 # statement executors
 # ----------------------------------------------------------------------
@@ -275,7 +331,10 @@ def _exec_select(g, sql: str) -> DataFrame:
 
     pattern = parse_match_paths(_unmask(clauses["match"], lits))
     bindings = _parse_from_list(_unmask(clauses["from"], lits))
-    matched = plan_match(g, pattern, bindings)
+    alias_filters = _pushable_filters(
+        g, clauses.get("where", ""), bindings, pattern, lits
+    )
+    matched = plan_match(g, pattern, bindings, alias_filters)
     matched.createOrReplaceTempView("__match_result")
 
     select_list = clauses["select"].strip()
