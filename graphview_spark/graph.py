@@ -424,15 +424,17 @@ class GraphDatabase:
             name=name, params=params, statements=statements
         )
 
-    def execute_procedure(self, name: str, **args) -> DataFrame | None:
+    def execute_procedure(self, proc_name: str, /, **args) -> DataFrame | None:
+        # positional-only: proc parameters may themselves be called
+        # 'proc_name' or anything else
         from graphview_spark.matching.query import execute_statement
 
-        proc = self.catalog.procedures.get(name)
+        proc = self.catalog.procedures.get(proc_name)
         if proc is None:
-            raise KeyError(f"procedure not found: {name}")
+            raise KeyError(f"procedure not found: {proc_name}")
         missing = [p for p in proc.params if p not in args]
         if missing:
-            raise ValueError(f"procedure {name} missing params: {missing}")
+            raise ValueError(f"procedure {proc_name} missing params: {missing}")
         result = None
         for stmt in proc.statements:
             s = stmt

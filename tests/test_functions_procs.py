@@ -1,0 +1,117 @@
+"""UDF registry (§2.8), stored procedures (GraphViewConnection.cs:
+1619-1698 / StoredProcedureTutorial.cs), and graph persistence."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphview_spark.functions.registry import FunctionRegistry
+from graphview_spark.graph import GraphDatabase
+
+
+@pytest.fixture()
+def people(spark):
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [People] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Property"] name varchar(20),
+            [ColumnRole:"Edge", Reference:"People"] Knows VARBINARY(max) )"""
+    )
+    for i, name in [(1, "Alice"), (2, "Bob"), (3, "Caven")]:
+        g.execute(f"INSERT INTO People(id,name) VALUES({i},'{name}')")
+    g.execute(
+        """INSERT EDGE INTO People.Knows
+           SELECT x,y FROM People x, People y
+           WHERE x.name='Alice' AND y.name='Bob'"""
+    )
+    return g
+
+
+def test_scalar_udf_in_dialect(people, spark):
+    reg = FunctionRegistry(spark)
+    reg.register_scalar("shout", lambda s: (s or "").upper() + "!", "string")
+    res = people.execute(
+        """SELECT shout(y.name) AS loud FROM People x, People y
+           MATCH x-[Knows]->y"""
+    )
+    assert [r["loud"] for r in res.collect()] == ["BOB!"]
+    assert reg.list_functions() == {"shout": "scalar"}
+
+
+def test_vectorized_udf_matches_builtin(spark, sf_dir):
+    reg = FunctionRegistry(spark)
+    reg.register_vectorized("vlen", lambda s: s.str.len(), "int")
+    from graphview_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_v")
+    got = spark.sql("SELECT doc_id, vlen(text) AS n FROM docs_v").collect()
+    want = {r["doc_id"]: r["n"] for r in
+            docs.select("doc_id", F.length("text").alias("n")).collect()}
+    assert len(got) == len(want)
+    for r in got:
+        assert r["n"] == want[r["doc_id"]]
+
+
+def test_builtin_passthrough(people):
+    """Unknown functions flow to Spark SQL untranslated — the analog of
+    the reference's T-SQL passthrough (WScalarExpression.cs:272-350)."""
+    res = people.execute(
+        "SELECT upper(name) AS u, length(name) AS l FROM People WHERE id = 1"
+    )
+    assert [(r["u"], r["l"]) for r in res.collect()] == [("ALICE", 5)]
+
+
+def test_stored_procedure(people):
+    people.create_procedure(
+        "FriendsOf",
+        ["name"],
+        [
+            """SELECT y.name AS friend FROM People x, People y
+               MATCH x-[Knows]->y WHERE x.name = @name"""
+        ],
+    )
+    res = people.execute_procedure("FriendsOf", name="Alice")
+    assert [r["friend"] for r in res.collect()] == ["Bob"]
+    with pytest.raises(ValueError, match="missing params"):
+        people.execute_procedure("FriendsOf")
+
+
+def test_procedure_with_dml(people):
+    people.create_procedure(
+        "AddPerson",
+        ["id", "name"],
+        ["INSERT INTO People(id,name) VALUES(@id, @name)"],
+    )
+    people.execute_procedure("AddPerson", id=9, name="Dana")
+    names = {r["name"] for r in people.execute("SELECT * FROM People").collect()}
+    assert "Dana" in names
+
+
+def test_save_load_roundtrip(people, spark, tmp_path):
+    path = os.path.join(str(tmp_path), "gdb")
+    people.save(path)
+    g2 = GraphDatabase.load(spark, path)
+    res = g2.execute(
+        """SELECT x.name AS a, y.name AS b FROM People x, People y
+           MATCH x-[Knows]->y"""
+    )
+    assert [(r["a"], r["b"]) for r in res.collect()] == [("Alice", "Bob")]
+    # inserts continue the id sequence after reload
+    g2.execute("INSERT INTO People(id,name) VALUES(4,'Dave')")
+    gids = [r["GlobalNodeId"] for r in g2.nodes["People"].collect()]
+    assert len(set(gids)) == 4
+
+
+def test_select_into(people, spark, tmp_path):
+    """SELECT INTO → saveAsTable/parquet materialization (SURVEY §2.1)."""
+    res = people.execute("SELECT id, name FROM People WHERE id <= 2")
+    out = os.path.join(str(tmp_path), "mat")
+    res.write.parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert set(back.columns) == {"id", "name"}
