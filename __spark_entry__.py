@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from graphview_spark import graph_queries, relational
+    from graphview_spark import algorithms, graph_queries, relational
     from graphview_spark.operators import dedup, multimodal, similarity, text
     from graphview_spark.streaming import events as streaming_events
 
@@ -43,12 +43,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(streaming_events.QUERIES)
+    out.update(algorithms.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each ``queries()`` key."""
-    from graphview_spark import graph_queries, relational
+    from graphview_spark import algorithms, graph_queries, relational
     from graphview_spark.operators import dedup, multimodal, similarity, text
     from graphview_spark.streaming import events as streaming_events
 
@@ -60,4 +61,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(streaming_events.ORACLES)
+    out.update(algorithms.ORACLES)
     return out

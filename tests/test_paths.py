@@ -1,0 +1,129 @@
+"""Var-length path semantics (SURVEY §2.6, DeployScriptTemplate.cs:
+208-341): trails (edge-unique, not node-unique), min=0 empty path,
+unbounded *, bounds, and the node-unique variant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphview_spark.graph import GraphDatabase
+from graphview_spark.matching.pattern import parse_match_paths
+from graphview_spark.matching.paths import var_length_paths
+
+
+@pytest.fixture()
+def diamond(spark):
+    """1→2, 2→3, 3→2 (cycle), 2→4: trails can revisit node 2 via the
+    3→2 back-edge but never reuse an edge."""
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [N] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Edge", Reference:"N"] E VARBINARY(max) )"""
+    )
+    g.execute("INSERT INTO N(id) VALUES(1),(2),(3),(4)")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 2), (2, 4)], "a int, b int"
+    )
+    base = g.catalog.table("N").gid_base()
+    g.insert_edges_df(
+        "N", "E",
+        pairs.select(
+            (F.lit(base) + F.col("a")).cast("long").alias("src"),
+            (F.lit(base) + F.col("b")).cast("long").alias("sink"),
+        ),
+    )
+    return g
+
+
+def _paths(g, spec, **kw):
+    e = parse_match_paths(f"x-[{spec}]->y").edges[0]
+    base = g.catalog.table("N").gid_base()
+    rows = var_length_paths(g, e, "N", "N", **kw).collect()
+    return sorted(
+        (r[f"{e.alias}_start"] - base, r[f"{e.alias}_end"] - base,
+         r[f"{e.alias}_hops"]) for r in rows
+    )
+
+
+def test_bounded_1_2(diamond):
+    got = _paths(diamond, "E*1..2")
+    assert got == sorted([
+        (1, 2, 1), (2, 3, 1), (3, 2, 1), (2, 4, 1),          # 1 hop
+        (1, 3, 2), (1, 4, 2), (2, 2, 2), (3, 3, 2), (3, 4, 2),  # 2 hops
+    ])
+
+
+def test_trail_semantics_edge_unique_not_node_unique(diamond):
+    """1→2→3→2→4 is a valid TRAIL (node 2 twice, all edges distinct) —
+    the reference's ExclusiveEdgeGenerator semantics."""
+    got = _paths(diamond, "E*1..4")
+    assert (1, 4, 4) in got                  # 1-2-3-2-4
+    # but no edge is ever reused: the 5-hop walk 1-2-3-2-3... is illegal
+    assert all(h <= 4 for _, _, h in got)
+
+
+def test_unbounded_star_includes_empty_path(diamond):
+    got = _paths(diamond, "E*")
+    # min=0: every node reaches itself with 0 hops
+    for n in (1, 2, 3, 4):
+        assert (n, n, 0) in got
+    # unbounded converges at the trail bound (4 edges)
+    assert max(h for _, _, h in got) == 4
+    assert (1, 4, 4) in got
+
+
+def test_node_unique_variant(diamond):
+    """bfsPath_DifferNodes: node 2 may not repeat → the 4-hop trail
+    disappears, max useful length is 3."""
+    got = _paths(diamond, "E*1..4", node_unique=True)
+    assert (1, 4, 4) not in got
+    assert (2, 2, 2) not in got              # 2-3-2 revisits start
+    assert (1, 3, 2) in got and (1, 4, 2) in got
+
+
+def test_start_nodes_pushdown_prunes(diamond, spark):
+    base = diamond.catalog.table("N").gid_base()
+    start = spark.createDataFrame([(base + 1,)], "gid long")
+    got = _paths(diamond, "E*1..3", start_nodes=start)
+    assert got and all(s == 1 for s, _, _ in got)
+
+
+def test_per_hop_attr_predicates(spark):
+    """{attr:value} applies at EVERY expansion of the path."""
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [M] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Edge", Reference:"M",
+             Attributes:{kind:"string"}] E VARBINARY(max) )"""
+    )
+    g.execute("INSERT INTO M(id) VALUES(1),(2),(3)")
+    base = g.catalog.table("M").gid_base()
+    pairs = spark.createDataFrame(
+        [(1, 2, "good"), (2, 3, "bad")], "a int, b int, kind string"
+    )
+    g.insert_edges_df(
+        "M", "E",
+        pairs.select(
+            (F.lit(base) + F.col("a")).cast("long").alias("src"),
+            (F.lit(base) + F.col("b")).cast("long").alias("sink"),
+            "kind",
+        ),
+    )
+    e = parse_match_paths("x-[E*1..2 {kind:'good'}]->y").edges[0]
+    rows = var_length_paths(g, e, "M", "M").collect()
+    got = sorted(
+        (r[f"{e.alias}_start"] - base, r[f"{e.alias}_end"] - base) for r in rows
+    )
+    assert got == [(1, 2)]                   # the 'bad' hop never expands
+
+
+def test_path_display_string(diamond):
+    e = parse_match_paths("x-[E*2..2 AS p]->y").edges[0]
+    base = diamond.catalog.table("N").gid_base()
+    rows = var_length_paths(diamond, e, "N", "N").collect()
+    strs = {r["p_path_str"] for r in rows}
+    want = f"{base+1}-[E]->{base+2}-[E]->{base+3}"
+    assert want in strs
