@@ -23,10 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from graphview_spark.relational import q_shipping_priority
+    """Flagship: 2-hop MATCH over the TPC-H-derived property graph —
+    exercises DDL, bulk ingestion, the MATCH planner and the SQL dialect
+    end-to-end (driver checks rows>0 on sf0.001)."""
+    from graphview_spark.graph_queries import q_match_customers_per_region
 
-    return q_shipping_priority(spark, "/root/testdata/sf0.001")
+    return q_match_customers_per_region(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -162,12 +162,109 @@ WHERE round(list_cosine_similarity(x.v, y.v), 4) >= {ANN_COSINE_T}
 """
 
 
+# --------------------------------------------------------------------------
+# IVF: coarse-quantized search (label = pre-assigned coarse cluster)
+# --------------------------------------------------------------------------
+
+IVF_NPROBE = 2
+IVF_K = 3
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: centroids = per-label mean embedding (rounded to
+    6dp so the quantizer is engine-portable); each query probes its
+    IVF_NPROBE nearest centroids and ranks only those labels' vectors.
+    At scale the inverted lists are label-partitioned parquet — a probe
+    reads nprobe/nlist of the corpus instead of all of it."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    # centroid per label: element-wise mean via posexplode → regroup
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+        .withColumnRenamed("label", "c_label")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_w = W.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("c_label").asc()
+    )
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("c_cos", F.round(cosine_col(F.col("qv"), F.col("c")), 6))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "qv", F.col("c_label").alias("label"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        probes.join(emb, "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("qv"), F.col("v")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine", 4).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+ORACLE_SIM_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+comp AS (
+  SELECT label, i AS pos, round(avg(v[i]), 6) AS m
+  FROM e, generate_series(1, {DIM}) AS t(i)
+  GROUP BY label, i),
+cent AS (
+  SELECT label AS c_label, array_agg(m ORDER BY pos) AS c
+  FROM comp GROUP BY label),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, qv, c_label AS label FROM (
+    SELECT query_id, qv, c_label,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(qv, c), 6) DESC,
+                      c_label ASC) AS pr
+    FROM q CROSS JOIN cent)
+  WHERE pr <= {IVF_NPROBE}),
+ranked AS (
+  SELECT query_id, vec_id,
+         round(list_cosine_similarity(qv, v), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(list_cosine_similarity(qv, v), 6) DESC,
+                                     vec_id ASC) AS rank
+  FROM probes JOIN e USING (label)
+  WHERE vec_id <> query_id)
+SELECT query_id, vec_id AS neighbor_id, round(cosine, 4) AS cosine, rank
+FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_ivf_topk": q_sim_ivf_topk,
 }
 
 ORACLES = {
     "sim_topk_bruteforce": ORACLE_SIM_TOPK,
     "sim_ann_lsh": _oracle_ann(),
+    "sim_ivf_topk": ORACLE_SIM_IVF,
 }
