@@ -157,20 +157,25 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    # NB: the permutation index must be captured in a closure factory — a
-    # defaulted lambda parameter (lambda s, i=i: ...) would be treated by
-    # PySpark as the two-arg (element, index) form and bind i to the
-    # array-index *column*.
-    def perm(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
-
-    return sh.select(
+    # One nested-HOF expression computing all signatures at once: the
+    # n_perm-separate-columns form generated n_perm independent wide
+    # expressions whose whole-stage codegen compiled pathologically
+    # (minutes of janino time on occasion); a single sig array keeps the
+    # generated method tiny. Same values, same permutation keying.
+    sig_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+    out = sh.select("doc_id", "sh", sig_arr.alias("sigs"))
+    return out.select(
         "doc_id",
         "sh",
-        *[
-            F.array_min(F.transform(F.col("sh"), perm(i))).alias(f"sig_{i}")
-            for i in range(n_perm)
-        ],
+        *[F.element_at("sigs", i + 1).alias(f"sig_{i}") for i in range(n_perm)],
     )
 
 
@@ -262,23 +267,28 @@ def word_hashes_col(text: Column) -> Column:
 
 def simhash_from_hashes(hs: Column) -> Column:
     """60-bit SimHash from a word-hash array: per bit, strict majority of
-    word-hash bits sets the fingerprint bit. Expressed entirely with
-    higher-order functions — per-row, no shuffle, no UDF."""
-
-    def bit_sum(j: int):
-        return F.aggregate(
-            hs,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)),
-        )
-
+    word-hash bits sets the fingerprint bit. One nested-HOF aggregate
+    over the bit-mask array — per-row, no shuffle, no UDF, and a small
+    generated method (the previous 60-separate-aggregates form compiled
+    pathologically slowly in whole-stage codegen on occasion)."""
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
     n = F.size(hs)
-    fp = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        fp = fp + F.when(bit_sum(j) * 2 > n, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0)
-        )
-    return fp
+    return F.aggregate(
+        masks,
+        F.lit(0).cast("long"),
+        lambda acc, mask: acc
+        + F.when(
+            F.aggregate(
+                hs,
+                F.lit(0).cast("long"),
+                lambda a, h: a
+                + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(0)),
+            )
+            * 2
+            > n,
+            mask,
+        ).otherwise(F.lit(0).cast("long")),
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
