@@ -110,12 +110,24 @@ class GraphDatabase:
             + [T.StructField(n, _spark_type(t), True) for n, t in e.attributes]
         )
 
+    @staticmethod
+    def _edge_id_window(df: DataFrame):
+        """Window assigning edge_id per src. Ordering includes every attr
+        column so edge_id is a stable function of the stored rows: two
+        edges with the same (src, sink) in one batch but different attrs
+        order deterministically; fully identical rows are interchangeable,
+        so any residual tie is unobservable."""
+        attr_cols = [c for c in df.columns if c not in ("src", "sink", "_ord")]
+        return W.partitionBy("src").orderBy(
+            F.col("_ord"), F.col("sink"), *[F.col(c) for c in attr_cols]
+        )
+
     def edge_with_id(self, qualified: str) -> DataFrame:
         """The user-visible edge DataFrame: (src, edge_id, sink, attrs...).
         The window shuffles by ``src`` — the same partitioning every edge
         join uses, so at scale this folds into the existing exchange."""
         df = self.edges[qualified]
-        w = W.partitionBy("src").orderBy(F.col("_ord"), F.col("sink"))
+        w = self._edge_id_window(df)
         attr_cols = [c for c in df.columns if c not in ("src", "sink", "_ord")]
         return df.select(
             "src",
@@ -175,12 +187,15 @@ class GraphDatabase:
             )
         if nid_integral:
             # Scale fast path: an integral NodeId already IS a unique local
-            # sequence — GlobalNodeId = base + start + nodeid is computed
+            # sequence — GlobalNodeId = base + start + nodeid + 1 is computed
             # per-row with NO shuffle (the global row_number window below
-            # would funnel 100 TB through one task).
+            # would funnel 100 TB through one task). The +1 matches
+            # insert_nodes' convention (gid = base + seq + i + 1), so a
+            # NodeId of 0 after prior driver inserts cannot collide with
+            # the current max gid.
             with_id = df.withColumn(
                 "GlobalNodeId",
-                (F.lit(base + start) + F.col(t.node_id_column)).cast("long"),
+                (F.lit(base + start + 1) + F.col(t.node_id_column)).cast("long"),
             )
             hi = df.agg(F.max(F.col(t.node_id_column))).first()[0]
             self._seq[t.name] = start + int(hi or 0) + 1
@@ -302,8 +317,9 @@ class GraphDatabase:
         need no tombstones — the rewrite IS the delete."""
         e = self.catalog.resolve_edge(source_table, edge_name)
         cur = self.edges[e.qualified]
-        w = W.partitionBy("src").orderBy(F.col("_ord"), F.col("sink"))
-        with_id = cur.withColumn("edge_id", F.row_number().over(w).cast("long"))
+        with_id = cur.withColumn(
+            "edge_id", F.row_number().over(self._edge_id_window(cur)).cast("long")
+        )
         survivors = with_id.join(
             matched.select("src", "edge_id"), ["src", "edge_id"], "left_anti"
         ).drop("edge_id")
@@ -466,9 +482,16 @@ class GraphDatabase:
             self.edges[k] = df.localCheckpoint(eager=True)
 
     def save(self, path: str) -> None:
+        import json
+
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "_catalog.json"), "w") as f:
             f.write(self.catalog.to_json())
+        # persist id-assignment state exactly: reconstructing _seq from
+        # max(gid) under-counts by 1 for integral bulk loads (gid =
+        # base+seq+nodeid+1), so a post-reload NodeId-0 row would collide
+        with open(os.path.join(path, "_state.json"), "w") as f:
+            json.dump({"seq": self._seq, "edge_batch": self._edge_batch}, f)
         for name, df in self.nodes.items():
             df.write.mode("overwrite").parquet(os.path.join(path, f"nodes_{name}"))
         for qual, df in self.edges.items():
@@ -477,18 +500,35 @@ class GraphDatabase:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "GraphDatabase":
+        import json
+
         g = cls(spark)
         with open(os.path.join(path, "_catalog.json")) as f:
             g.catalog = GraphCatalog.from_json(f.read())
+        state = None
+        state_path = os.path.join(path, "_state.json")
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                state = json.load(f)
         for name, t in g.catalog.tables.items():
             g.nodes[name] = spark.read.parquet(os.path.join(path, f"nodes_{name}"))
-            row = g.nodes[name].agg(
-                F.max(F.col("GlobalNodeId") - F.lit(t.gid_base()))
-            ).first()
-            g._seq[name] = int(row[0] or 0)
+            if state is not None:
+                g._seq[name] = int(state["seq"].get(name, 0))
+            else:
+                row = g.nodes[name].agg(
+                    F.max(F.col("GlobalNodeId") - F.lit(t.gid_base()))
+                ).first()
+                g._seq[name] = int(row[0] or 0)
             for e in t.edges.values():
                 safe = e.qualified.replace(".", "__")
                 g.edges[e.qualified] = spark.read.parquet(
                     os.path.join(path, f"edges_{safe}")
                 )
+                if state is not None:
+                    g._edge_batch[e.qualified] = int(
+                        state["edge_batch"].get(e.qualified, 0)
+                    )
+                else:
+                    row = g.edges[e.qualified].agg(F.max("_ord")).first()
+                    g._edge_batch[e.qualified] = int(row[0] or -1) + 1
         return g

@@ -73,7 +73,8 @@ _CACHE: dict[str, tuple[int, GraphDatabase]] = {}
 
 
 def _gid(base: int, key_col: str):
-    return (F.lit(base) + F.col(key_col)).cast("long")
+    # mirrors insert_nodes_df's integral fast path: gid = base + key + 1
+    return (F.lit(base + 1) + F.col(key_col)).cast("long")
 
 
 def tpch_graph(spark: SparkSession, sf_dir: str) -> GraphDatabase:

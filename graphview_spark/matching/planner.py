@@ -291,7 +291,7 @@ def _join_edge(
     # first (the reference would use the reversed adjacency column;
     # our edge DF answers both directions, SURVEY §1.4)
     j = cur.join(edf, cur[f"{e.sink_alias}_GlobalNodeId"] == edf[f"{e.alias}_sink"])
-    src_df = _node_df(g, e.src_alias, src_name)
+    src_df = _node_df(g, e.src_alias, src_name, alias_filters)
     bound.add(e.src_alias)
     return j.join(
         src_df, j[f"{e.alias}_src"] == src_df[f"{e.src_alias}_GlobalNodeId"]

@@ -391,7 +391,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
                 )
             ).alias("sh"),
-            (F.col("n_chars") / LENGTH_BAND).cast("long").alias("band"),
+            # floor, not cast: cast-of-double rounds-to-nearest in DuckDB
+            # but truncates in Spark — floor on both sides keeps the band
+            # assignment identical for n_chars/band fractions >= 0.5
+            F.floor(F.col("n_chars") / LENGTH_BAND).cast("long").alias("band"),
         )
         .filter(F.size("sh") > 0)
         .localCheckpoint(eager=True)
@@ -426,7 +429,7 @@ def _oracle_ngram() -> str:
     )
     return f"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w,
-              (n_chars / {LENGTH_BAND})::BIGINT AS band FROM documents),
+              floor(n_chars / {LENGTH_BAND})::BIGINT AS band FROM documents),
 sh AS (SELECT doc_id, band,
        list_distinct(list_transform({_sql_shingles()}, s -> {hex_to_int})) AS sh
        FROM docs),

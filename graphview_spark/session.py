@@ -64,7 +64,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     if name == "events":
         field = dict(zip(df.schema.names, df.schema.fields))
         if isinstance(field["ts"].dataType, T.LongType):
+            # integer division: int64 nanos exceed double's 53-bit mantissa,
+            # so (ts/1000).cast('long') can be off by 1µs vs DuckDB's exact
+            # truncation; `div` stays in integer arithmetic
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
             )
     return df
