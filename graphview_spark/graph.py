@@ -36,8 +36,55 @@ from graphview_spark.ddl import parse_create_node_table
 EDGE_META_COLS = ("src", "edge_id", "sink")
 
 
+class GraphViewError(RuntimeError):
+    """Engine-level error — the analog of the reference's
+    GraphViewException (GraphView/GraphViewException.cs)."""
+
+
 def _spark_type(sql_type: str) -> T.DataType:
     return T._parse_datatype_string(sql_type)
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    raise TypeError(f"unsupported literal type {type(v).__name__}")
+
+
+def _values_df(spark: SparkSession, schema: T.StructType, rows: list[dict]) -> DataFrame:
+    """Literal rows as a JVM-side LocalRelation (SQL VALUES inline table).
+
+    ``spark.createDataFrame`` ships literal rows as a pickled Python RDD:
+    every downstream scan of that plan launches Python workers per task
+    (~0.2s each), and DML/degree plans re-scan it dozens of times — on the
+    F1 fixture that made a 4-row DELETE NODE check take ~50s. A VALUES
+    relation stays in the JVM, participates in whole-stage codegen, and
+    Catalyst constant-folds through it. Falls back to createDataFrame for
+    values without a SQL literal form."""
+    names = [f.name for f in schema.fields]
+    sel = ", ".join(
+        f"CAST({n} AS {f.dataType.simpleString()}) AS {n}"
+        for n, f in zip(names, schema.fields)
+    )
+    if not rows:
+        nulls = "(" + ", ".join("NULL" for _ in names) + ")"
+        return spark.sql(
+            f"SELECT {sel} FROM (VALUES {nulls}) AS t({', '.join(names)}) "
+            "WHERE 1=0"
+        )
+    try:
+        vals = ", ".join(
+            "(" + ", ".join(_sql_lit(r.get(n)) for n in names) + ")" for r in rows
+        )
+    except TypeError:
+        return spark.createDataFrame(rows, schema)
+    return spark.sql(f"SELECT {sel} FROM (VALUES {vals}) AS t({', '.join(names)})")
 
 
 class GraphDatabase:
@@ -83,12 +130,12 @@ class GraphDatabase:
         node_fields = [T.StructField("GlobalNodeId", T.LongType(), False)] + [
             T.StructField(n, _spark_type(t), True) for n, t in props
         ]
-        self.nodes[table.name] = self.spark.createDataFrame([], T.StructType(node_fields))
+        self.nodes[table.name] = _values_df(
+            self.spark, T.StructType(node_fields), []
+        )
         self._seq[table.name] = 0
         for e in edge_defs:
-            self.edges[e.qualified] = self.spark.createDataFrame(
-                [], self._edge_schema(e)
-            )
+            self.edges[e.qualified] = _values_df(self.spark, self._edge_schema(e), [])
             self._edge_batch[e.qualified] = 0
         return table
 
@@ -161,11 +208,8 @@ class GraphDatabase:
                 row[name] = r.get(name)
             data.append(row)
         self._seq[t.name] = start + len(rows)
-        # literal rows: one partition — otherwise each insert contributes
-        # defaultParallelism partitions and later cross joins explode into
-        # (partitions²) tasks
-        new_df = self.spark.createDataFrame(data, self.nodes[t.name].schema).coalesce(1)
-        self.nodes[t.name] = self.nodes[t.name].unionByName(new_df).coalesce(8)
+        new_df = _values_df(self.spark, self.nodes[t.name].schema, data)
+        self.nodes[t.name] = self.nodes[t.name].unionByName(new_df)
 
     def insert_nodes_df(self, table_name: str, df: DataFrame) -> None:
         """Bulk node ingestion from a DataFrame (reference: BulkInsertNode,
@@ -329,20 +373,60 @@ class GraphDatabase:
         self.edges[e.qualified] = survivors.localCheckpoint(eager=True)
 
     def delete_nodes(self, table_name: str, cond) -> None:
-        """DELETE NODE ... WHERE cond — connected nodes are silently kept:
-        the reference conjoins ``InDegree = 0 AND every OutDegree = 0`` to
-        the WHERE clause (TranslateDataModificationVisitor.cs:2085-2188;
-        tutorial InsAndDelTutorial.cs:105-108 'you can not delete a node
-        with edge linked to it')."""
+        """DELETE NODE ... WHERE cond. The reference conjoins
+        ``InDegree = 0 AND every OutDegree = 0`` to the WHERE clause, then
+        runs a check query and RAISES if any matched node still has edges
+        (TranslateDataModificationVisitor.cs:2085-2188, the thrown message
+        is '...still has/have ingoing or outdoing edge(s)'; tutorial
+        InsAndDelTutorial.cs:105-108). Nothing is deleted on failure —
+        statement-level atomicity, same as the reference's transaction."""
         t = self.catalog.table(table_name)
         nodes = self.nodes[t.name]
-        doomed = nodes.filter(cond).select("GlobalNodeId")
-        outd = self.out_degree(t.name).filter(F.col("out_degree") > 0)
-        ind = self.in_degree(t.name).filter(F.col("in_degree") > 0)
-        doomed = doomed.join(outd, "GlobalNodeId", "left_anti").join(
-            ind, "GlobalNodeId", "left_anti"
+        matched = nodes.filter(cond).select("GlobalNodeId")
+        outd = self.out_degree(t.name).filter(F.col("out_degree") > 0).select(
+            "GlobalNodeId"
         )
-        self.nodes[t.name] = nodes.join(doomed, "GlobalNodeId", "left_anti")
+        ind = self.in_degree(t.name).filter(F.col("in_degree") > 0).select(
+            "GlobalNodeId"
+        )
+        n_bad = matched.join(
+            outd.unionByName(ind), "GlobalNodeId", "left_semi"
+        ).count()
+        if n_bad:
+            raise GraphViewError(
+                f"DELETE NODE on '{t.name}': {n_bad} matched node(s) still "
+                "has/have ingoing or outdoing edge(s)"
+            )
+        self.nodes[t.name] = nodes.join(matched, "GlobalNodeId", "left_anti")
+
+    def update_nodes(self, table_name: str, assignments: dict, cond) -> None:
+        """UPDATE of node properties (reference: plain T-SQL UPDATE passed
+        through, WDataModification.cs:386+). Versioned overwrite of the
+        node DataFrame: a single map-only projection — each assigned
+        column becomes ``when(cond, expr).otherwise(old)`` — no join, no
+        shuffle, scale-free. ``assignments`` maps property name → SQL
+        expression string (may reference other columns) or Column."""
+        t = self.catalog.table(table_name)
+        prop_types = dict(t.properties)
+        unknown = [c for c in assignments if c not in prop_types]
+        if unknown:
+            raise GraphViewError(
+                f"UPDATE on '{t.name}': unknown column(s) {unknown}"
+            )
+        cond_col = F.expr(cond) if isinstance(cond, str) else cond
+        cols = [F.col("GlobalNodeId")]
+        for p, typ in t.properties:
+            if p in assignments:
+                v = assignments[p]
+                vcol = F.expr(v) if isinstance(v, str) else v
+                cols.append(
+                    F.when(cond_col, vcol.cast(_spark_type(typ)))
+                    .otherwise(F.col(p))
+                    .alias(p)
+                )
+            else:
+                cols.append(F.col(p))
+        self.nodes[t.name] = self.nodes[t.name].select(*cols)
 
     # ------------------------------------------------------------------
     # Views (SURVEY §2.6 / View.cs)

@@ -17,6 +17,7 @@ Supported statements:
   - INSERT EDGE INTO T.Edge SELECT src_alias, sink_alias[, attr...] FROM ... WHERE ...
   - DELETE EDGE [x]-[E]->[y] FROM ... WHERE ...
   - DELETE NODE FROM T [WHERE ...]
+  - UPDATE T SET col = expr[, ...] [WHERE ...]
 """
 
 from __future__ import annotations
@@ -303,6 +304,9 @@ def execute_statement(g, sql: str) -> DataFrame | None:
     if kw == "DELETE" and kw2 == "NODE":
         _exec_delete_node(g, s)
         return None
+    if kw == "UPDATE":
+        _exec_update(g, s)
+        return None
     raise ValueError(f"unsupported statement: {s[:60]!r}")
 
 
@@ -474,6 +478,44 @@ def _exec_delete_edge(g, sql: str) -> None:
         F.col(f"{e.alias}_edge_id").alias("edge_id"),
     ).distinct()
     g.delete_edges(bindings[e.src_alias], e.edge_name, pairs)
+
+
+def _exec_update(g, sql: str) -> None:
+    """UPDATE T SET col = expr[, ...] [WHERE cond] — node-property update
+    (reference: UPDATE is plain T-SQL passthrough, WDataModification.cs:386+;
+    our facade rewrites the node DF with a map-only projection)."""
+    masked, lits = _mask_strings(sql)
+    m = re.match(
+        r"(?is)^\s*UPDATE\s+(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s+SET\s+"
+        r"(?P<set>.+?)(?:\s+WHERE\s+(?P<where>.+))?$",
+        masked,
+    )
+    if not m:
+        raise ValueError(f"cannot parse UPDATE: {sql[:80]!r}")
+    tbl = m.group("tbl").strip("[]")
+    t = g.catalog.table(tbl)
+
+    def strip_qual(txt: str) -> str:
+        # People.name → name (single-table statement, like DELETE NODE)
+        return re.sub(
+            rf"\b{re.escape(t.name)}\s*\.\s*(\w+)", r"\1", txt, flags=re.IGNORECASE
+        )
+
+    assignments: dict[str, str] = {}
+    for item in _split_depth0(m.group("set"), ","):
+        am = re.match(
+            r"(?s)\s*(?:\[(?P<bcol>[^\]]+)\]|(?P<col>[A-Za-z_]\w*))\s*=\s*(?P<val>.+)$",
+            item,
+        )
+        if not am:
+            raise ValueError(f"cannot parse SET item: {item!r}")
+        col = (am.group("bcol") or am.group("col")).strip()
+        assignments[col] = _unmask(strip_qual(am.group("val").strip()), lits)
+    if m.group("where"):
+        cond = F.expr(_unmask(strip_qual(m.group("where")), lits))
+    else:
+        cond = F.lit(True)
+    g.update_nodes(tbl, assignments, cond)
 
 
 def _exec_delete_node(g, sql: str) -> None:

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from graphview_spark.graph import GraphDatabase
+from graphview_spark.graph import GraphDatabase, GraphViewError
 
 
 @pytest.fixture()
@@ -78,6 +78,41 @@ def test_delete_node_guards_connected(people):
     people.execute("DELETE EDGE [x]-[Knows]->[y] FROM People as x, People as y")
     people.execute("DELETE NODE FROM People")
     assert people.execute("SELECT * FROM [People]").count() == 0
+
+
+def test_delete_node_raises_on_connected(people):
+    # Bob has edges; the reference throws '...still has/have ingoing or
+    # outdoing edge(s)' (TranslateDataModificationVisitor.cs:2164-2179)
+    with pytest.raises(GraphViewError, match="ingoing or outdoing"):
+        people.execute("DELETE NODE FROM People WHERE People.name = 'Bob'")
+    # atomicity: nothing was deleted
+    assert people.execute("SELECT * FROM People").count() == 4
+    # a bare DELETE NODE FROM People matches connected nodes too -> raises
+    with pytest.raises(GraphViewError):
+        people.execute("DELETE NODE FROM People")
+
+
+def test_update_node_properties(people):
+    people.execute("UPDATE People SET name = 'Bobby' WHERE People.name = 'Bob'")
+    names = sorted(
+        r["name"] for r in people.execute("SELECT * FROM People").collect()
+    )
+    assert names == ["Alice", "Bobby", "Caven", "David"]
+    # expression referencing another column + no WHERE (all rows)
+    people.execute("UPDATE People SET id = id + 100")
+    ids = sorted(r["id"] for r in people.execute("SELECT * FROM People").collect())
+    assert ids == [101, 102, 103, 104]
+    # the graph structure is untouched: Bobby still knows Caven and David
+    res = people.execute(
+        """SELECT y.name AS name2 FROM People x, People y
+           MATCH x-[Knows]->y WHERE x.name = 'Bobby'"""
+    )
+    assert sorted(r["name2"] for r in res.collect()) == ["Caven", "David"]
+
+
+def test_update_unknown_column_raises(people):
+    with pytest.raises(GraphViewError, match="unknown column"):
+        people.execute("UPDATE People SET nope = 1")
 
 
 def test_degrees(people):
