@@ -349,6 +349,86 @@ GROUP BY n_name
 """
 
 
+# --------------------------------------------------------------------------
+# EXISTS subquery against a non-pattern node table inside a MATCH statement
+# (reference: arbitrary T-SQL around MATCH, GraphViewParser.cs:1605-1640)
+# --------------------------------------------------------------------------
+
+def q_match_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return g.execute(
+        """SELECT C.c_custkey AS cust, N.n_name AS nation
+           FROM Customer C, Nation N
+           MATCH C-[FromNation]->N
+           WHERE C.c_custkey <= 200 AND EXISTS (
+               SELECT 1 FROM Orders O WHERE O.o_orderkey = C.c_custkey)"""
+    )
+
+
+ORACLE_MATCH_EXISTS_SUBQUERY = """
+SELECT c_custkey AS cust, n_name AS nation
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey <= 200
+  AND EXISTS (SELECT 1 FROM orders WHERE o_orderkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Qualified JOIN between a MATCH pattern and a plain table in the FROM list
+# (reference passthrough, WTableReference.cs:371-431)
+# --------------------------------------------------------------------------
+
+def q_match_join_qualified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return g.execute(
+        """SELECT C.c_custkey AS cust, N.n_name AS nation,
+                  O.o_totalprice AS price
+           FROM Customer C, Nation N LEFT JOIN Orders O
+                ON O.o_orderkey = C.c_custkey
+           MATCH C-[FromNation]->N
+           WHERE C.c_custkey <= 100"""
+    )
+
+
+ORACLE_MATCH_JOIN_QUALIFIED = """
+SELECT c.c_custkey AS cust, n_name AS nation, o.o_totalprice AS price
+FROM customer c
+JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN orders o ON o.o_orderkey = c.c_custkey
+WHERE c.c_custkey <= 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Reserved InDegree/OutDegree output columns (GraphViewKeywords.cs:40-49)
+# --------------------------------------------------------------------------
+
+def q_match_degree_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return g.execute(
+        """SELECT C.c_custkey AS cust, C.OutDegree AS outd, C.InDegree AS ind
+           FROM Customer C, Nation N
+           MATCH C-[FromNation]->N
+           WHERE C.c_custkey <= 100"""
+    )
+
+
+ORACLE_MATCH_DEGREE_COLS = f"""
+WITH refers AS ({_ORACLE_REFERS}),
+rc AS (SELECT src, count(*) AS n FROM refers GROUP BY src),
+rp AS (SELECT sink, count(*) AS n FROM refers GROUP BY sink),
+oc AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+SELECT c.c_custkey AS cust,
+       (1 + coalesce(rc.n, 0) + coalesce(oc.n, 0))::BIGINT AS outd,
+       coalesce(rp.n, 0)::BIGINT AS ind
+FROM customer c
+LEFT JOIN rc ON rc.src = c.c_custkey
+LEFT JOIN rp ON rp.sink = c.c_custkey
+LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+WHERE c.c_custkey <= 100
+"""
+
+
 QUERIES = {
     "match_customers_per_region": q_match_customers_per_region,
     "match_shared_nation": q_match_shared_nation,
@@ -357,6 +437,9 @@ QUERIES = {
     "match_refer_path": q_match_refer_path,
     "match_party_view": q_match_party_view,
     "match_edge_view": q_match_edge_view,
+    "match_exists_subquery": q_match_exists_subquery,
+    "match_join_qualified": q_match_join_qualified,
+    "match_degree_cols": q_match_degree_cols,
 }
 
 ORACLES = {
@@ -367,4 +450,7 @@ ORACLES = {
     "match_refer_path": ORACLE_MATCH_REFER_PATH,
     "match_party_view": ORACLE_MATCH_PARTY_VIEW,
     "match_edge_view": ORACLE_MATCH_EDGE_VIEW,
+    "match_exists_subquery": ORACLE_MATCH_EXISTS_SUBQUERY,
+    "match_join_qualified": ORACLE_MATCH_JOIN_QUALIFIED,
+    "match_degree_cols": ORACLE_MATCH_DEGREE_COLS,
 }

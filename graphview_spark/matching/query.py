@@ -142,11 +142,43 @@ def _is_kw(text: str, i: int, length: int) -> bool:
 def _parse_from_list(from_text: str) -> dict[str, str]:
     """``People A, People as B, [Book] C`` → {A: People, B: People, C: Book}.
     Order-preserving (dicts are)."""
+    return _parse_from(from_text)[0]
+
+
+_JOIN_KW = re.compile(r"(?i)^(LEFT|RIGHT|FULL|INNER|CROSS|JOIN)\b")
+
+
+def _find_join_depth0(text: str) -> int:
+    """Index of the first depth-0 JOIN-clause keyword, or -1."""
+    depth = 0
+    for i, ch in enumerate(text):
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif depth == 0 and _JOIN_KW.match(text[i:]):
+            before = text[i - 1] if i > 0 else " "
+            if not before.isalnum() and before != "_":
+                return i
+    return -1
+
+
+def _parse_from(from_text: str) -> tuple[dict[str, str], list[str]]:
+    """Split the FROM list into alias bindings (each comma entry's leading
+    ``Table [AS] alias``) and qualified-JOIN tails, which the reference
+    passes through as plain T-SQL (WTableReference.cs:371-431):
+    ``People A, Nation N LEFT JOIN Orders O ON ...`` →
+    ({A: People, N: Nation}, ["LEFT JOIN Orders O ON ..."])."""
     bindings: dict[str, str] = {}
+    tails: list[str] = []
     for entry in _split_depth0(from_text, ","):
         entry = entry.strip()
         if not entry:
             continue
+        jpos = _find_join_depth0(entry)
+        if jpos > 0:
+            tails.append(entry[jpos:].strip())
+            entry = entry[:jpos].strip()
         entry = _strip_ident_brackets(entry)
         parts = re.split(r"\s+", entry)
         if len(parts) >= 3 and parts[1].lower() == "as":
@@ -155,7 +187,7 @@ def _parse_from_list(from_text: str) -> dict[str, str]:
             bindings[parts[1]] = parts[0]
         else:
             bindings[parts[0]] = parts[0]
-    return bindings
+    return bindings, tails
 
 
 def _split_depth0(text: str, sep: str) -> list[str]:
@@ -263,6 +295,8 @@ def _pushable_filters(
     for conj in _split_and_depth0(where_masked):
         if re.search(r"(?i)\bSELECT\b", conj):
             continue                     # subqueries never push
+        if _DEGREE_REF.search(conj):
+            continue                     # degree columns join in later
         refs = {
             m.group(1)
             for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*\w+", conj)
@@ -334,12 +368,17 @@ def _exec_select(g, sql: str) -> DataFrame:
         return g.spark.sql(_unmask(plain, lits))
 
     pattern = parse_match_paths(_unmask(clauses["match"], lits))
-    bindings = _parse_from_list(_unmask(clauses["from"], lits))
+    bindings, join_tails = _parse_from(clauses["from"])
     alias_filters = _pushable_filters(
         g, clauses.get("where", ""), bindings, pattern, lits
     )
     matched = plan_match(g, pattern, bindings, alias_filters)
+    matched = _attach_degree_columns(g, matched, masked, bindings)
     matched.createOrReplaceTempView("__match_result")
+    # node tables/views resolve as temp views too, so subqueries and
+    # qualified JOINs against non-pattern tables work (the reference allows
+    # arbitrary T-SQL around MATCH, GraphViewParser.cs:1605-1640)
+    _register_views(g)
 
     select_list = clauses["select"].strip()
     if select_list == "*":
@@ -350,7 +389,12 @@ def _exec_select(g, sql: str) -> DataFrame:
     else:
         select_list = _rewrite_refs(g, select_list, bindings, pattern)
 
-    out = [f"SELECT {clauses['distinct']}{select_list} FROM __match_result"]
+    from_sql = "__match_result"
+    for tail in join_tails:
+        from_sql += " " + _strip_ident_brackets(
+            _rewrite_refs(g, tail, bindings, pattern)
+        )
+    out = [f"SELECT {clauses['distinct']}{select_list} FROM {from_sql}"]
     for key, kw in [("where", "WHERE"), ("group", "GROUP BY"),
                     ("having", "HAVING"), ("order", "ORDER BY")]:
         if clauses.get(key):
@@ -360,6 +404,48 @@ def _exec_select(g, sql: str) -> DataFrame:
     elif clauses.get("top"):
         out.append(f"LIMIT {clauses['top']}")
     return g.spark.sql(_unmask(" ".join(out), lits))
+
+
+_DEGREE_REF = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*(InDegree|OutDegree)\b")
+
+
+def _attach_degree_columns(g, matched: DataFrame, masked: str,
+                           bindings: dict[str, str]) -> DataFrame:
+    """Make ``A.InDegree`` / ``A.OutDegree`` addressable in the dialect
+    (reserved output columns, GraphViewKeywords.cs:40-49): every referenced
+    (alias, kind) pair left-joins the computed degree aggregate onto the
+    match result as ``{alias}_{kind}`` (0 for isolated nodes). The degree
+    aggregate is one map-side-combinable groupBy on the edge DF — at scale
+    the join key is the same GlobalNodeId partitioning every pattern join
+    already uses."""
+    refs = {
+        (a, kind)
+        for a, kind in _DEGREE_REF.findall(masked)
+        if a in bindings
+    }
+    for alias, kind in sorted(refs):
+        name = bindings[alias]
+        if not g.catalog.has_table(name):
+            raise ValueError(
+                f"{alias}.{kind}: degree columns are supported on node "
+                f"tables, not node views ('{name}')"
+            )
+        if kind == "OutDegree":
+            deg = g.out_degree(name)
+            src_col = "out_degree"
+        else:
+            deg = g.in_degree(name)
+            src_col = "in_degree"
+        key = f"{alias}_GlobalNodeId"
+        deg = deg.select(
+            F.col("GlobalNodeId").alias(key),
+            F.col(src_col).alias(f"{alias}_{kind}"),
+        )
+        matched = matched.join(deg, key, "left").withColumn(
+            f"{alias}_{kind}",
+            F.coalesce(F.col(f"{alias}_{kind}"), F.lit(0).cast("long")),
+        )
+    return matched
 
 
 def _prefixed_star(g, alias: str, name: str) -> str:

@@ -115,6 +115,50 @@ def test_update_unknown_column_raises(people):
         people.execute("UPDATE People SET nope = 1")
 
 
+def test_match_where_exists_subquery(people):
+    # non-pattern node tables resolve inside a MATCH statement's WHERE
+    # (reference allows arbitrary T-SQL around MATCH,
+    # GraphViewParser.cs:1605-1640)
+    r = people.execute(
+        """SELECT y.name AS n FROM People x, People y
+           MATCH x-[Knows]->y
+           WHERE EXISTS (SELECT 1 FROM People p
+                         WHERE p.name = 'Alice' AND p.id < y.id)"""
+    )
+    assert sorted(row["n"] for row in r.collect()) == ["Bob", "Caven", "David"]
+
+
+def test_match_qualified_join_in_from(people):
+    # JOIN ... ON between a pattern table and a plain table
+    # (WTableReference.cs:371-431 passthrough)
+    r = people.execute(
+        """SELECT x.name AS a, y.name AS b, o.name AS same_id
+           FROM People x, People y LEFT JOIN People o ON o.id = x.id
+           MATCH x-[Knows]->y"""
+    )
+    rows = sorted((row["a"], row["b"], row["same_id"]) for row in r.collect())
+    assert rows == [
+        ("Alice", "Bob", "Alice"),
+        ("Bob", "Caven", "Bob"),
+        ("Bob", "David", "Bob"),
+    ]
+
+
+def test_degree_columns_in_dialect(people):
+    # reserved InDegree/OutDegree output columns (GraphViewKeywords.cs:40-49)
+    r = people.execute(
+        """SELECT x.name AS n, x.OutDegree AS outd, x.InDegree AS ind
+           FROM People x, People y MATCH x-[Knows]->y"""
+    )
+    rows = sorted({(row["n"], row["outd"], row["ind"]) for row in r.collect()})
+    assert rows == [("Alice", 1, 0), ("Bob", 2, 1)]
+    r = people.execute(
+        """SELECT DISTINCT x.name AS n FROM People x, People y
+           MATCH x-[Knows]->y WHERE x.OutDegree >= 2"""
+    )
+    assert [row["n"] for row in r.collect()] == ["Bob"]
+
+
 def test_degrees(people):
     outd = {
         r["GlobalNodeId"]: r["out_degree"]
