@@ -68,20 +68,26 @@ def pagerank(
             .groupBy("GlobalNodeId")
             .agg(F.sum("c").alias("received"))
         )
+        # dangling mass as a broadcast 1-row aggregate inside the SAME job
+        # as the rank update — no .first() driver sync per iteration (the
+        # checkpoint materialization is the only action per round)
         dangling = (
             ranks.join(degrees, ranks["GlobalNodeId"] == degrees["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.select("GlobalNodeId")
             .join(contribs, "GlobalNodeId", "left")
+            .join(F.broadcast(dangling))
             .select(
                 "GlobalNodeId",
                 (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("received"), F.lit(0.0))
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.col("_dang") / F.lit(float(n))
+                        + F.coalesce(F.col("received"), F.lit(0.0))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
@@ -109,6 +115,9 @@ def connected_components(
             .groupBy("GlobalNodeId")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # carry a per-row changed flag through the checkpoint: the
+        # convergence test becomes one cheap aggregate over materialized
+        # rows instead of a second join+filter recompute per round
         updated = (
             labels.join(neighbor_min, "GlobalNodeId", "left")
             .select(
@@ -116,25 +125,23 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).cast("int").alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "GlobalNodeId")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.agg(F.coalesce(F.max("_chg"), F.lit(0))).first()[0]
+        labels = updated.drop("_chg")
         if changed == 0:
             break
     return labels
 
 
 # --------------------------------------------------------------------------
-# correctness-gate entries (iterative → no SQL oracle; rows-only check,
-# exact values asserted in tests/test_algorithms.py instead)
+# correctness-gate entries. Iterative fixpoints ARE oracle-expressible when
+# the iteration count is fixed: PageRank unrolls its 5 rounds into chained
+# CTEs; components is a min-label fixpoint via DuckDB's recursive CTE.
+# Exact small-fixture values are additionally asserted in
+# tests/test_algorithms.py.
 # --------------------------------------------------------------------------
 
 def q_graph_pagerank(spark, sf_dir: str) -> DataFrame:
@@ -168,10 +175,70 @@ def q_graph_components(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_pagerank(iterations: int = 5, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank as plain SQL: each round is one chained CTE
+    (r1..rN), so DuckDB evaluates exactly the same recurrence the Spark
+    loop does — same dangling-mass redistribution, same double arithmetic."""
+    from graphview_spark.graph_queries import _ORACLE_REFERS
+
+    def step(prev: str) -> str:
+        return f"""
+  SELECT nd.id AS id,
+         {1.0 - damping} / nn.N
+         + {damping} * (dang.s / nn.N + coalesce(ct.contrib, 0)) AS rank
+  FROM (SELECT c_custkey AS id FROM customer) nd
+  CROSS JOIN nn
+  CROSS JOIN (SELECT coalesce(sum(p.rank), 0) AS s
+              FROM {prev} p LEFT JOIN deg ON deg.src = p.id
+              WHERE deg.src IS NULL) dang
+  LEFT JOIN (SELECT e.sink AS id, sum(p.rank / deg.d) AS contrib
+             FROM {prev} p
+             JOIN deg ON deg.src = p.id
+             JOIN refers e ON e.src = p.id
+             GROUP BY e.sink) ct ON ct.id = nd.id"""
+
+    ctes = [
+        f"refers AS ({_ORACLE_REFERS})",
+        "nn AS (SELECT count(*)::DOUBLE AS N FROM customer)",
+        "deg AS (SELECT src, count(*) AS d FROM refers GROUP BY src)",
+        "r0 AS (SELECT c_custkey AS id, 1.0 / (SELECT N FROM nn) AS rank "
+        "FROM customer)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"r{i} AS ({step(f'r{i - 1}')})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS c_custkey, round(rank, 8) AS rank FROM r{iterations}"
+    )
+
+
+def _oracle_components() -> str:
+    """Min-label connected components as a recursive closure: reach holds
+    (node, label of every node in its component); min(label) per node is
+    the component id. Quadratic in component size — fine at the sf0.01
+    gate, which is the only place this SQL runs."""
+    from graphview_spark.graph_queries import _ORACLE_REFERS
+
+    return f"""
+WITH RECURSIVE refers AS ({_ORACLE_REFERS}),
+sym AS (SELECT src, sink FROM refers UNION ALL SELECT sink, src FROM refers),
+reach(id, label) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT s.sink, r.label FROM reach r JOIN sym s ON s.src = r.id
+),
+comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, count(*) AS n_nodes FROM comp GROUP BY component)
+SELECT count(*) AS n_components, max(n_nodes) AS largest FROM sizes
+"""
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_components": q_graph_components,
 }
 
-# no ORACLES on purpose: driver records rows-only (weak) checks for these
-ORACLES: dict[str, str] = {}
+ORACLES = {
+    "graph_pagerank": _oracle_pagerank(),
+    "graph_components": _oracle_components(),
+}

@@ -248,9 +248,18 @@ class GraphDatabase:
             )
             return
         if t.node_id_column:
-            w = W.orderBy(F.col(t.node_id_column))
-            with_id = df.withColumn(
-                "GlobalNodeId", F.lit(base + start) + F.row_number().over(w)
+            # deterministic (sorted by NodeId) AND distributed: range
+            # partitioning + in-partition sort gives a global order, and
+            # zipWithIndex assigns contiguous ids with one small count job
+            # per partition — a global row_number() window would funnel
+            # the whole load through a single task
+            ordered = df.repartitionByRange(
+                max(df.rdd.getNumPartitions(), 1), F.col(t.node_id_column)
+            ).sortWithinPartitions(t.node_id_column)
+            with_id = (
+                ordered.rdd.zipWithIndex()
+                .map(lambda p: (base + start + p[1] + 1, *p[0]))
+                .toDF(["GlobalNodeId"] + cols)
             )
         else:
             with_id = (
@@ -260,8 +269,12 @@ class GraphDatabase:
             )
         n = df.count()
         self._seq[t.name] = start + n
+        # RDD roundtrip re-infers types (INT -> LONG etc.); cast back to
+        # the declared node schema before the union
         self.nodes[t.name] = self.nodes[t.name].unionByName(
-            with_id.select("GlobalNodeId", *cols)
+            self._cast_to(
+                with_id.select("GlobalNodeId", *cols), self.nodes[t.name].schema
+            )
         )
 
     # ------------------------------------------------------------------

@@ -101,15 +101,14 @@ def var_length_paths(
     if node_unique:
         frontier = frontier.filter(F.col("start") != F.col("end"))
     frontier = frontier.localCheckpoint(eager=True)
+    frontier_empty = frontier.isEmpty()
 
     collected: list[DataFrame] = []
-    if min_len <= 1:
+    if min_len <= 1 and not frontier_empty:
         collected.append(frontier)
 
     hop = 1
-    while hop < max_len and hop < _MAX_SAFETY_ITER:
-        if frontier.isEmpty():
-            break
+    while hop < max_len and hop < _MAX_SAFETY_ITER and not frontier_empty:
         nxt = (
             frontier.join(edges, frontier["end"] == edges["src"])
             .filter(~F.array_contains(F.col("used_edges"), F.col("_ekey")))
@@ -131,10 +130,11 @@ def var_length_paths(
         ).localCheckpoint(eager=True)
         hop += 1
         frontier = nxt
-        if hop >= min_len and not nxt.isEmpty():
+        # one emptiness probe per hop over the just-materialized frontier
+        # (the double isEmpty() here used to cost two jobs per hop)
+        frontier_empty = nxt.isEmpty()
+        if hop >= min_len and not frontier_empty:
             collected.append(nxt)
-        if nxt.isEmpty():
-            break
 
     parts = []
     if min_len == 0:

@@ -66,9 +66,11 @@ def bulk_insert_nodes(
     for p, typ in t.properties:
         if p not in seen:
             sel.append(F.lit(None).cast(typ).alias(p))
-    before = g.nodes[t.name].count()
+    # count the input once instead of scanning the (growing) node union
+    # twice — at scale those were two extra full passes
+    n = df.count()
     g.insert_nodes_df(t.name, df.select(*sel))
-    return g.nodes[t.name].count() - before
+    return n
 
 
 def bulk_insert_edges(
@@ -114,23 +116,33 @@ def bulk_insert_edges(
     src_key_t = dict(src_t.properties)[src_t.node_id_column]
     sink_key_t = dict(sink_t.properties)[sink_t.node_id_column]
 
-    n_rows = df.count()
-    resolved = (
-        df.join(src_nodes, df[src_c].cast(src_key_t) == src_nodes["__src_key"])
-        .join(sink_nodes, df[sink_c].cast(sink_key_t) == sink_nodes["__sink_key"])
+    # left joins + one aggregate compute total and resolved counts in a
+    # single pass (the FK check used to cost two full scans)
+    joined = (
+        df.join(
+            src_nodes, df[src_c].cast(src_key_t) == src_nodes["__src_key"], "left"
+        ).join(
+            sink_nodes,
+            df[sink_c].cast(sink_key_t) == sink_nodes["__sink_key"],
+            "left",
+        )
     )
+    ok = F.col("__src_gid").isNotNull() & F.col("__sink_gid").isNotNull()
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(ok, 1)).alias("n_ok"),
+    ).first()
+    n_rows, n_resolved = row["n"], row["n_ok"]
+    if n_resolved < n_rows:
+        raise ValueError(
+            f"{n_rows - n_resolved} of {n_rows} edge rows reference "
+            f"unknown node ids"
+        )
     pairs_cols = [
         F.col("__src_gid").alias("src"),
         F.col("__sink_gid").alias("sink"),
     ]
     for expr, (aname, atype) in zip(attrs, e.attributes):
         pairs_cols.append(F.col(expr).cast(atype).alias(aname))
-    pairs = resolved.select(*pairs_cols)
-    n_resolved = pairs.count()
-    if n_resolved < n_rows:
-        raise ValueError(
-            f"{n_rows - n_resolved} of {n_rows} edge rows reference "
-            f"unknown node ids"
-        )
-    g.insert_edges_df(e.source_table, e.name, pairs)
+    g.insert_edges_df(e.source_table, e.name, joined.select(*pairs_cols))
     return n_resolved

@@ -78,6 +78,34 @@ def test_bulk_edges_and_match(g, tmp_path):
                    ("Bob", "Caven", 2021)]
 
 
+def test_bulk_string_nodeids_distributed(spark, tmp_path):
+    # non-integral NodeIds: gid assignment must stay distributed — no
+    # global row_number window funneling the load through one task
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [Account] (
+            [ColumnRole:"NodeId"] handle varchar(32),
+            [ColumnRole:"Property"] label varchar(32) )"""
+    )
+    p = _write(tmp_path, "accounts.csv", [
+        "handle,label", "zoe,z", "amy,a", "mia,m", "bea,b",
+    ])
+    n = bulk_insert_nodes(g, "Account", p)
+    assert n == 4
+    rows = {r["handle"]: r["GlobalNodeId"] for r in g.nodes["Account"].collect()}
+    # deterministic: gids follow NodeId sort order
+    ordered = sorted(rows)
+    gids = [rows[h] for h in ordered]
+    assert gids == sorted(gids) and len(set(gids)) == 4
+    plan = g.nodes["Account"]._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # a second load continues the sequence without collisions
+    p2 = _write(tmp_path, "more.csv", ["handle,label", "ned,n"])
+    bulk_insert_nodes(g, "Account", p2)
+    all_gids = [r["GlobalNodeId"] for r in g.nodes["Account"].collect()]
+    assert len(set(all_gids)) == 5
+
+
 def test_bulk_edges_unresolved_raises(g, tmp_path):
     nodes = _write(tmp_path, "n.csv", ["pid,name", "1,Alice"])
     bulk_insert_nodes(g, "Person", nodes)
