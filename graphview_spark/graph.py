@@ -97,6 +97,11 @@ class GraphDatabase:
         self.edges: dict[str, DataFrame] = {}          # "Table.Edge" -> edge DF
         self._seq: dict[str, int] = {}                 # table name -> next local seq
         self._edge_batch: dict[str, int] = {}          # "Table.Edge" -> next _ord
+        # cheap cached cardinalities for the MATCH planner's greedy join
+        # order (the reference's AverageDegree statistics,
+        # MatchGraphInterface.cs:47-189); invalidated by DML
+        self._edge_counts: dict[str, int] = {}
+        self._node_counts: dict[str, int] = {}
 
     # ------------------------------------------------------------------
     # DDL
@@ -208,6 +213,7 @@ class GraphDatabase:
                 row[name] = r.get(name)
             data.append(row)
         self._seq[t.name] = start + len(rows)
+        self._node_counts.pop(t.name, None)
         new_df = _values_df(self.spark, self.nodes[t.name].schema, data)
         self.nodes[t.name] = self.nodes[t.name].unionByName(new_df)
 
@@ -243,6 +249,7 @@ class GraphDatabase:
             )
             hi = df.agg(F.max(F.col(t.node_id_column))).first()[0]
             self._seq[t.name] = start + int(hi or 0) + 1
+            self._node_counts.pop(t.name, None)
             self.nodes[t.name] = self.nodes[t.name].unionByName(
                 with_id.select("GlobalNodeId", *cols)
             )
@@ -269,6 +276,7 @@ class GraphDatabase:
             )
         n = df.count()
         self._seq[t.name] = start + n
+        self._node_counts.pop(t.name, None)
         # RDD roundtrip re-infers types (INT -> LONG etc.); cast back to
         # the declared node schema before the union
         self.nodes[t.name] = self.nodes[t.name].unionByName(
@@ -300,6 +308,7 @@ class GraphDatabase:
                 pairs = pairs.withColumn(c, F.lit(None))
         batch = self._edge_batch.get(e.qualified, 0)
         self._edge_batch[e.qualified] = batch + 1
+        self._edge_counts.pop(e.qualified, None)
         new_edges = pairs.withColumn("_ord", F.lit(batch).cast("long"))
         self.edges[e.qualified] = cur.unionByName(
             self._cast_to(new_edges, self._edge_schema(e))
@@ -309,6 +318,25 @@ class GraphDatabase:
         return df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
+
+    # ------------------------------------------------------------------
+    # Planner statistics (cached counts — the Spark stand-in for the
+    # reference's AverageDegree metadata, MatchGraphInterface.cs:47-189)
+    # ------------------------------------------------------------------
+    def edge_count(self, qualified: str) -> int:
+        n = self._edge_counts.get(qualified)
+        if n is None:
+            n = self.edges[qualified].count()
+            self._edge_counts[qualified] = n
+        return n
+
+    def node_count(self, table_name: str) -> int:
+        name = self.catalog.table(table_name).name
+        n = self._node_counts.get(name)
+        if n is None:
+            n = self.nodes[name].count()
+            self._node_counts[name] = n
+        return n
 
     # ------------------------------------------------------------------
     # Degrees (computed, not stored — SURVEY §1.4)
@@ -383,6 +411,7 @@ class GraphDatabase:
         # materialize: matched usually derives from this same edge DF, and
         # remaining edges renumber on the next derive (the reference's
         # Recycle compaction, GraphViewConnection.cs:2995-3075)
+        self._edge_counts.pop(e.qualified, None)
         self.edges[e.qualified] = survivors.localCheckpoint(eager=True)
 
     def delete_nodes(self, table_name: str, cond) -> None:
@@ -410,6 +439,7 @@ class GraphDatabase:
                 f"DELETE NODE on '{t.name}': {n_bad} matched node(s) still "
                 "has/have ingoing or outdoing edge(s)"
             )
+        self._node_counts.pop(t.name, None)
         self.nodes[t.name] = nodes.join(matched, "GlobalNodeId", "left_anti")
 
     def update_nodes(self, table_name: str, assignments: dict, cond) -> None:

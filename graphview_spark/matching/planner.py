@@ -73,8 +73,8 @@ def _member_tables(g, name: str) -> list[str]:
     raise MatchPlanError(f"unknown node source '{name}'")
 
 
-def _edge_df(g, e: PatternEdge, src_name: str, sink_name: str, raw: bool = False) -> DataFrame:
-    """Resolve a pattern edge to its physical edge DataFrame(s).
+def _resolve_edge_types(g, e: PatternEdge, src_name: str, sink_name: str) -> list[EdgeType]:
+    """Resolve a pattern edge to its physical edge type(s).
 
     Binding rules (reference: TranslateMatchClauseVisitor.cs:311-340,
     CheckValidity :434-517): the edge must be declared on the source
@@ -84,7 +84,7 @@ def _edge_df(g, e: PatternEdge, src_name: str, sink_name: str, raw: bool = False
     """
     sink_members = {m.lower() for m in _member_tables(g, sink_name)}
     ev = g.catalog.edge_view(e.edge_name)
-    parts: list[DataFrame] = []
+    out: list[EdgeType] = []
     if ev is not None:
         src_members = {m.lower() for m in _member_tables(g, src_name)}
         for tbl, edge in ev.members:
@@ -93,35 +93,66 @@ def _edge_df(g, e: PatternEdge, src_name: str, sink_name: str, raw: bool = False
                 continue
             if et.sink_table.lower() not in sink_members:
                 continue
-            parts.append(_one_edge_df(g, et, e, raw))
-        if not parts:
+            out.append(et)
+        if not out:
             raise MatchPlanError(
                 f"edge view '{e.edge_name}' has no member binding "
                 f"{src_name} -> {sink_name}"
             )
-    else:
-        matched: list[EdgeType] = []
-        for tbl in _member_tables(g, src_name):
-            t = g.catalog.table(tbl)
-            et = t.edges.get(e.edge_name.lower())
-            if et is not None:
-                matched.append(et)
-        if not matched:
+        return out
+    matched: list[EdgeType] = []
+    for tbl in _member_tables(g, src_name):
+        t = g.catalog.table(tbl)
+        et = t.edges.get(e.edge_name.lower())
+        if et is not None:
+            matched.append(et)
+    if not matched:
+        raise MatchPlanError(
+            f"edge '{e.edge_name}' is not declared on '{src_name}' "
+            f"(reference CheckValidity, TranslateMatchClauseVisitor.cs:434-517)"
+        )
+    for et in matched:
+        if et.sink_table.lower() not in sink_members:
             raise MatchPlanError(
-                f"edge '{e.edge_name}' is not declared on '{src_name}' "
-                f"(reference CheckValidity, TranslateMatchClauseVisitor.cs:434-517)"
+                f"edge '{et.qualified}' references '{et.sink_table}', "
+                f"but the pattern's sink is '{sink_name}'"
             )
-        for et in matched:
-            if et.sink_table.lower() not in sink_members:
-                raise MatchPlanError(
-                    f"edge '{et.qualified}' references '{et.sink_table}', "
-                    f"but the pattern's sink is '{sink_name}'"
-                )
-            parts.append(_one_edge_df(g, et, e, raw))
+    return matched
+
+
+def _edge_df(g, e: PatternEdge, src_name: str, sink_name: str, raw: bool = False) -> DataFrame:
+    """Resolve a pattern edge to its physical edge DataFrame(s)."""
+    parts = [
+        _one_edge_df(g, et, e, raw)
+        for et in _resolve_edge_types(g, e, src_name, sink_name)
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def _edge_fanout(g, e: PatternEdge, bindings: dict[str, str]) -> tuple[float, float]:
+    """(forward, reverse) expansion estimates for a pattern edge — the
+    reference's AverageDegree ordering statistic
+    (MatchGraphInterface.cs:47-189). forward = edges per source node (how
+    much the frontier multiplies when the src alias is bound), reverse =
+    edges per sink node. Counts are cached on the GraphDatabase and
+    invalidated by DML, so this costs nothing per query in steady state."""
+    try:
+        ets = _resolve_edge_types(
+            g, e, bindings[e.src_alias], bindings[e.sink_alias]
+        )
+    except (MatchPlanError, KeyError):
+        return (float("inf"), float("inf"))
+    n_edges = sum(g.edge_count(et.qualified) for et in ets)
+    src_n = sum(
+        g.node_count(t) for t in _member_tables(g, bindings[e.src_alias])
+    )
+    sink_n = sum(
+        g.node_count(t) for t in _member_tables(g, bindings[e.sink_alias])
+    )
+    return (n_edges / max(src_n, 1), n_edges / max(sink_n, 1))
 
 
 def _one_edge_df(g, et: EdgeType, e: PatternEdge, raw: bool = False) -> DataFrame:
@@ -180,6 +211,8 @@ def plan_match(
         if a not in bindings:
             raise MatchPlanError(f"MATCH alias '{a}' is not bound in FROM")
 
+    fanout = {id(e): _edge_fanout(g, e, bindings) for e in pattern.edges}
+
     comp_dfs: list[DataFrame] = []
     for comp in pattern.components():
         comp_set = set(comp)
@@ -188,7 +221,7 @@ def plan_match(
         bound = {comp[0]}
         remaining = list(comp_edges)
         while remaining:
-            e = _pick_edge(remaining, bound)
+            e = _pick_edge(remaining, bound, fanout)
             remaining.remove(e)
             cur = _join_edge(g, cur, e, bound, bindings, alias_filters)
         # isolated aliases inside the component can't happen (components
@@ -204,10 +237,18 @@ def plan_match(
     return out
 
 
-def _pick_edge(remaining: list[PatternEdge], bound: set[str]) -> PatternEdge:
+def _pick_edge(
+    remaining: list[PatternEdge],
+    bound: set[str],
+    fanout: dict[int, tuple[float, float]] | None = None,
+) -> PatternEdge:
     # prefer edges whose BOTH endpoints are bound (cycle-closing filters
-    # first — cheapest), then any edge touching the bound set; among
-    # those, fixed-length before var-length (paths multiply rows).
+    # first — cheapest), then the touching edge with the LOWEST expansion
+    # estimate (the reference sorts candidate expansion by AverageDegree,
+    # MatchGraphInterface.cs:47-189 — a bad first join multiplies every
+    # later intermediate, and at 100× data AQE can only re-plan the join
+    # strategy, not un-explode the frontier); fixed-length before
+    # var-length (paths multiply rows regardless of degree).
     both = [e for e in remaining if e.src_alias in bound and e.sink_alias in bound]
     if both:
         return both[0]
@@ -219,8 +260,16 @@ def _pick_edge(remaining: list[PatternEdge], bound: set[str]) -> PatternEdge:
         # pattern lists edges before their endpoints are reachable) —
         # should not happen after components(), but fall back gracefully
         return remaining[0]
+
+    def est(e: PatternEdge) -> float:
+        if fanout is None:
+            return 0.0
+        fwd, rev = fanout.get(id(e), (0.0, 0.0))
+        return fwd if e.src_alias in bound else rev
+
     fixed = [e for e in touching if not e.is_path]
-    return fixed[0] if fixed else touching[0]
+    pool = fixed if fixed else touching
+    return min(pool, key=est)
 
 
 def _join_edge(
