@@ -18,6 +18,10 @@ Supported statements:
   - DELETE EDGE [x]-[E]->[y] FROM ... WHERE ...
   - DELETE NODE FROM T [WHERE ...]
   - UPDATE T SET col = expr[, ...] [WHERE ...]
+  - CREATE PROCEDURE name @p TYPE[, ...] AS BEGIN stmt; [stmt; ...] END
+  - EXEC name @p = value[, ...]   (also positional: EXEC name v1, v2)
+  - CREATE NODE VIEW V AS SELECT a[, ...] FROM T1 UNION ALL SELECT ... FROM T2
+  - CREATE EDGE VIEW [V.]E AS SELECT * FROM T1.E1 UNION ALL SELECT * FROM T2.E2
 """
 
 from __future__ import annotations
@@ -318,6 +322,17 @@ def _pushable_filters(
 
 def execute_statement(g, sql: str) -> DataFrame | None:
     s = sql.strip().rstrip(";").strip()
+    if re.match(r"(?is)^\s*CREATE\s+PROC(?:EDURE)?\b", s):
+        _exec_create_procedure(g, s)
+        return None
+    if re.match(r"(?is)^\s*CREATE\s+NODE\s+VIEW\b", s):
+        _exec_create_node_view(g, s)
+        return None
+    if re.match(r"(?is)^\s*CREATE\s+EDGE\s+VIEW\b", s):
+        _exec_create_edge_view(g, s)
+        return None
+    if re.match(r"(?is)^\s*EXEC(?:UTE)?\b", s):
+        return _exec_exec(g, s)
     head = re.match(r"(?is)^\s*([A-Za-z]+)(\s+(EDGE|NODE|INTO|TABLE))?", s)
     kw = (head.group(1) or "").upper() if head else ""
     kw2 = (head.group(3) or "").upper() if head and head.group(3) else ""
@@ -564,6 +579,197 @@ def _exec_delete_edge(g, sql: str) -> None:
         F.col(f"{e.alias}_edge_id").alias("edge_id"),
     ).distinct()
     g.delete_edges(bindings[e.src_alias], e.edge_name, pairs)
+
+
+def _split_union_all_depth0(text: str) -> list[str]:
+    parts: list[str] = []
+    cur: list[str] = []
+    depth, i = 0, 0
+    upper = text.upper()
+    while i < len(text):
+        ch = text[i]
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if depth == 0:
+            mm = re.match(r"UNION\s+ALL\b", upper[i:])
+            if mm and _is_kw(text, i, mm.end()):
+                parts.append("".join(cur))
+                cur = []
+                i += mm.end()
+                continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _exec_create_procedure(g, sql: str) -> None:
+    """CREATE PROCEDURE name @p TYPE[, ...] AS BEGIN stmt; [...] END —
+    reference: GraphViewConnection.CreateProcedure translates the body's
+    graph statements at create time (GraphViewConnection.cs:1619-1698,
+    StoredProcedureTutorial.cs:39-55); we store the raw statements and run
+    them through execute_statement at call time."""
+    masked, lits = _mask_strings(sql)
+    m = re.match(
+        r"(?is)^\s*CREATE\s+PROC(?:EDURE)?\s+"
+        r"(?P<name>\[[^\]]+\]|[A-Za-z_]\w*)\s*(?P<params>.*?)"
+        r"\bAS\s+BEGIN\b(?P<body>.*)\bEND\s*$",
+        masked,
+    )
+    if not m:
+        raise ValueError(f"cannot parse CREATE PROCEDURE: {sql[:80]!r}")
+    name = m.group("name").strip("[]")
+    params = re.findall(r"@(\w+)", m.group("params"))
+    statements = [
+        _unmask(p, lits).strip()
+        for p in _split_depth0(m.group("body"), ";")
+        if p.strip()
+    ]
+    if not statements:
+        raise ValueError(f"procedure '{name}' has an empty body")
+    g.create_procedure(name, params, statements)
+
+
+def _exec_exec(g, sql: str) -> DataFrame | None:
+    """EXEC name @p = value[, ...] (or positional values in declaration
+    order) — the dialect analog of invoking a stored procedure through a
+    command object (StoredProcedureTutorial.cs:60-76)."""
+    masked, lits = _mask_strings(sql)
+    m = re.match(
+        r"(?is)^\s*EXEC(?:UTE)?\s+(?P<name>\[[^\]]+\]|[A-Za-z_]\w*)\s*(?P<args>.*)$",
+        masked,
+    )
+    if not m:
+        raise ValueError(f"cannot parse EXEC: {sql[:80]!r}")
+    name = m.group("name").strip("[]")
+    args_text = m.group("args").strip()
+    kwargs: dict[str, object] = {}
+    if args_text:
+        proc = g.catalog.procedures.get(name)
+        items = [a.strip() for a in _split_depth0(args_text, ",") if a.strip()]
+        for i, item in enumerate(items):
+            am = re.match(r"(?s)^\s*@(\w+)\s*=\s*(.+)$", item)
+            if am:
+                kwargs[am.group(1)] = _parse_literal(
+                    _unmask(am.group(2).strip(), lits)
+                )
+            else:
+                if proc is None or i >= len(proc.params):
+                    raise ValueError(
+                        f"EXEC {name}: cannot bind positional argument {i}"
+                    )
+                kwargs[proc.params[i]] = _parse_literal(_unmask(item, lits))
+    return g.execute_procedure(name, **kwargs)
+
+
+def _exec_create_node_view(g, sql: str) -> None:
+    """CREATE NODE VIEW V AS SELECT a[, ...] FROM T1 UNION ALL ... —
+    reference grammar: one node table per SELECT, elements align by
+    position, NULL pads missing properties, ``SELECT *`` in every branch
+    means by-name default mapping (View.cs:689-737,
+    CreateViewVisitor.cs:40-130)."""
+    masked, lits = _mask_strings(sql)
+    m = re.match(
+        r"(?is)^\s*CREATE\s+NODE\s+VIEW\s+"
+        r"(?P<name>\[[^\]]+\]|[A-Za-z_]\w*)\s+AS\s+(?P<body>.+)$",
+        masked,
+    )
+    if not m:
+        raise ValueError(f"cannot parse CREATE NODE VIEW: {sql[:80]!r}")
+    name = m.group("name").strip("[]")
+    branches: list[tuple[str, str]] = []
+    for br in _split_union_all_depth0(m.group("body")):
+        bm = re.match(
+            r"(?is)^\s*SELECT\s+(?P<list>.+?)\s+FROM\s+"
+            r"(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s*$",
+            br,
+        )
+        if not bm:
+            raise ValueError(
+                "each CREATE NODE VIEW branch must be "
+                f"'SELECT <props> FROM <table>': {br[:60]!r}"
+            )
+        branches.append(
+            (g.catalog.table(bm.group("tbl").strip("[]")).name,
+             bm.group("list").strip())
+        )
+    members = [t for t, _ in branches]
+    if all(lst == "*" for _, lst in branches):
+        g.create_node_view(name, members)
+        return
+    per_branch: list[tuple[str, list[tuple[str | None, str | None]]]] = []
+    for tbl, lst in branches:
+        items: list[tuple[str | None, str | None]] = []
+        for item in _split_depth0(lst, ","):
+            im = re.match(
+                r"(?is)^\s*(?P<col>NULL|[A-Za-z_]\w*)"
+                r"(?:\s+AS\s+(?P<alias>\w+))?\s*$",
+                _strip_ident_brackets(item),
+            )
+            if not im:
+                raise ValueError(
+                    f"unsupported node-view select element: {item.strip()!r}"
+                )
+            col = None if im.group("col").upper() == "NULL" else im.group("col")
+            items.append((col, im.group("alias")))
+        per_branch.append((tbl, items))
+    width = len(per_branch[0][1])
+    if any(len(items) != width for _, items in per_branch):
+        raise ValueError(
+            "CREATE NODE VIEW branches must select the same number of columns"
+        )
+    prop_map: dict[str, dict[str, str]] = {}
+    for i in range(width):
+        vname = None
+        for _, items in per_branch:
+            if items[i][1]:
+                vname = items[i][1]
+                break
+        if vname is None:
+            for _, items in per_branch:
+                if items[i][0]:
+                    vname = items[i][0]
+                    break
+        if vname is None:
+            raise ValueError(f"node-view column {i} is NULL in every branch")
+        col_map = {}
+        for tbl, items in per_branch:
+            if items[i][0] is not None:
+                col_map[tbl] = items[i][0]
+        prop_map[vname] = col_map
+    g.create_node_view(name, members, prop_map)
+
+
+def _exec_create_edge_view(g, sql: str) -> None:
+    """CREATE EDGE VIEW [V.]E AS SELECT * FROM T1.E1 UNION ALL ... —
+    reference: a virtual edge column merging physical edge columns
+    (View.cs:830-874). Attribute merging by name is handled by
+    create_edge_view/edge_view_df."""
+    masked, _lits = _mask_strings(sql)
+    m = re.match(
+        r"(?is)^\s*CREATE\s+EDGE\s+VIEW\s+"
+        r"(?:(?P<view>[A-Za-z_]\w*)\s*\.\s*)?(?P<name>[A-Za-z_]\w*)\s+AS\s+"
+        r"(?P<body>.+)$",
+        _strip_ident_brackets(masked),
+    )
+    if not m:
+        raise ValueError(f"cannot parse CREATE EDGE VIEW: {sql[:80]!r}")
+    members: list[tuple[str, str]] = []
+    for br in _split_union_all_depth0(m.group("body")):
+        bm = re.match(
+            r"(?is)^\s*SELECT\s+\*\s+FROM\s+"
+            r"(?P<tbl>[A-Za-z_]\w*)\s*\.\s*(?P<edge>[A-Za-z_]\w*)\s*$",
+            br,
+        )
+        if not bm:
+            raise ValueError(
+                "each CREATE EDGE VIEW branch must be "
+                f"'SELECT * FROM <table>.<edge>': {br[:60]!r}"
+            )
+        members.append((bm.group("tbl"), bm.group("edge")))
+    g.create_edge_view(m.group("name"), members)
 
 
 def _exec_update(g, sql: str) -> None:
