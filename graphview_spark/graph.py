@@ -102,6 +102,9 @@ class GraphDatabase:
         # MatchGraphInterface.cs:47-189); invalidated by DML
         self._edge_counts: dict[str, int] = {}
         self._node_counts: dict[str, int] = {}
+        # SELECT INTO targets (reference: plain SQL tables created by
+        # SELECT INTO passthrough) — queryable in later statements
+        self.derived_tables: dict[str, DataFrame] = {}
 
     # ------------------------------------------------------------------
     # DDL
@@ -591,11 +594,25 @@ class GraphDatabase:
     # SQL dialect entry point (reference: GraphViewCommand)
     # ------------------------------------------------------------------
     def execute(self, statement: str) -> DataFrame | None:
-        """Execute one statement of the SQL+graph dialect: SELECT..MATCH,
-        INSERT (node), INSERT EDGE, DELETE EDGE, DELETE NODE."""
-        from graphview_spark.matching.query import execute_statement
+        """Execute the SQL+graph dialect: one statement (SELECT..MATCH,
+        DML, DDL) or a multi-statement script with DECLARE/SET/WHILE/IF
+        (the reference executes whole T-SQL batches, WSql.cs:215-313)."""
+        from graphview_spark.matching.query import _mask_strings, execute_statement
+        from graphview_spark.scripting import execute_script, split_statements
 
+        if re.match(r"(?is)^\s*(DECLARE|WHILE|IF)\b", statement):
+            return execute_script(self, statement)
+        masked, _ = _mask_strings(statement)
+        if len(split_statements(masked)) > 1:
+            return execute_script(self, statement)
         return execute_statement(self, statement)
+
+    def execute_script(self, script: str) -> DataFrame | None:
+        """Run a multi-statement script (DECLARE / SET / WHILE / IF around
+        dialect statements); returns the last SELECT's DataFrame."""
+        from graphview_spark.scripting import execute_script
+
+        return execute_script(self, script)
 
     # ------------------------------------------------------------------
     # Maintenance

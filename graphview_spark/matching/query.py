@@ -11,7 +11,8 @@ accordingly, and hand it to ``spark.sql`` — Catalyst handles every
 scalar/boolean/aggregate construct natively.
 
 Supported statements:
-  - SELECT ... FROM ... [MATCH ...] [WHERE/GROUP BY/HAVING/ORDER BY/TOP/LIMIT]
+  - SELECT ... [INTO target] FROM ... [MATCH ...]
+    [WHERE/GROUP BY/HAVING/ORDER BY/TOP/LIMIT]
   - CREATE TABLE (annotated node-table DDL)
   - INSERT INTO T (cols) VALUES (...), (...)
   - INSERT EDGE INTO T.Edge SELECT src_alias, sink_alias[, attr...] FROM ... WHERE ...
@@ -365,10 +366,33 @@ def _register_views(g) -> None:
     for vname in g.catalog.node_views:
         if not vname.startswith("_"):
             g.node_view_df(vname).createOrReplaceTempView(vname)
+    for dname, df in g.derived_tables.items():
+        df.createOrReplaceTempView(dname)
 
 
-def _exec_select(g, sql: str) -> DataFrame:
+def _exec_select(g, sql: str) -> DataFrame | None:
     masked, lits = _mask_strings(sql)
+
+    # SELECT ... INTO target FROM ... (SURVEY §2.1 'SELECT INTO'): strip
+    # the INTO clause, run the select, register the result as a derived
+    # table queryable by later statements
+    into_target = None
+    m_into = re.search(
+        r"(?is)\s+INTO\s+(?P<t>\[[^\]]+\]|[A-Za-z_]\w*)\s+(?=FROM\b)", masked
+    )
+    if m_into:
+        into_target = m_into.group("t").strip("[]")
+        masked = masked[: m_into.start()] + " " + masked[m_into.end():]
+
+    df = _exec_select_body(g, masked, lits)
+    if into_target is not None:
+        g.derived_tables[into_target] = df
+        df.createOrReplaceTempView(into_target)
+        return None
+    return df
+
+
+def _exec_select_body(g, masked: str, lits: list[str]) -> DataFrame:
     clauses = _split_select(masked)
 
     if "match" not in clauses:

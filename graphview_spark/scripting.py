@@ -1,0 +1,239 @@
+"""Multi-statement script execution — DECLARE / SET / WHILE / IF around
+dialect statements.
+
+Reference: a GraphView command text is a T-SQL *batch*; WSqlBatch holds a
+statement list and WWhileStatement / WIfStatement / WDeclareVariableStatement
+are first-class nodes (GraphView/TSQL Syntax Tree/WSql.cs:215-313,405-454).
+The README's "iterative computation" story is a T-SQL WHILE loop around
+MATCH/DML statements. Here the batch interpreter is driver-side Python:
+variables live in a dict, scalar expressions (including scalar subqueries
+over the registered node tables) evaluate through one-row ``spark.sql``
+calls, and every other statement flows to ``execute_statement`` with
+``@var`` occurrences substituted as SQL literals.
+
+Scale notes: control flow is driver-side by design — exactly like the
+reference, where SQL Server runs the WHILE loop one statement at a time.
+The per-iteration work is whatever the inner statements do (full
+DataFrame plans); the interpreter itself adds one tiny one-row SQL
+evaluation per condition/assignment.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+_MAX_LOOP_ITERATIONS = 100_000
+
+
+class ScriptError(ValueError):
+    pass
+
+
+def _mask(sql: str):
+    from graphview_spark.matching.query import _mask_strings
+
+    return _mask_strings(sql)
+
+
+def _unmask(sql: str, lits):
+    from graphview_spark.matching.query import _unmask as u
+
+    return u(sql, lits)
+
+
+def _is_kw_at(text: str, i: int, end: int) -> bool:
+    before = text[i - 1] if i > 0 else " "
+    after = text[end] if end < len(text) else " "
+    return (not before.isalnum() and before != "_") and (
+        not after.isalnum() and after != "_"
+    )
+
+
+def split_statements(masked: str) -> list[str]:
+    """Split a masked script on ``;`` at depth 0, where parens AND
+    BEGIN...END blocks count as depth — so a CREATE PROCEDURE body or a
+    WHILE block stays one statement."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    i = 0
+    upper = masked.upper()
+    while i < len(masked):
+        ch = masked[i]
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif upper.startswith("BEGIN", i) and _is_kw_at(masked, i, i + 5):
+            depth += 1
+        elif upper.startswith("END", i) and _is_kw_at(masked, i, i + 3):
+            depth -= 1
+        if ch == ";" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _find_matching_end(masked: str, begin_at: int) -> int:
+    """Index just past the END matching the BEGIN at ``begin_at``."""
+    upper = masked.upper()
+    depth = 0
+    i = begin_at
+    while i < len(masked):
+        if upper.startswith("BEGIN", i) and _is_kw_at(masked, i, i + 5):
+            depth += 1
+            i += 5
+            continue
+        if upper.startswith("END", i) and _is_kw_at(masked, i, i + 3):
+            depth -= 1
+            i += 3
+            if depth == 0:
+                return i
+            continue
+        i += 1
+    raise ScriptError("BEGIN without matching END")
+
+
+def _subst_vars(text: str, variables: dict[str, object]) -> str:
+    from graphview_spark.graph import _sql_lit
+
+    def repl(m: re.Match) -> str:
+        name = m.group(1)
+        if name in variables:
+            return _sql_lit(variables[name])
+        return m.group(0)
+
+    return re.sub(r"@(\w+)", repl, text)
+
+
+class ScriptRunner:
+    def __init__(self, g):
+        self.g = g
+        self.variables: dict[str, object] = {}
+
+    # -- scalar evaluation -------------------------------------------------
+    def _eval_scalar(self, expr: str, lits) -> object:
+        """Evaluate a scalar expression (may contain scalar subqueries over
+        node tables/views) via a one-row spark.sql SELECT."""
+        from graphview_spark.matching.query import _register_views
+
+        _register_views(self.g)
+        sql = _unmask(_subst_vars(expr, self.variables), lits).strip()
+        row = self.g.spark.sql(f"SELECT ({sql}) AS v").first()
+        return row["v"]
+
+    def _eval_cond(self, expr: str, lits) -> bool:
+        v = self._eval_scalar(f"CASE WHEN {expr} THEN TRUE ELSE FALSE END", lits)
+        return bool(v)
+
+    # -- statement dispatch ------------------------------------------------
+    def run(self, script: str) -> DataFrame | None:
+        masked, lits = _mask(script)
+        return self._run_block(masked, lits)
+
+    def _run_block(self, masked: str, lits) -> DataFrame | None:
+        result: DataFrame | None = None
+        for stmt in split_statements(masked):
+            r = self._run_statement(stmt, lits)
+            if r is not None:
+                result = r
+        return result
+
+    def _run_statement(self, stmt: str, lits) -> DataFrame | None:
+        from graphview_spark.matching.query import execute_statement
+
+        m = re.match(
+            r"(?is)^\s*DECLARE\s+@(?P<name>\w+)\s+(?P<type>[\w()]+)"
+            r"(?:\s*=\s*(?P<init>.+))?$",
+            stmt,
+        )
+        if m:
+            self.variables[m.group("name")] = (
+                self._eval_scalar(m.group("init"), lits)
+                if m.group("init")
+                else None
+            )
+            return None
+        m = re.match(r"(?is)^\s*SET\s+@(?P<name>\w+)\s*=\s*(?P<expr>.+)$", stmt)
+        if m:
+            if m.group("name") not in self.variables:
+                raise ScriptError(f"SET of undeclared variable @{m.group('name')}")
+            self.variables[m.group("name")] = self._eval_scalar(
+                m.group("expr"), lits
+            )
+            return None
+        m = re.match(r"(?is)^\s*WHILE\b(?P<rest>.+)$", stmt, re.DOTALL)
+        if m:
+            return self._run_while(m.group("rest"), lits)
+        m = re.match(r"(?is)^\s*IF\b(?P<rest>.+)$", stmt, re.DOTALL)
+        if m:
+            return self._run_if(m.group("rest"), lits)
+        # plain dialect statement with variables substituted
+        sql = _unmask(_subst_vars(stmt, self.variables), lits)
+        return execute_statement(self.g, sql)
+
+    def _split_cond_block(self, rest: str) -> tuple[str, str, str]:
+        """``<cond> BEGIN <body> END <tail>`` → (cond, body, tail)."""
+        upper = rest.upper()
+        depth = 0
+        for i, ch in enumerate(rest):
+            if ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            elif (
+                depth == 0
+                and upper.startswith("BEGIN", i)
+                and _is_kw_at(rest, i, i + 5)
+            ):
+                end = _find_matching_end(rest, i)
+                return rest[:i].strip(), rest[i + 5 : end - 3].strip(), rest[end:]
+        raise ScriptError("WHILE/IF requires a BEGIN ... END block")
+
+    def _run_while(self, rest: str, lits) -> DataFrame | None:
+        cond, body, tail = self._split_cond_block(rest)
+        if tail.strip():
+            raise ScriptError(f"unexpected text after WHILE block: {tail[:40]!r}")
+        result: DataFrame | None = None
+        iterations = 0
+        while self._eval_cond(cond, lits):
+            iterations += 1
+            if iterations > _MAX_LOOP_ITERATIONS:
+                raise ScriptError(
+                    f"WHILE exceeded {_MAX_LOOP_ITERATIONS} iterations"
+                )
+            r = self._run_block(body, lits)
+            if r is not None:
+                result = r
+        return result
+
+    def _run_if(self, rest: str, lits) -> DataFrame | None:
+        cond, body, tail = self._split_cond_block(rest)
+        else_body = None
+        if tail.strip():
+            em = re.match(r"(?is)^\s*ELSE\b(?P<erest>.+)$", tail, re.DOTALL)
+            if not em:
+                raise ScriptError(f"unexpected text after IF block: {tail[:40]!r}")
+            _, else_body, etail = self._split_cond_block(
+                " TRUE " + em.group("erest")
+            )
+            if etail.strip():
+                raise ScriptError(
+                    f"unexpected text after ELSE block: {etail[:40]!r}"
+                )
+        if self._eval_cond(cond, lits):
+            return self._run_block(body, lits)
+        if else_body is not None:
+            return self._run_block(else_body, lits)
+        return None
+
+
+def execute_script(g, script: str) -> DataFrame | None:
+    """Run a multi-statement script; returns the last SELECT's DataFrame."""
+    return ScriptRunner(g).run(script)

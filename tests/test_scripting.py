@@ -1,0 +1,87 @@
+"""Multi-statement scripts — DECLARE / SET / WHILE / IF batches
+(reference: WSql.cs:215-313,405-454; README's iterative-computation story
+is a T-SQL WHILE loop around graph statements) and SELECT INTO."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphview_spark.graph import GraphDatabase
+from graphview_spark.scripting import ScriptError
+
+
+@pytest.fixture()
+def g(spark):
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [Node] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Property"] name varchar(20),
+            [ColumnRole:"Edge",Reference:"Node"] Edges VARBINARY(max) )"""
+    )
+    g.execute("INSERT INTO Node(id,name) VALUES(1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    return g
+
+
+def test_while_loop_builds_chain(g):
+    # iterative edge insertion: the reference's WHILE-around-DML pattern
+    res = g.execute(
+        """DECLARE @i INT = 2;
+           WHILE @i <= 4
+           BEGIN
+               INSERT EDGE INTO Node.Edges
+               SELECT s, t FROM Node s, Node t
+               WHERE s.id = @i - 1 AND t.id = @i;
+               SET @i = @i + 1;
+           END;
+           SELECT y.id AS reached FROM Node x, Node y
+           MATCH x-[Edges*1..10]->y WHERE x.id = 1"""
+    )
+    assert sorted(r["reached"] for r in res.collect()) == [2, 3, 4]
+
+
+def test_if_else_with_scalar_subquery(g):
+    g.execute(
+        """IF (SELECT COUNT(*) FROM Node) > 10
+           BEGIN INSERT INTO Node(id,name) VALUES(100,'big') END
+           ELSE
+           BEGIN INSERT INTO Node(id,name) VALUES(200,'small') END"""
+    )
+    names = {r["name"] for r in g.execute("SELECT * FROM Node").collect()}
+    assert "small" in names and "big" not in names
+
+
+def test_declare_from_scalar_subquery_and_set(g):
+    res = g.execute(
+        """DECLARE @top INT = (SELECT MAX(id) FROM Node);
+           SET @top = @top + 1;
+           SELECT @top AS v FROM Node WHERE id = 1"""
+    )
+    assert res.collect()[0]["v"] == 5
+
+
+def test_set_undeclared_raises(g):
+    with pytest.raises(ScriptError, match="undeclared"):
+        g.execute_script("SET @nope = 1")
+
+
+def test_select_into_then_query(g):
+    assert g.execute("SELECT id, name INTO Snapshot FROM Node WHERE id <= 2") is None
+    res = g.execute("SELECT name FROM Snapshot ORDER BY id")
+    assert [r["name"] for r in res.collect()] == ["a", "b"]
+    # derived table joins against node tables in later statements
+    res = g.execute(
+        "SELECT n.name AS nm FROM Node n JOIN Snapshot s ON s.id = n.id "
+        "WHERE n.id = 2"
+    )
+    assert [r["nm"] for r in res.collect()] == ["b"]
+
+
+def test_script_with_string_semicolons(g):
+    # semicolons inside string literals must not split statements
+    g.execute(
+        """INSERT INTO Node(id,name) VALUES(7,'x;y');
+           INSERT INTO Node(id,name) VALUES(8,'z')"""
+    )
+    names = {r["name"] for r in g.execute("SELECT * FROM Node").collect()}
+    assert "x;y" in names and "z" in names
