@@ -107,18 +107,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate grouping by content hash. Each doc maps to the
     canonical (min doc_id) member of its md5(text) group; ``is_dup``
     marks rows a dedup pass would drop. One shuffle, map-side combined."""
+    from pyspark.sql import Window as W
+
     docs = read_table(spark, sf_dir, "documents")
-    groups = (
-        docs.select("doc_id", F.md5("text").alias("h"))
-        .groupBy("h")
-        .agg(
-            F.min("doc_id").alias("canonical_id"),
-            F.count(F.lit(1)).alias("group_size"),
-        )
-    )
+    w = W.partitionBy("h")
     return (
         docs.select("doc_id", F.md5("text").alias("h"))
-        .join(groups, "h")
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("canonical_id"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
         .select(
             "doc_id",
             "canonical_id",
@@ -448,36 +447,52 @@ WHERE round({jac}, 3) >= {NGRAM_JACCARD_T}
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 
-def cosine_col(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns via higher-order
-    functions — stays in Tungsten, no UDF, no Python boundary."""
-    dot = F.aggregate(
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+
+
+def norm_col(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns via higher-order
+    functions — stays in Tungsten, no UDF, no Python boundary.
+
+    In pair-join hot paths prefer precomputing ``norm_col`` per ROW before
+    the join and using ``dot_col(a, b) / (na * nb)`` — numerically
+    identical (same fold, same expression), but the norms are evaluated
+    n times instead of n² times."""
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold, blocked by the
     cluster label (the pre-assigned coarse partition — the IVF idea:
-    high-cosine pairs almost surely share a coarse cluster)."""
+    high-cosine pairs almost surely share a coarse cluster). Norms are
+    computed once per vector before the pair join."""
     emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
-    )
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    ).withColumn("nv", norm_col(F.col("v")))
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "label"
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nv").alias("na"), "label",
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "label"
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"), "label",
     )
+    cosine = dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 4))
+        .withColumn("cosine", F.round(cosine, 4))
         .filter(F.col("cosine") >= COSINE_T)
         .select("vec_a", "vec_b", "cosine")
     )

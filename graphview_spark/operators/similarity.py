@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from graphview_spark.operators.dedup import cosine_col
+from graphview_spark.operators.dedup import cosine_col, dot_col, norm_col
 from graphview_spark.session import read_table
 
 TOP_K = 5
@@ -69,15 +69,19 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break: (rounded cosine desc, neighbor id asc)."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("nv", norm_col(F.col("v")))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
+    # norms are per-row columns on both join inputs — evaluated once per
+    # vector (the join boundary stops projection collapse), not per pair
+    cosine = dot_col(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
     pairs = (
         F.broadcast(q)
         .crossJoin(emb)
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("qv"), F.col("v")), 6))
+        .withColumn("cosine", F.round(cosine, 6))
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -122,19 +126,26 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucketed = emb.withColumn("bucket", bucket_col(F.col("v"))).localCheckpoint(
-        eager=True
+    # bucket AND norm computed once per vector, materialized by the
+    # checkpoint before the pair join
+    bucketed = (
+        emb.withColumn("bucket", bucket_col(F.col("v")))
+        .withColumn("nv", norm_col(F.col("v")))
+        .localCheckpoint(eager=True)
     )
     a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nv").alias("na"), "bucket",
     )
     b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"), "bucket",
     )
+    cosine = dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 4))
+        .withColumn("cosine", F.round(cosine, 4))
         .filter(F.col("cosine") >= ANN_COSINE_T)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -178,7 +189,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads nprobe/nlist of the corpus instead of all of it."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
-    )
+    ).withColumn("nv", norm_col(F.col("v")))
     # centroid per label: element-wise mean via posexplode → regroup
     cent = (
         emb.select("label", F.posexplode("v").alias("pos", "val"))
@@ -194,7 +205,8 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("label", "c_label")
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     probe_w = W.partitionBy("query_id").orderBy(
         F.col("c_cos").desc(), F.col("c_label").asc()
@@ -205,15 +217,16 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_cos", F.round(cosine_col(F.col("qv"), F.col("c")), 6))
         .withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= IVF_NPROBE)
-        .select("query_id", "qv", F.col("c_label").alias("label"))
+        .select("query_id", "qv", "nq", F.col("c_label").alias("label"))
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
+    pair_cos = dot_col(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
     return (
         probes.join(emb, "label")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("qv"), F.col("v")), 6))
+        .withColumn("cosine", F.round(pair_cos, 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= IVF_K)
         .select(

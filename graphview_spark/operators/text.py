@@ -187,8 +187,14 @@ GROUP BY lang, pred_lang
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: minimum md5 over word 4-gram shingles (the
     1-permutation MinHash — a stable content signature robust to small
-    edits), plus the fingerprint-group size across the corpus."""
+    edits), plus the fingerprint-group size across the corpus.
+
+    Group size via a window over ``fp``: ONE evaluation of the shingle
+    transform and ONE shuffle — the groupBy+self-join form evaluated the
+    md5-shingle plan twice and shuffled twice (at 100 TB the second
+    full-row shuffle is the bottleneck)."""
     from graphview_spark.operators.dedup import read_spread, shingles_col
+    from pyspark.sql import Window as W
 
     docs = read_spread(spark, sf_dir, "documents", "doc_id")
     fps = docs.select(
@@ -197,8 +203,11 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(shingles_col(F.col("text")), lambda s: F.md5(s))
         ).alias("fp"),
     )
-    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_group_size"))
-    return fps.join(sizes, "fp").select("doc_id", "fp", "fp_group_size")
+    return fps.select(
+        "doc_id",
+        "fp",
+        F.count(F.lit(1)).over(W.partitionBy("fp")).alias("fp_group_size"),
+    )
 
 
 def _oracle_fingerprint() -> str:
