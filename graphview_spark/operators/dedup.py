@@ -141,39 +141,83 @@ FROM h JOIN g USING (h)
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
+MINHASH_P = 2_147_483_647          # Mersenne prime 2^31 - 1
+_MINHASH_MASK = 1 << 28            # fold the 60-bit shingle hash to 28 bits
+
+
+def _minhash_coeffs(n_perm: int = N_PERM) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs for the universal-hash permutations — public,
+    deterministic constants mirrored into the DuckDB oracle (same pattern
+    as the similarity module's hyperplanes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    return [
+        (int(rng.randint(1, MINHASH_P)), int(rng.randint(0, MINHASH_P)))
+        for _ in range(n_perm)
+    ]
+
+
+MINHASH_COEFFS = _minhash_coeffs()
+
+
 def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
-    """(doc_id, shingles, sig_0..sig_{n-1}) — permutation *i* is the md5
-    keyed by the permutation index; the minimum hex digest over the
-    shingle set is an order statistic of a uniform hash, the standard
-    MinHash construction. Pure per-row column math: no shuffle."""
-    # Materialize the shingle arrays BEFORE fanning out into n_perm
-    # signature expressions: Catalyst's projection collapse would otherwise
-    # substitute the shingle expression into every signature and recompute
-    # the tokenize+slice work n_perm times per row.
+    """(doc_id, hashed shingles, sig_0..sig_{n-1}).
+
+    Each shingle hashes ONCE (md5 → 60-bit int); permutation *i* is the
+    universal hash ``(a_i * (h % 2^28) + b_i) % (2^31-1)`` — integer
+    column math instead of the naive n_perm md5 calls per shingle (16×
+    less digest work, the dominant CPU cost of MinHash at scale). The
+    min over the shingle set per permutation is the standard MinHash
+    order statistic. Pure per-row math: no shuffle.
+
+    ``hs`` (the 60-bit hashed shingle set) also feeds the exact-Jaccard
+    verification: intersecting longs is ~10× cheaper than 30-char
+    strings, and the oracle hashes identically so a (negligible,
+    2^-60-scale) collision cannot cause a mismatch."""
+    # Materialize the hashed-shingle arrays BEFORE fanning out into the
+    # signature expressions: Catalyst's projection collapse would
+    # otherwise substitute the tokenize+slice+md5 work into every
+    # signature and recompute it n_perm times per row.
     sh = (
-        docs.select("doc_id", shingles_col(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
+        docs.select("doc_id", shingles_col(F.col("text")).alias("shw"))
+        .filter(F.size("shw") > 0)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.col("shw"),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                        "long"
+                    ),
+                )
+            ).alias("hs"),
+        )
         .localCheckpoint(eager=True)
     )
 
-    # One nested-HOF expression computing all signatures at once: the
-    # n_perm-separate-columns form generated n_perm independent wide
-    # expressions whose whole-stage codegen compiled pathologically
-    # (minutes of janino time on occasion); a single sig array keeps the
-    # generated method tiny. Same values, same permutation keying.
+    # one nested-HOF expression computing all signatures at once keeps
+    # the generated codegen method tiny (the n_perm-separate-columns form
+    # compiled pathologically — minutes of janino time on occasion)
+    a_arr = F.array(*[F.lit(a) for a, _ in MINHASH_COEFFS])
+    b_arr = F.array(*[F.lit(b) for _, b in MINHASH_COEFFS])
     sig_arr = F.transform(
         F.sequence(F.lit(0), F.lit(n_perm - 1)),
         lambda i: F.array_min(
             F.transform(
-                F.col("sh"),
-                lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
+                F.col("hs"),
+                lambda h: (
+                    F.element_at(a_arr, i + 1) * (h % F.lit(_MINHASH_MASK))
+                    + F.element_at(b_arr, i + 1)
+                )
+                % F.lit(MINHASH_P),
             )
         ),
     )
-    out = sh.select("doc_id", "sh", sig_arr.alias("sigs"))
+    out = sh.select("doc_id", "hs", sig_arr.alias("sigs"))
     return out.select(
         "doc_id",
-        "sh",
+        "hs",
         *[F.element_at("sigs", i + 1).alias(f"sig_{i}") for i in range(n_perm)],
     )
 
@@ -210,9 +254,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = sigs.select("doc_id", "sh")
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sh = sigs.select("doc_id", "hs")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    b2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     return (
         cands.join(a, "doc_a")
         .join(b2, "doc_b")
@@ -222,11 +266,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_hex15_to_int(var: str = "s") -> str:
+    """DuckDB: first 15 hex chars of md5(var) → BIGINT (mirrors Spark's
+    ``conv(substring(md5(s), 1, 15), 16, 10)``)."""
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({var}), 1, 15), ''), "
+        "c -> strpos('0123456789abcdef', c)::BIGINT - 1), (a, b) -> a * 16 + b)"
+    )
+
+
 def _oracle_minhash() -> str:
     rows = N_PERM // N_BANDS
     sig_exprs = ",\n  ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS sig_{i}"
-        for i in range(N_PERM)
+        f"list_min(list_transform(hs, h -> ({a} * (h % {_MINHASH_MASK}) + {b}) "
+        f"% {MINHASH_P})) AS sig_{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
     )
     band_selects = "\n  UNION ALL\n  ".join(
         "SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs".format(
@@ -235,12 +289,14 @@ def _oracle_minhash() -> str:
         )
         for b in range(N_BANDS)
     )
-    jac = _SQL_JACCARD.format(a="x.sh", b="y.sh")
+    jac = _SQL_JACCARD.format(a="x.hs", b="y.hs")
     return f"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id, {_sql_shingles()} AS sh FROM docs),
-shn AS (SELECT * FROM sh WHERE len(sh) > 0),
-sigs AS (SELECT doc_id, sh, {sig_exprs} FROM shn),
+sh AS (SELECT doc_id, {_sql_shingles()} AS shw FROM docs),
+shn AS (SELECT doc_id,
+        list_distinct(list_transform(shw, s -> {_sql_hex15_to_int()})) AS hs
+        FROM sh WHERE len(shw) > 0),
+sigs AS (SELECT doc_id, hs, {sig_exprs} FROM shn),
 bands AS ({band_selects}),
 cands AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -422,10 +478,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_ngram() -> str:
     jac = _SQL_JACCARD.format(a="x.sh", b="y.sh")
-    hex_to_int = (
-        "list_reduce(list_transform(string_split(substr(md5(s), 1, 15), ''), "
-        "c -> strpos('0123456789abcdef', c)::BIGINT - 1), (a, b) -> a * 16 + b)"
-    )
+    hex_to_int = _sql_hex15_to_int()
     return f"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w,
               floor(n_chars / {LENGTH_BAND})::BIGINT AS band FROM documents),
