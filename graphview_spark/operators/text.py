@@ -223,11 +223,60 @@ SELECT doc_id, fp, fp_group_size FROM fps JOIN sizes USING (fp)
 """
 
 
+# --------------------------------------------------------------------------
+# corpus-level top-k n-grams
+# --------------------------------------------------------------------------
+
+TOPK_NGRAMS = 20
+
+
+def q_text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent word bigrams across the corpus — the canonical heavy
+    explode→count shape. Scale path: the groupBy count is map-side
+    combined (partial aggregation absorbs the explosion before the
+    shuffle) and the top-k is ``orderBy().limit()`` = TakeOrdered, a
+    per-partition heap + driver merge — never a global sort or a
+    single-partition window. Deterministic tie-break on the ngram."""
+    from graphview_spark.operators.dedup import read_spread
+
+    docs = read_spread(spark, sf_dir, "documents", "doc_id")
+    words = _words(F.col("text"))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+        .limit(TOPK_NGRAMS)
+    )
+
+
+ORACLE_TEXT_TOPK_NGRAMS = f"""
+WITH docs AS (SELECT string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS ngram
+  FROM docs WHERE len(w) >= 2)
+SELECT ngram, count(*) AS n
+FROM grams GROUP BY ngram
+ORDER BY n DESC, ngram LIMIT {TOPK_NGRAMS}
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_topk_ngrams": q_text_topk_ngrams,
 }
 
 ORACLES = {
@@ -235,4 +284,5 @@ ORACLES = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_langid": _oracle_langid(),
     "text_fingerprint": _oracle_fingerprint(),
+    "text_topk_ngrams": ORACLE_TEXT_TOPK_NGRAMS,
 }

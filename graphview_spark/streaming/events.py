@@ -177,5 +177,33 @@ FROM s GROUP BY user_id, session_id
 """
 
 
-QUERIES = {"stream_sessions": q_stream_sessions}
-ORACLES = {"stream_sessions": ORACLE_STREAM_SESSIONS}
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of ``build_windowed_counts`` — tumbling 1-hour windows
+    per event type; the identical transformation runs under readStream
+    with a watermark (tests/test_streaming.py asserts the equivalence)."""
+    from graphview_spark.session import read_table
+
+    return build_windowed_counts(read_table(spark, sf_dir, "events"))
+
+
+# Spark's window() aligns tumbling windows to the epoch; DuckDB's
+# time_bucket does the same.
+ORACLE_STREAM_WINDOWED = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES = {
+    "stream_sessions": q_stream_sessions,
+    "stream_windowed": q_stream_windowed,
+}
+ORACLES = {
+    "stream_sessions": ORACLE_STREAM_SESSIONS,
+    "stream_windowed": ORACLE_STREAM_WINDOWED,
+}
