@@ -271,12 +271,55 @@ ORDER BY n DESC, ngram LIMIT {TOPK_NGRAMS}
 """
 
 
+# --------------------------------------------------------------------------
+# normalization + redaction
+# --------------------------------------------------------------------------
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data text normalization: lowercase, strip non-alphanumeric,
+    collapse whitespace; plus number redaction (the PII-redaction shape —
+    swap the pattern for emails/phones in a real pipeline). Pure
+    regexp_replace column expressions — map-only, codegen-resident."""
+    docs = read_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(lowered, "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    redacted = F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>")
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars_norm"),
+        redacted.alias("redacted_text"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias(
+            "n_redactions"
+        ),
+    )
+
+
+ORACLE_TEXT_NORMALIZE = """
+WITH t AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT doc_id, norm_text,
+       length(norm_text) AS n_chars_norm,
+       regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted_text,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_redactions
+FROM t
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_topk_ngrams": q_text_topk_ngrams,
+    "text_normalize": q_text_normalize,
 }
 
 ORACLES = {
@@ -285,4 +328,5 @@ ORACLES = {
     "text_langid": _oracle_langid(),
     "text_fingerprint": _oracle_fingerprint(),
     "text_topk_ngrams": ORACLE_TEXT_TOPK_NGRAMS,
+    "text_normalize": ORACLE_TEXT_NORMALIZE,
 }
