@@ -532,9 +532,11 @@ class GraphDatabase:
         return out
 
     def global_node_view_df(self) -> DataFrame:
-        """GlobalNodeView — union of ALL node tables (View.cs:2046-2114)."""
-        self.create_node_view("_GlobalNodeView", list(self.catalog.tables))
-        return self.node_view_df("_GlobalNodeView")
+        """GlobalNodeView — union of ALL node tables (View.cs:2046-2114).
+        Registered under its reference name so it binds in MATCH FROM
+        lists and plain SQL like any node view."""
+        self.create_node_view("GlobalNodeView", list(self.catalog.tables))
+        return self.node_view_df("GlobalNodeView")
 
     def edge_view_df(self, name: str) -> DataFrame:
         v = self.catalog.edge_view(name)

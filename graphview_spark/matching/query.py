@@ -368,6 +368,10 @@ def _register_views(g) -> None:
             g.node_view_df(vname).createOrReplaceTempView(vname)
     for dname, df in g.derived_tables.items():
         df.createOrReplaceTempView(dname)
+    if g.catalog.tables:
+        # the union of ALL node tables (View.cs:2046-2114), queryable by
+        # name like any view; _NodeType/_NodeId discriminate members
+        g.global_node_view_df().createOrReplaceTempView("GlobalNodeView")
 
 
 def _exec_select(g, sql: str) -> DataFrame | None:

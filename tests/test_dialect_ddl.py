@@ -103,6 +103,20 @@ def test_create_node_view_star_and_mapped(spark):
     assert df.count() == 2
 
 
+def test_global_node_view_queryable(g):
+    g.execute(
+        """CREATE TABLE [Org] (
+            [ColumnRole:"NodeId"] oid INT,
+            [ColumnRole:"Property"] oname varchar(20) )"""
+    )
+    g.execute("INSERT INTO Org(oid,oname) VALUES(1,'acme')")
+    res = g.execute(
+        "SELECT _NodeType AS t, COUNT(*) AS n FROM GlobalNodeView GROUP BY _NodeType"
+    )
+    rows = {(r["t"], r["n"]) for r in res.collect()}
+    assert rows == {("Node", 3), ("Org", 1)}
+
+
 def test_create_edge_view_statement(g):
     g.execute(
         """CREATE TABLE [Org] (
