@@ -351,10 +351,7 @@ class GraphDatabase:
         t = self.catalog.table(table_name)
         names = [edge_name] if edge_name else list(t.edges)
         parts = [
-            self.edges[t.edges[n.lower()].qualified]
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).alias("out_degree"))
-            for n in names
+            self.edges[t.edges[n.lower()].qualified].select("src") for n in names
         ]
         if not parts:
             return self.spark.createDataFrame(
@@ -363,9 +360,11 @@ class GraphDatabase:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        # union BEFORE aggregating: one map-side-combined shuffle total,
+        # instead of one per edge type plus a re-aggregation
         return (
             out.groupBy("src")
-            .agg(F.sum("out_degree").alias("out_degree"))
+            .agg(F.count(F.lit(1)).alias("out_degree"))
             .withColumnRenamed("src", "GlobalNodeId")
         )
 
@@ -378,11 +377,7 @@ class GraphDatabase:
         for nt in self.catalog.tables.values():
             for e in nt.edges.values():
                 if e.sink_table.lower() == t.name.lower():
-                    parts.append(
-                        self.edges[e.qualified]
-                        .groupBy("sink")
-                        .agg(F.count(F.lit(1)).alias("in_degree"))
-                    )
+                    parts.append(self.edges[e.qualified].select("sink"))
         if not parts:
             return self.spark.createDataFrame([], "GlobalNodeId long, in_degree long")
         out = parts[0]
@@ -390,7 +385,7 @@ class GraphDatabase:
             out = out.unionByName(p)
         return (
             out.groupBy("sink")
-            .agg(F.sum("in_degree").alias("in_degree"))
+            .agg(F.count(F.lit(1)).alias("in_degree"))
             .withColumnRenamed("sink", "GlobalNodeId")
         )
 

@@ -199,11 +199,41 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour every 30 minutes): each event lands in two
+    overlapping windows — the standard rolling-metric shape."""
+    from graphview_spark.session import read_table
+
+    return build_windowed_counts(
+        read_table(spark, sf_dir, "events"), window="1 hour", slide="30 minutes"
+    )
+
+
+# An event at ts belongs to the two 1-hour windows starting at
+# time_bucket(30min, ts) and time_bucket(30min, ts) - 30min — Spark's
+# sliding window() enumerates exactly those epoch-aligned starts.
+ORACLE_STREAM_SLIDING = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS ws,
+         event_type, value
+  FROM events, (VALUES (0), (1)) t(k))
+SELECT ws AS window_start,
+       ws + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM expanded
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "stream_sessions": q_stream_sessions,
     "stream_windowed": q_stream_windowed,
+    "stream_sliding": q_stream_sliding,
 }
 ORACLES = {
     "stream_sessions": ORACLE_STREAM_SESSIONS,
     "stream_windowed": ORACLE_STREAM_WINDOWED,
+    "stream_sliding": ORACLE_STREAM_SLIDING,
 }
