@@ -360,7 +360,7 @@ def execute_statement(g, sql: str) -> DataFrame | None:
     raise ValueError(f"unsupported statement: {s[:60]!r}")
 
 
-def _register_views(g) -> None:
+def _register_views(g, statement: str | None = None) -> None:
     for name, df in g.nodes.items():
         df.createOrReplaceTempView(name)
     for vname in g.catalog.node_views:
@@ -368,9 +368,13 @@ def _register_views(g) -> None:
             g.node_view_df(vname).createOrReplaceTempView(vname)
     for dname, df in g.derived_tables.items():
         df.createOrReplaceTempView(dname)
-    if g.catalog.tables:
+    if g.catalog.tables and (
+        statement is None or re.search(r"(?i)\bGlobalNodeView\b", statement)
+    ):
         # the union of ALL node tables (View.cs:2046-2114), queryable by
-        # name like any view; _NodeType/_NodeId discriminate members
+        # name like any view; _NodeType/_NodeId discriminate members.
+        # Built only when referenced — the all-tables union is not free
+        # to plan on every statement.
         g.global_node_view_df().createOrReplaceTempView("GlobalNodeView")
 
 
@@ -401,7 +405,7 @@ def _exec_select_body(g, masked: str, lits: list[str]) -> DataFrame:
 
     if "match" not in clauses:
         # plain SQL over node tables/views — Spark SQL handles it all
-        _register_views(g)
+        _register_views(g, masked)
         plain = _strip_ident_brackets(masked)
         plain = re.sub(
             r"(?is)^\s*SELECT\s+TOP\s*\(?\s*(\d+)\s*\)?\s+", r"SELECT ", plain
@@ -421,7 +425,7 @@ def _exec_select_body(g, masked: str, lits: list[str]) -> DataFrame:
     # node tables/views resolve as temp views too, so subqueries and
     # qualified JOINs against non-pattern tables work (the reference allows
     # arbitrary T-SQL around MATCH, GraphViewParser.cs:1605-1640)
-    _register_views(g)
+    _register_views(g, masked)
 
     select_list = clauses["select"].strip()
     if select_list == "*":
@@ -576,7 +580,7 @@ def _exec_insert_edge(g, sql: str) -> None:
     sel = [f"{src_a}.GlobalNodeId AS src", f"{sink_a}.GlobalNodeId AS sink"]
     for expr, (aname, atype) in zip(attr_exprs, et.attributes):
         sel.append(f"CAST({expr} AS {atype}) AS {aname}")
-    _register_views(g)
+    _register_views(g, masked)
     q = f"SELECT {', '.join(sel)} FROM {_strip_ident_brackets(m.group('rest'))}"
     pairs = g.spark.sql(_unmask(q, lits))
     g.insert_edges_df(tbl, edge, pairs)
