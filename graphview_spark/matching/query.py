@@ -361,7 +361,22 @@ def execute_statement(g, sql: str) -> DataFrame | None:
 
 
 def _register_views(g, statement: str | None = None) -> None:
+    want_degrees = statement is not None and re.search(
+        r"(?i)\b(InDegree|OutDegree)\b", statement
+    )
     for name, df in g.nodes.items():
+        if want_degrees:
+            # the reference stores InDegree/<Edge>OutDegree as physical
+            # columns (GraphViewParser.cs:1041-1131), so plain SELECTs can
+            # read them; we attach the computed aggregates on demand
+            outd = g.out_degree(name).withColumnRenamed("out_degree", "OutDegree")
+            ind = g.in_degree(name).withColumnRenamed("in_degree", "InDegree")
+            df = (
+                df.join(outd, "GlobalNodeId", "left")
+                .join(ind, "GlobalNodeId", "left")
+                .withColumn("OutDegree", F.coalesce("OutDegree", F.lit(0)))
+                .withColumn("InDegree", F.coalesce("InDegree", F.lit(0)))
+            )
         df.createOrReplaceTempView(name)
     for vname in g.catalog.node_views:
         if not vname.startswith("_"):

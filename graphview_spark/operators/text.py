@@ -313,6 +313,37 @@ FROM t
 """
 
 
+# --------------------------------------------------------------------------
+# vocabulary statistics (exact distinct; the sketch variant is pytest-bound)
+# --------------------------------------------------------------------------
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary size (exact distinct tokens) and token
+    volume — the canonical expensive distinct-aggregation: explode →
+    two-level shuffle (partial distinct per partition, then merge). The
+    HLL sketch variant (``approx_count_distinct``) is the 100 TB path —
+    one pass, mergeable state, no exact-distinct shuffle — asserted
+    within rsd bounds in tests/test_text_vocab.py (approximate values
+    are engine-specific, so the exact form is the oracle-gated one)."""
+    from graphview_spark.operators.dedup import read_spread
+
+    docs = read_spread(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("vocab"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+ORACLE_TEXT_VOCAB = """
+SELECT lang, count(DISTINCT tok) AS vocab, count(*) AS n_tokens
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -320,6 +351,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_topk_ngrams": q_text_topk_ngrams,
     "text_normalize": q_text_normalize,
+    "text_vocab": q_text_vocab,
 }
 
 ORACLES = {
@@ -329,4 +361,5 @@ ORACLES = {
     "text_fingerprint": _oracle_fingerprint(),
     "text_topk_ngrams": ORACLE_TEXT_TOPK_NGRAMS,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
+    "text_vocab": ORACLE_TEXT_VOCAB,
 }

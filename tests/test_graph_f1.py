@@ -159,6 +159,16 @@ def test_degree_columns_in_dialect(people):
     assert [row["n"] for row in r.collect()] == ["Bob"]
 
 
+def test_degree_columns_in_plain_sql(people):
+    # the reference stores degrees as physical columns, so a plain SELECT
+    # (no MATCH) can read them (GraphViewParser.cs:1041-1131)
+    r = people.execute(
+        "SELECT name, InDegree, OutDegree FROM People WHERE OutDegree > 0"
+    )
+    rows = sorted((x["name"], x["InDegree"], x["OutDegree"]) for x in r.collect())
+    assert rows == [("Alice", 0, 1), ("Bob", 1, 2)]
+
+
 def test_degrees(people):
     outd = {
         r["GlobalNodeId"]: r["out_degree"]
