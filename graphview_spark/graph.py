@@ -594,9 +594,14 @@ class GraphDatabase:
         """Execute the SQL+graph dialect: one statement (SELECT..MATCH,
         DML, DDL) or a multi-statement script with DECLARE/SET/WHILE/IF
         (the reference executes whole T-SQL batches, WSql.cs:215-313)."""
-        from graphview_spark.matching.query import _mask_strings, execute_statement
+        from graphview_spark.matching.query import (
+            _mask_strings,
+            execute_statement,
+            strip_comments,
+        )
         from graphview_spark.scripting import execute_script, split_statements
 
+        statement = strip_comments(statement)
         if re.match(r"(?is)^\s*(DECLARE|WHILE|IF)\b", statement):
             return execute_script(self, statement)
         masked, _ = _mask_strings(statement)

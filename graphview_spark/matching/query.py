@@ -74,6 +74,16 @@ def _unmask(sql: str, lits: list[str]) -> str:
     return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], sql)
 
 
+def strip_comments(sql: str) -> str:
+    """Remove ``--`` line comments and ``/* */`` block comments outside
+    string literals (the reference tokenizes full T-SQL, comments
+    included)."""
+    masked, lits = _mask_strings(sql)
+    masked = re.sub(r"/\*.*?\*/", " ", masked, flags=re.DOTALL)
+    masked = re.sub(r"--[^\n]*", " ", masked)
+    return _unmask(masked, lits)
+
+
 def _strip_ident_brackets(sql: str) -> str:
     """``[People]`` → ``People`` (only simple bracketed identifiers)."""
     return re.sub(r"\[([A-Za-z_][\w ]*)\]", r"\1", sql)
@@ -322,7 +332,7 @@ def _pushable_filters(
 # ----------------------------------------------------------------------
 
 def execute_statement(g, sql: str) -> DataFrame | None:
-    s = sql.strip().rstrip(";").strip()
+    s = strip_comments(sql).strip().rstrip(";").strip()
     if re.match(r"(?is)^\s*CREATE\s+PROC(?:EDURE)?\b", s):
         _exec_create_procedure(g, s)
         return None

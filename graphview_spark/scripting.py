@@ -134,7 +134,9 @@ class ScriptRunner:
 
     # -- statement dispatch ------------------------------------------------
     def run(self, script: str) -> DataFrame | None:
-        masked, lits = _mask(script)
+        from graphview_spark.matching.query import strip_comments
+
+        masked, lits = _mask(strip_comments(script))
         return self._run_block(masked, lits)
 
     def _run_block(self, masked: str, lits) -> DataFrame | None:

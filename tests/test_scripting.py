@@ -77,6 +77,21 @@ def test_select_into_then_query(g):
     assert [r["nm"] for r in res.collect()] == ["b"]
 
 
+def test_comments_stripped_outside_strings(g):
+    res = g.execute(
+        """-- leading comment with a fake DECLARE and a ; semicolon
+           SELECT id, name /* block
+           comment */ FROM Node
+           WHERE name = 'a' -- trailing; comment
+        """
+    )
+    assert [r["name"] for r in res.collect()] == ["a"]
+    # comment markers inside string literals survive
+    g.execute("INSERT INTO Node(id,name) VALUES(6,'a--b')")
+    res = g.execute("SELECT name FROM Node WHERE id = 6")
+    assert [r["name"] for r in res.collect()] == ["a--b"]
+
+
 def test_script_with_string_semicolons(g):
     # semicolons inside string literals must not split statements
     g.execute(
