@@ -34,7 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from graphview_spark import algorithms, graph_queries, relational
-    from graphview_spark.operators import dedup, multimodal, similarity, text
+    from graphview_spark.operators import (
+        dedup,
+        multimodal,
+        similarity,
+        temporal,
+        text,
+    )
     from graphview_spark.streaming import events as streaming_events
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -46,13 +52,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal.QUERIES)
     out.update(streaming_events.QUERIES)
     out.update(algorithms.QUERIES)
+    out.update(temporal.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each ``queries()`` key."""
     from graphview_spark import algorithms, graph_queries, relational
-    from graphview_spark.operators import dedup, multimodal, similarity, text
+    from graphview_spark.operators import (
+        dedup,
+        multimodal,
+        similarity,
+        temporal,
+        text,
+    )
     from graphview_spark.streaming import events as streaming_events
 
     out: dict[str, str] = {}
@@ -64,4 +77,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(multimodal.ORACLES)
     out.update(streaming_events.ORACLES)
     out.update(algorithms.ORACLES)
+    out.update(temporal.ORACLES)
     return out

@@ -40,7 +40,8 @@ def main() -> None:
     # include any operator-suite headliners registered later
     for n in qs:
         if n not in names and any(
-            n.startswith(p) for p in ("dedup_", "sim_", "text_", "match_", "stream_")
+            n.startswith(p)
+            for p in ("dedup_", "sim_", "text_", "match_", "stream_", "events_")
         ):
             names.append(n)
 

@@ -1,0 +1,282 @@
+"""Temporal joins — as-of join and range (band) join.
+
+The reference has no temporal operators (GraphView is a graph layer over
+SQL Server; SURVEY.md §2.7); these are net-new surface for the
+event/feature side of a training-data pipeline: point-in-time feature
+lookup (as-of) and bounded-window event correlation (range join).
+
+Scale design:
+
+- ``asof_join`` is the union-sort formulation: both sides are unioned
+  with a side marker, ONE shuffle on the ``by`` key sorts each group by
+  time, and ``last(<right struct>, ignorenulls=True)`` over a running
+  window carries the most recent right row forward onto each left row.
+  No Python, no per-key loop, no range condition the optimizer can't
+  use — the cost is exactly one shuffle + sort, the same as any
+  groupBy on ``by``. (A cogrouped ``applyInPandas`` + ``merge_asof``
+  would give the same semantics through Arrow but leaves the JVM; this
+  stays in whole-stage codegen.)
+
+- ``banded_range_join`` is the bucketed band join: a join condition
+  ``r.ts BETWEEN l.ts - W AND l.ts`` is not an equi-join, and Spark
+  would fall back to a per-key cross product (or worse, a broadcast
+  nested loop). Bucketing time into width-W cells turns it into an
+  equi-join on (key, bucket): the left side explodes to the (at most 2)
+  cells its window overlaps, the right side maps to its single cell,
+  and the exact BETWEEN runs only on cell-collided pairs. Candidate
+  count is bounded by events-per-key-per-window, independent of total
+  data size.
+
+Matched-row integrity: the carried right columns travel inside ONE
+struct, so a null in an individual right column can never cause values
+from two different right rows to be stitched together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    right_cols: list[str],
+    tiebreak: str | None = None,
+    suffix: str = "_r",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For each left row, attach ``right_cols`` from the most recent right
+    row with ``right.on <= left.on`` (direction='backward', inclusive;
+    'forward' = earliest right row with ``right.on >= left.on``), matched
+    within ``by``. Unmatched left rows keep nulls (left-outer semantics,
+    like DuckDB/pandas ASOF LEFT).
+
+    Ties: right rows sharing (by, on) are resolved to the one with the
+    greatest ``tiebreak`` value (backward) / least (forward); pass the
+    right side's unique id for deterministic results.
+
+    ``tolerance_seconds`` nulls the match when the matched timestamp is
+    further than the tolerance from the left row's timestamp.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join direction must be backward/forward: {direction}")
+    carried = [c for c in right_cols]
+    lpayload = [c for c in left.columns if c not in by and c != on]
+    # the right row travels as one struct; `on` rides inside it so the
+    # tolerance check and every output column come from the same row
+    rstruct = F.struct(
+        F.col(on).alias("_on"), *[F.col(c).alias(c) for c in carried]
+    )
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    l = left.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast("long").alias("_tb"),
+        *[F.col(c).alias(c) for c in lpayload],
+        F.lit(None).cast(
+            "struct<_on:" + dict(right.dtypes)[on] + ","
+            + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in carried)
+            + ">"
+        ).alias("_match"),
+    )
+    r = right.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        tb.cast("long").alias("_tb"),
+        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lpayload],
+        rstruct.alias("_match"),
+    )
+    u = l.unionByName(r)
+    if direction == "backward":
+        # at equal _t the right row sorts first (inclusive >=); among tied
+        # right rows the greatest tiebreak sorts last and last() wins
+        order = [F.col("_t").asc(), F.col("_is_left").asc(), F.col("_tb").asc()]
+        w = (
+            W.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        matched = F.last("_match", ignorenulls=True).over(w)
+    else:
+        order = [F.col("_t").asc(), F.col("_is_left").desc(), F.col("_tb").asc()]
+        w = (
+            W.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        matched = F.first("_match", ignorenulls=True).over(w)
+    out = u.withColumn("_m", matched).filter(F.col("_is_left") == 1)
+    if tolerance_seconds is not None:
+        within = (
+            F.abs(
+                F.col("_t").cast("double") - F.col("_m._on").cast("double")
+            )
+            <= F.lit(float(tolerance_seconds))
+        )
+        out = out.withColumn("_m", F.when(within, F.col("_m")))
+    return out.select(
+        *by,
+        F.col("_t").alias(on),
+        *lpayload,
+        *[F.col(f"_m.{c}").alias(c + suffix) for c in carried],
+        F.col("_m._on").alias(on + suffix),
+    )
+
+
+# ---------------------------------------------------------------------------
+# range (band) join
+# ---------------------------------------------------------------------------
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: int = 300,
+) -> DataFrame:
+    """Inner-join pairs where ``right_ts`` lies in
+    ``[left_ts - window, left_ts]`` within ``by`` — as an equi-join.
+
+    Bucket id = unix_micros // (window · 1e6) (exact integer math, no
+    float truncation slop); a window of width W overlaps at most 2
+    buckets, so the left side explodes ×2 and the join runs on
+    (by, bucket). Right columns that collide with left names get a
+    ``_r`` suffix.
+    """
+    usec = int(window_seconds) * 1_000_000
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / F.lit(usec))
+    rb = F.floor(F.unix_micros(F.col(right_ts)) / F.lit(usec))
+    lcols = set(left.columns)
+    r = right.withColumn("_bucket", rb).select(
+        "_bucket",
+        *by,
+        *[
+            F.col(c).alias(c + "_r" if c in lcols else c)
+            for c in right.columns
+            if c not in by
+        ],
+    )
+    rts = right_ts + "_r" if right_ts in lcols else right_ts
+    l = left.withColumn(
+        "_bucket", F.explode(F.array(lb - 1, lb))
+    )
+    joined = l.join(r, [*by, "_bucket"], "inner").drop("_bucket")
+    lo = F.col(left_ts) - F.expr(f"INTERVAL {int(window_seconds)} SECOND")
+    return joined.filter(F.col(rts).between(lo, F.col(left_ts)))
+
+
+# ---------------------------------------------------------------------------
+# correctness-gate entries
+# ---------------------------------------------------------------------------
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: each purchase joined to the same user's most
+    recent click at-or-before the purchase (backward inclusive as-of)."""
+    from graphview_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", F.col("event_id").alias("_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        right_cols=["value"],
+        tiebreak="_id",
+        suffix="_click",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", F.col("ts")).alias("purchase_ts"),
+        F.date_trunc("second", F.col("ts_click")).alias("click_ts"),
+        F.round("value_click", 2).alias("click_value"),
+    )
+
+
+# DuckDB's native ASOF LEFT JOIN is the oracle; its right side is
+# pre-deduped per (user_id, ts) to the max event_id — the same tie rule
+# asof_join applies via the tiebreak column.
+ORACLE_EVENTS_ASOF = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+SELECT l.event_id, l.user_id,
+       date_trunc('second', l.ts) AS purchase_ts,
+       date_trunc('second', r.ts) AS click_ts,
+       round(r.value, 2) AS click_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_events_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-join correlation: for every error event, how many clicks did
+    the same user make in the preceding 5 minutes (inclusive)?"""
+    from graphview_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id").alias("click_id")
+    )
+    pairs = banded_range_join(
+        errors, clicks, by=["user_id"], window_seconds=300
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("click_id").alias("n_clicks_5m")
+    )
+    return (
+        errors.join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_trunc("second", F.col("ts")).alias("error_ts"),
+            F.coalesce(F.col("n_clicks_5m"), F.lit(0)).alias("n_clicks_5m"),
+        )
+    )
+
+
+ORACLE_EVENTS_RANGE_COUNT = """
+SELECT e.event_id, e.user_id,
+       date_trunc('second', e.ts) AS error_ts,
+       count(c.event_id) AS n_clicks_5m
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click'
+ AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id, date_trunc('second', e.ts)
+"""
+
+
+QUERIES = {
+    "events_asof": q_events_asof,
+    "events_range_count": q_events_range_count,
+}
+ORACLES = {
+    "events_asof": ORACLE_EVENTS_ASOF,
+    "events_range_count": ORACLE_EVENTS_RANGE_COUNT,
+}

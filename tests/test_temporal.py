@@ -1,0 +1,126 @@
+"""Semantics tests for the temporal joins (operators/temporal.py):
+as-of tie/tolerance/direction rules on hand-built fixtures, band-join
+bucket-boundary coverage, and plan shape (no cartesian, no Python)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from graphview_spark.operators.temporal import asof_join, banded_range_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 00:10:00")),
+            (2, 10, _ts("2024-01-01 00:20:00")),
+            (3, 10, _ts("2024-01-01 00:00:30")),   # before every right row
+            (4, 20, _ts("2024-01-01 09:00:00")),   # user with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:05:00"), 1.0, 101),
+            (10, _ts("2024-01-01 00:10:00"), 2.0, 102),  # tie with left #1
+            (10, _ts("2024-01-01 00:10:00"), 3.0, 103),  # same ts, higher id
+            (10, _ts("2024-01-01 00:15:00"), None, 104), # null value col
+        ],
+        "user_id long, ts timestamp, value double, _id long",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_ties(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="ts", by=["user_id"], right_cols=["value"],
+        tiebreak="_id",
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    # tie at 00:10: inclusive match, max _id (103) wins -> value 3.0
+    assert rows[1]["value_r"] == 3.0
+    # 00:20 matches the 00:15 row WITH ITS OWN null value (not an older
+    # row's value) — matched-row integrity through the struct
+    assert rows[2]["value_r"] is None
+    assert rows[2]["ts_r"] == _ts("2024-01-01 00:15:00")
+    # left row before all right rows and user without right rows -> null
+    assert rows[3]["value_r"] is None and rows[3]["ts_r"] is None
+    assert rows[4]["value_r"] is None and rows[4]["ts_r"] is None
+    assert out.count() == 4
+
+
+def test_asof_forward_and_tolerance(spark):
+    left, right = _frames(spark)
+    fwd = asof_join(
+        left, right, on="ts", by=["user_id"], right_cols=["value"],
+        tiebreak="_id", direction="forward",
+    )
+    rows = {r["event_id"]: r for r in fwd.collect()}
+    # forward from 00:00:30 -> earliest right at-or-after = 00:05
+    assert rows[3]["ts_r"] == _ts("2024-01-01 00:05:00")
+    # forward tie at 00:10 -> least _id (102) wins
+    assert rows[1]["value_r"] == 2.0
+    # 00:20 has no later right row
+    assert rows[2]["ts_r"] is None
+
+    tol = asof_join(
+        left, right, on="ts", by=["user_id"], right_cols=["value"],
+        tiebreak="_id", tolerance_seconds=60,
+    )
+    trows = {r["event_id"]: r for r in tol.collect()}
+    assert trows[1]["value_r"] == 3.0            # 0s away, kept
+    assert trows[2]["value_r"] is None           # 300s away, nulled
+    assert trows[2]["ts_r"] is None
+
+
+def test_banded_range_join_boundaries(spark):
+    # window 300s; pairs that straddle a bucket boundary must still match
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:05:01"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:01"), 201),  # exactly -300s: included
+            (10, _ts("2024-01-01 00:00:00"), 202),  # -301s: out
+            (10, _ts("2024-01-01 00:05:01"), 203),  # 0s: included
+            (10, _ts("2024-01-01 00:05:02"), 204),  # future: out
+            (20, _ts("2024-01-01 00:05:01"), 205),  # other user: out
+        ],
+        "user_id long, ts timestamp, click_id long",
+    )
+    pairs = banded_range_join(left, right, by=["user_id"], window_seconds=300)
+    got = sorted(r["click_id"] for r in pairs.collect())
+    assert got == [201, 203]
+
+
+def test_temporal_plan_shape(spark, sf_dir):
+    from graphview_spark.operators.temporal import (
+        q_events_asof,
+        q_events_range_count,
+    )
+    from graphview_spark.plans.inspect import plan_facts
+
+    asof_facts = plan_facts(q_events_asof(spark, sf_dir))
+    assert asof_facts.n_cartesian == 0
+    assert asof_facts.n_python_evals == 0
+    range_facts = plan_facts(q_events_range_count(spark, sf_dir))
+    assert range_facts.n_cartesian == 0
+    assert range_facts.n_python_evals == 0
+
+
+def test_gate_queries_match_oracle(spark, duck):
+    from tests.conftest import assert_df_matches_oracle
+    from graphview_spark.operators import temporal
+
+    for name, fn in temporal.QUERIES.items():
+        assert_df_matches_oracle(
+            fn(spark, "/root/testdata/sf0.001"), duck, temporal.ORACLES[name]
+        )
