@@ -70,4 +70,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
             )
+        elif isinstance(field["ts"].dataType, T.TimestampNTZType):
+            # parquet timestamp[us] without timezone reads as TIMESTAMP_NTZ;
+            # the session runs in UTC, so the cast re-labels the same wall
+            # instant as TIMESTAMP (what every downstream operator and the
+            # DuckDB oracle see)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
