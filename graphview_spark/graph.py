@@ -246,42 +246,74 @@ class GraphDatabase:
             # insert_nodes' convention (gid = base + seq + i + 1), so a
             # NodeId of 0 after prior driver inserts cannot collide with
             # the current max gid.
+            lo, hi = df.agg(
+                F.min(F.col(t.node_id_column)), F.max(F.col(t.node_id_column))
+            ).first()
+            if lo is not None and int(lo) < 0:
+                raise GraphViewError(
+                    f"bulk load into {t.name}: negative NodeId {lo} would "
+                    f"produce a GlobalNodeId below the table's id base "
+                    f"(tables own disjoint 48-bit id ranges)"
+                )
+            if hi is not None and start + int(hi) + 1 >= (1 << 48):
+                raise GraphViewError(
+                    f"bulk load into {t.name}: NodeId {hi} overflows the "
+                    f"table's 48-bit id range (max local seq {(1 << 48) - 1})"
+                )
             with_id = df.withColumn(
                 "GlobalNodeId",
                 (F.lit(base + start + 1) + F.col(t.node_id_column)).cast("long"),
             )
-            hi = df.agg(F.max(F.col(t.node_id_column))).first()[0]
             self._seq[t.name] = start + int(hi or 0) + 1
             self._node_counts.pop(t.name, None)
             self.nodes[t.name] = self.nodes[t.name].unionByName(
                 with_id.select("GlobalNodeId", *cols)
             )
             return
+        # Non-integral NodeId (or none): contiguous id assignment fully
+        # JVM-side — spark_partition_id + one tiny per-partition count job
+        # + in-partition row_number. No RDD/Python round-trip (pickling
+        # every row through Python is per-row-UDF cost class at 100 TB)
+        # and no global window (single-task funnel).
         if t.node_id_column:
-            # deterministic (sorted by NodeId) AND distributed: range
-            # partitioning + in-partition sort gives a global order, and
-            # zipWithIndex assigns contiguous ids with one small count job
-            # per partition — a global row_number() window would funnel
-            # the whole load through a single task
-            ordered = df.repartitionByRange(
-                max(df.rdd.getNumPartitions(), 1), F.col(t.node_id_column)
-            ).sortWithinPartitions(t.node_id_column)
-            with_id = (
-                ordered.rdd.zipWithIndex()
-                .map(lambda p: (base + start + p[1] + 1, *p[0]))
-                .toDF(["GlobalNodeId"] + cols)
+            # deterministic: range partitioning by NodeId + in-partition
+            # order by NodeId gives a stable global order; at least the
+            # cluster's parallelism so small files still load wide
+            nparts = max(
+                df.rdd.getNumPartitions(),
+                self.spark.sparkContext.defaultParallelism,
             )
-        else:
-            with_id = (
-                df.rdd.zipWithIndex()
-                .map(lambda p: (base + start + p[1] + 1, *p[0]))
-                .toDF(["GlobalNodeId"] + cols)
+            df = df.repartitionByRange(nparts, F.col(t.node_id_column))
+        # pin partition contents: the range partitioner samples boundaries,
+        # so the counts job and the id job must not recompute it differently
+        part = df.withColumn("_pid", F.spark_partition_id()).persist()
+        pid_counts = sorted(
+            part.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+        )
+        max_pid = pid_counts[-1]["_pid"] if pid_counts else 0
+        cum, total = [0] * (int(max_pid) + 1), 0
+        for r in pid_counts:
+            cum[int(r["_pid"])] = total
+            total += int(r["count"])
+        order_key = (
+            F.col(t.node_id_column)
+            if t.node_id_column
+            else F.monotonically_increasing_id()
+        )
+        w = W.partitionBy("_pid").orderBy(order_key)
+        # per-partition start offsets as a constant array literal indexed by
+        # pid (one long per partition — a few KB even at 100k partitions);
+        # keeps the whole assignment inside codegen, no side DataFrame
+        with_id = (
+            part.withColumn("_off", F.element_at(F.lit(cum), F.col("_pid") + 1))
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "GlobalNodeId",
+                (F.lit(base + start) + F.col("_off") + F.col("_rn")).cast("long"),
             )
-        n = df.count()
-        self._seq[t.name] = start + n
+        )
+        self._seq[t.name] = start + total
         self._node_counts.pop(t.name, None)
-        # RDD roundtrip re-infers types (INT -> LONG etc.); cast back to
-        # the declared node schema before the union
         self.nodes[t.name] = self.nodes[t.name].unionByName(
             self._cast_to(
                 with_id.select("GlobalNodeId", *cols), self.nodes[t.name].schema
@@ -578,12 +610,15 @@ class GraphDatabase:
         missing = [p for p in proc.params if p not in args]
         if missing:
             raise ValueError(f"procedure {proc_name} missing params: {missing}")
+        from graphview_spark.scripting import _mask, _subst_vars, _unmask
+
         result = None
         for stmt in proc.statements:
-            s = stmt
-            for p, v in args.items():
-                lit = f"'{v}'" if isinstance(v, str) else str(v)
-                s = s.replace(f"@{p}", lit)
+            # whole-token @name substitution over a string-masked statement:
+            # a raw str.replace would corrupt @prio when @p is also a
+            # parameter, and would substitute inside string literals
+            masked, lits = _mask(stmt)
+            s = _unmask(_subst_vars(masked, dict(args)), lits)
             result = execute_statement(self, s)
         return result
 

@@ -60,6 +60,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         # runtime-settable; needed even when the caller (the driver) built
         # its own session without our builder configs
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the TIMESTAMP_NTZ→TIMESTAMP cast below is instant-preserving only
+        # under a UTC session; pin it for caller-built sessions too
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         field = dict(zip(df.schema.names, df.schema.fields))

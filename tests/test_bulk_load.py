@@ -99,11 +99,34 @@ def test_bulk_string_nodeids_distributed(spark, tmp_path):
     assert gids == sorted(gids) and len(set(gids)) == 4
     plan = g.nodes["Account"]._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+    # and no Python/RDD round-trip: id assignment is DataFrame-only
+    assert "ExistingRDD" not in plan and "EvalPython" not in plan
     # a second load continues the sequence without collisions
     p2 = _write(tmp_path, "more.csv", ["handle,label", "ned,n"])
     bulk_insert_nodes(g, "Account", p2)
     all_gids = [r["GlobalNodeId"] for r in g.nodes["Account"].collect()]
     assert len(set(all_gids)) == 5
+
+
+def test_bulk_negative_nodeid_raises(g, tmp_path):
+    # a negative integral NodeId would silently land below the table's
+    # 48-bit id base (possibly inside another table's id space)
+    p = _write(tmp_path, "neg.csv", ["pid,name", "-5,Evil", "1,Ok"])
+    with pytest.raises(Exception, match="negative NodeId"):
+        bulk_insert_nodes(g, "Person", p)
+
+
+def test_bulk_overflow_nodeid_raises(spark, tmp_path):
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [Big] (
+            [ColumnRole:"NodeId"] bid BIGINT,
+            [ColumnRole:"Property"] label varchar(32) )"""
+    )
+    big = (1 << 48) - 1
+    p = _write(tmp_path, "big.csv", ["bid,label", f"{big},huge"])
+    with pytest.raises(Exception, match="48-bit"):
+        bulk_insert_nodes(g, "Big", p)
 
 
 def test_bulk_edges_unresolved_raises(g, tmp_path):

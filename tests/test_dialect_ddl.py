@@ -67,6 +67,21 @@ def test_create_procedure_multi_statement(g):
     assert sorted(r["n"] for r in res.collect()) == ["nine"]
 
 
+def test_procedure_param_prefix_and_literals(g):
+    # @p must not corrupt @prio (whole-token substitution), and a string
+    # literal containing '@p' must pass through untouched
+    g.execute(
+        """CREATE PROCEDURE Tag @p INT, @prio varchar(20) AS BEGIN
+               SELECT n.name AS nm, @prio AS prio, '@p stays' AS lit
+               FROM Node n WHERE n.id = @p
+           END"""
+    )
+    row = g.execute("EXEC Tag @p = 2, @prio = 'high'").first()
+    assert row["nm"] == "b"
+    assert row["prio"] == "high"
+    assert row["lit"] == "@p stays"
+
+
 def test_create_node_view_star_and_mapped(spark):
     g = GraphDatabase(spark)
     g.execute(
