@@ -22,8 +22,7 @@ HEADLINE = [
     "rel_shipping_priority",
     "rel_local_supplier_volume",
     "rel_having",
-    "rel_window_rank",
-    "rel_top_n_per_group",
+    "rel_window_topn",
     "rel_set_ops",
     "rel_events_daily",
 ]

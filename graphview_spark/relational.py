@@ -464,6 +464,144 @@ WHERE rn <= 3
 
 
 # --------------------------------------------------------------------------
+# Merged gate queries: the driver's correctness gate records at most ~50
+# entries (CORRECTNESS_r02 cut at exactly 50 of 52 in registration order),
+# so pairs of single-operator queries are combined into one gate entry
+# each covering both SURVEY rows. The single-operator forms above remain
+# for pytest/plan tests.
+# --------------------------------------------------------------------------
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi AND NOT EXISTS → left-anti in one labeled
+    result (SURVEY §2.2 EXISTS, §2.3 semi/anti; ref
+    WBooleanExpression.cs:324-356). Both branches nonzero-row."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    semi = (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .withColumn("tag", F.lit("has_big_order"))
+    )
+    anti = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("tag", F.lit("no_urgent_order"))
+    )
+    return semi.union(anti)
+
+
+ORACLE_SEMI_ANTI = """
+SELECT c_custkey, c_name, 'has_big_order' AS tag FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+UNION ALL
+SELECT c_custkey, c_name, 'no_urgent_order' AS tag FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) membership + scalar-subquery comparison in one WHERE
+    (SURVEY §2.2 IN + Subquery comparison; ref
+    WBooleanExpression.cs:357-438,490-540). The 1-row aggregate is
+    broadcast — no shuffle of the probe side."""
+    orders = _t(spark, sf_dir, "orders")
+    big_items = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey")
+        .distinct()
+    )
+    avg_price = orders.agg(F.avg("o_totalprice").alias("_avg_price"))
+    return (
+        orders.join(big_items, orders.o_orderkey == big_items.l_orderkey, "left_semi")
+        .crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("_avg_price"))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+ORACLE_SUBQUERIES = """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+  AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with COUNT(DISTINCT) + plain aggs in one
+    block (SURVEY §2.4 DISTINCT agg + grouping sets — parity-plus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+ORACLE_ROLLUP_DISTINCT = """
+SELECT l_returnflag, l_linestatus,
+       count(DISTINCT l_partkey) AS distinct_parts,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / running sum over a partition, then the
+    distributed top-N-per-group filter on the same window (SURVEY §2.5
+    window + TOP rows — net-new surface, absent from the reference
+    W-AST)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.round(
+                F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)),
+                2,
+            ).alias("running_total"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+ORACLE_WINDOW_TOPN = """
+SELECT o_custkey, o_orderkey, totalprice, rn, rnk, running_total
+FROM (SELECT o_custkey, o_orderkey,
+             round(o_totalprice, 2) AS totalprice,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rnk,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS running_total
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC))
+WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # §2.3 outer joins + null handling (IS NULL surface)
 # --------------------------------------------------------------------------
 
@@ -587,21 +725,22 @@ GROUP BY CAST(ts AS DATE), event_type
 # registry
 # --------------------------------------------------------------------------
 
+# Gate registry. The driver records at most ~50 correctness entries in
+# registration order, so redundant single-operator queries are merged
+# (rel_semi_anti, rel_subqueries, rel_rollup_distinct, rel_window_topn
+# each cover two SURVEY rows); the unmerged forms stay pytest-covered
+# (tests/test_relational.py) and runnable here.
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_shipping_priority": q_shipping_priority,
     "rel_local_supplier_volume": q_local_supplier_volume,
     "rel_scalar_surface": q_scalar_surface,
-    "rel_exists_semi": q_exists_semi,
-    "rel_not_exists_anti": q_not_exists_anti,
-    "rel_in_subquery": q_in_subquery,
-    "rel_scalar_subquery": q_scalar_subquery,
+    "rel_semi_anti": q_semi_anti,
+    "rel_subqueries": q_subqueries,
     "rel_having": q_having,
-    "rel_distinct_agg": q_distinct_agg,
-    "rel_rollup": q_rollup,
+    "rel_rollup_distinct": q_rollup_distinct,
     "rel_set_ops": q_set_ops,
-    "rel_window_rank": q_window_rank,
-    "rel_top_n_per_group": q_top_n_per_group,
+    "rel_window_topn": q_window_topn,
     "rel_outer_join_nulls": q_outer_join_nulls,
     "rel_cross_join": q_cross_join,
     "rel_cte_derived": q_cte_derived,
@@ -613,18 +752,38 @@ ORACLES = {
     "rel_shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "rel_local_supplier_volume": ORACLE_LOCAL_SUPPLIER,
     "rel_scalar_surface": ORACLE_SCALAR_SURFACE,
-    "rel_exists_semi": ORACLE_EXISTS_SEMI,
-    "rel_not_exists_anti": ORACLE_NOT_EXISTS_ANTI,
-    "rel_in_subquery": ORACLE_IN_SUBQUERY,
-    "rel_scalar_subquery": ORACLE_SCALAR_SUBQUERY,
+    "rel_semi_anti": ORACLE_SEMI_ANTI,
+    "rel_subqueries": ORACLE_SUBQUERIES,
     "rel_having": ORACLE_HAVING,
-    "rel_distinct_agg": ORACLE_DISTINCT_AGG,
-    "rel_rollup": ORACLE_ROLLUP,
+    "rel_rollup_distinct": ORACLE_ROLLUP_DISTINCT,
     "rel_set_ops": ORACLE_SET_OPS,
-    "rel_window_rank": ORACLE_WINDOW_RANK,
-    "rel_top_n_per_group": ORACLE_TOP_N_PER_GROUP,
+    "rel_window_topn": ORACLE_WINDOW_TOPN,
     "rel_outer_join_nulls": ORACLE_OUTER_JOIN_NULLS,
     "rel_cross_join": ORACLE_CROSS_JOIN,
     "rel_cte_derived": ORACLE_CTE_DERIVED,
     "rel_events_daily": ORACLE_EVENTS_DAILY,
+}
+
+# Single-operator forms kept runnable for tests and ad-hoc checks (not
+# registered with the driver gate — see the cap note above).
+EXTRA_QUERIES = {
+    "rel_exists_semi": q_exists_semi,
+    "rel_not_exists_anti": q_not_exists_anti,
+    "rel_in_subquery": q_in_subquery,
+    "rel_scalar_subquery": q_scalar_subquery,
+    "rel_distinct_agg": q_distinct_agg,
+    "rel_rollup": q_rollup,
+    "rel_window_rank": q_window_rank,
+    "rel_top_n_per_group": q_top_n_per_group,
+}
+
+EXTRA_ORACLES = {
+    "rel_exists_semi": ORACLE_EXISTS_SEMI,
+    "rel_not_exists_anti": ORACLE_NOT_EXISTS_ANTI,
+    "rel_in_subquery": ORACLE_IN_SUBQUERY,
+    "rel_scalar_subquery": ORACLE_SCALAR_SUBQUERY,
+    "rel_distinct_agg": ORACLE_DISTINCT_AGG,
+    "rel_rollup": ORACLE_ROLLUP,
+    "rel_window_rank": ORACLE_WINDOW_RANK,
+    "rel_top_n_per_group": ORACLE_TOP_N_PER_GROUP,
 }

@@ -13,3 +13,10 @@ from tests.conftest import assert_df_matches_oracle
 def test_relational_query_matches_oracle(name, spark, sf_dir, duck):
     df = relational.QUERIES[name](spark, sf_dir)
     assert_df_matches_oracle(df, duck, relational.ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(relational.EXTRA_QUERIES))
+def test_relational_extra_query_matches_oracle(name, spark, sf_dir, duck):
+    # single-operator forms not registered with the (capped) driver gate
+    df = relational.EXTRA_QUERIES[name](spark, sf_dir)
+    assert_df_matches_oracle(df, duck, relational.EXTRA_ORACLES[name])
