@@ -376,15 +376,27 @@ class GraphDatabase:
     # ------------------------------------------------------------------
     # Degrees (computed, not stored — SURVEY §1.4)
     # ------------------------------------------------------------------
+    def _degree_member_tables(self, name: str) -> list[str]:
+        """Resolve a node table OR node view name to its physical member
+        tables (degree columns work on views too — each member carries the
+        physical columns, GraphViewKeywords.cs:40-49, View.cs:300-430)."""
+        if self.catalog.has_table(name):
+            return [self.catalog.table(name).name]
+        return list(self.catalog.node_view(name).members)
+
     def out_degree(self, table_name: str, edge_name: str | None = None) -> DataFrame:
         """(GlobalNodeId, out_degree) for one edge type or all edges of the
-        table. Reference stores <Edge>OutDegree per row
-        (GraphViewParser.cs:1113-1131); we aggregate on demand."""
-        t = self.catalog.table(table_name)
-        names = [edge_name] if edge_name else list(t.edges)
-        parts = [
-            self.edges[t.edges[n.lower()].qualified].select("src") for n in names
-        ]
+        table (or of every member table when given a node view). Reference
+        stores <Edge>OutDegree per row (GraphViewParser.cs:1113-1131); we
+        aggregate on demand."""
+        parts = []
+        for member in self._degree_member_tables(table_name):
+            t = self.catalog.table(member)
+            names = [edge_name] if edge_name else list(t.edges)
+            parts.extend(
+                self.edges[t.edges[n.lower()].qualified].select("src")
+                for n in names
+            )
         if not parts:
             return self.spark.createDataFrame(
                 [], "src long, out_degree long"
@@ -402,13 +414,14 @@ class GraphDatabase:
 
     def in_degree(self, table_name: str) -> DataFrame:
         """(GlobalNodeId, in_degree) across ALL edge types that reference
-        this table (the reference maintains InDegree transactionally on the
-        sink table, TranslateDataModificationVisitor.cs:2085-2137)."""
-        t = self.catalog.table(table_name)
+        this table or any member of the given node view (the reference
+        maintains InDegree transactionally on the sink table,
+        TranslateDataModificationVisitor.cs:2085-2137)."""
+        sinks = {m.lower() for m in self._degree_member_tables(table_name)}
         parts = []
         for nt in self.catalog.tables.values():
             for e in nt.edges.values():
-                if e.sink_table.lower() == t.name.lower():
+                if e.sink_table.lower() in sinks:
                     parts.append(self.edges[e.qualified].select("sink"))
         if not parts:
             return self.spark.createDataFrame([], "GlobalNodeId long, in_degree long")

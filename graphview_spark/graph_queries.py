@@ -429,6 +429,78 @@ WHERE c.c_custkey <= 100
 """
 
 
+def q_match_view_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree columns over a node VIEW (reserved columns work on views —
+    members each carry the physical columns, GraphViewKeywords.cs:40-49,
+    View.cs:300-430): per-member degrees union through the view mapping."""
+    g = tpch_graph(spark, sf_dir)
+    return g.execute(
+        """SELECT P.NodeType AS party_type,
+                  SUM(P.OutDegree) AS total_out,
+                  SUM(P.InDegree) AS total_in,
+                  COUNT(*) AS n
+           FROM Party P, Nation N
+           MATCH P-[LocatedIn]->N
+           GROUP BY P.NodeType"""
+    )
+
+
+ORACLE_MATCH_VIEW_DEGREES = f"""
+WITH refers AS ({_ORACLE_REFERS}),
+rc AS (SELECT src, count(*) AS n FROM refers GROUP BY src),
+rp AS (SELECT sink, count(*) AS n FROM refers GROUP BY sink),
+oc AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+SELECT 'Customer' AS party_type,
+       sum(1 + coalesce(rc.n, 0) + coalesce(oc.n, 0))::BIGINT AS total_out,
+       sum(coalesce(rp.n, 0))::BIGINT AS total_in,
+       count(*) AS n
+FROM customer c
+LEFT JOIN rc ON rc.src = c.c_custkey
+LEFT JOIN rp ON rp.sink = c.c_custkey
+LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'Supplier', count(*)::BIGINT, 0::BIGINT, count(*)
+FROM supplier
+"""
+
+
+def q_match_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect WITH-CTEs around MATCH (WSql.cs:215-313): two CTEs each
+    containing a MATCH pattern, joined by the trailing statement."""
+    g = tpch_graph(spark, sf_dir)
+    return g.execute(
+        """WITH nat_counts AS (
+               SELECT N.n_nationkey AS nkey, COUNT(*) AS n_cust
+               FROM Customer C, Nation N
+               MATCH C-[FromNation]->N
+               GROUP BY N.n_nationkey
+           ), nat_region AS (
+               SELECT N.n_nationkey AS nkey, R.r_name AS region
+               FROM Nation N, Region R
+               MATCH N-[InRegion]->R
+           )
+           SELECT nr.region AS region, SUM(nc.n_cust) AS n_cust,
+                  COUNT(*) AS n_nations
+           FROM nat_counts nc JOIN nat_region nr ON nc.nkey = nr.nkey
+           GROUP BY nr.region"""
+    )
+
+
+ORACLE_MATCH_CTE = """
+WITH nat_counts AS (
+  SELECT c_nationkey AS nkey, count(*) AS n_cust
+  FROM customer GROUP BY c_nationkey
+), nat_region AS (
+  SELECT n_nationkey AS nkey, r_name AS region
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+)
+SELECT nr.region AS region, sum(nc.n_cust) AS n_cust,
+       count(*) AS n_nations
+FROM nat_counts nc JOIN nat_region nr ON nc.nkey = nr.nkey
+GROUP BY nr.region
+"""
+
+
 QUERIES = {
     "match_customers_per_region": q_match_customers_per_region,
     "match_shared_nation": q_match_shared_nation,
@@ -440,6 +512,8 @@ QUERIES = {
     "match_exists_subquery": q_match_exists_subquery,
     "match_join_qualified": q_match_join_qualified,
     "match_degree_cols": q_match_degree_cols,
+    "match_cte": q_match_cte,
+    "match_view_degrees": q_match_view_degrees,
 }
 
 ORACLES = {
@@ -453,4 +527,6 @@ ORACLES = {
     "match_exists_subquery": ORACLE_MATCH_EXISTS_SUBQUERY,
     "match_join_qualified": ORACLE_MATCH_JOIN_QUALIFIED,
     "match_degree_cols": ORACLE_MATCH_DEGREE_COLS,
+    "match_cte": ORACLE_MATCH_CTE,
+    "match_view_degrees": ORACLE_MATCH_VIEW_DEGREES,
 }

@@ -331,8 +331,91 @@ def _pushable_filters(
 # statement executors
 # ----------------------------------------------------------------------
 
+def _match_paren(text: str, open_idx: int) -> int:
+    """Index of the ``)`` closing the ``(`` at ``open_idx`` (text must be
+    string-masked so parens in literals don't count)."""
+    depth = 0
+    for i in range(open_idx, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses in statement")
+
+
+def _exec_with(g, s: str) -> DataFrame | None:
+    """``WITH name [(cols)] AS (body)[, ...] <statement>`` — dialect CTEs.
+
+    Reference: every statement is wrapped in
+    WStatementWithCtesAndXmlNamespaces (TSQL Syntax Tree/WSql.cs:215-313),
+    so CTEs are first-class around MATCH and DML. Each CTE body (which may
+    itself contain MATCH) is planned through the normal SELECT path and
+    registered as a statement-scoped temp view; the trailing statement
+    then dispatches normally. Spark resolves temp views eagerly when the
+    plan is built, so unregistering afterwards cannot invalidate the
+    returned DataFrame.
+    """
+    masked, lits = _mask_strings(s)
+    pos = re.match(r"(?is)^\s*WITH\b", masked).end()
+    ctes: list[tuple[str, list[str] | None, str]] = []
+    while True:
+        m = re.match(r"\s*(\[[^\]]+\]|[A-Za-z_]\w*)", masked[pos:])
+        if not m:
+            raise ValueError(f"WITH: expected CTE name at {masked[pos:pos+30]!r}")
+        name = m.group(1).strip("[]")
+        pos += m.end()
+        cols: list[str] | None = None
+        m = re.match(r"\s*\(", masked[pos:])
+        m_as = re.match(r"(?is)\s*AS\s*\(", masked[pos:])
+        if m and not m_as:
+            open_idx = pos + m.end() - 1
+            close = _match_paren(masked, open_idx)
+            cols = [
+                c.strip().strip("[]") for c in masked[open_idx + 1 : close].split(",")
+            ]
+            pos = close + 1
+            m_as = re.match(r"(?is)\s*AS\s*\(", masked[pos:])
+        if not m_as:
+            raise ValueError(f"WITH {name}: expected AS (subquery)")
+        open_idx = pos + m_as.end() - 1
+        close = _match_paren(masked, open_idx)
+        ctes.append((name, cols, masked[open_idx + 1 : close].strip()))
+        pos = close + 1
+        m = re.match(r"\s*,", masked[pos:])
+        if not m:
+            break
+        pos += m.end()
+    trailing = masked[pos:].strip()
+    if not trailing:
+        raise ValueError("WITH: missing trailing statement")
+    registered: list[str] = []
+    try:
+        for name, cols, body in ctes:
+            df = _exec_select(g, _unmask(body, lits))
+            if df is None:
+                raise ValueError(f"WITH {name}: CTE body must be a SELECT")
+            if cols:
+                df = df.toDF(*cols)
+            g.derived_tables[name] = df
+            df.createOrReplaceTempView(name)
+            registered.append(name)
+        return execute_statement(g, _unmask(trailing, lits))
+    finally:
+        # CTEs are statement-scoped (unlike SELECT INTO derived tables)
+        for name in registered:
+            g.derived_tables.pop(name, None)
+            try:
+                g.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+
+
 def execute_statement(g, sql: str) -> DataFrame | None:
     s = strip_comments(sql).strip().rstrip(";").strip()
+    if re.match(r"(?is)^\s*WITH\b", s):
+        return _exec_with(g, s)
     if re.match(r"(?is)^\s*CREATE\s+PROC(?:EDURE)?\b", s):
         _exec_create_procedure(g, s)
         return None
@@ -374,23 +457,30 @@ def _register_views(g, statement: str | None = None) -> None:
     want_degrees = statement is not None and re.search(
         r"(?i)\b(InDegree|OutDegree)\b", statement
     )
+    def _with_degrees(name: str, df):
+        # the reference stores InDegree/<Edge>OutDegree as physical
+        # columns (GraphViewParser.cs:1041-1131), so plain SELECTs can
+        # read them — on tables and views alike; we attach the computed
+        # aggregates on demand
+        outd = g.out_degree(name).withColumnRenamed("out_degree", "OutDegree")
+        ind = g.in_degree(name).withColumnRenamed("in_degree", "InDegree")
+        return (
+            df.join(outd, "GlobalNodeId", "left")
+            .join(ind, "GlobalNodeId", "left")
+            .withColumn("OutDegree", F.coalesce("OutDegree", F.lit(0)))
+            .withColumn("InDegree", F.coalesce("InDegree", F.lit(0)))
+        )
+
     for name, df in g.nodes.items():
         if want_degrees:
-            # the reference stores InDegree/<Edge>OutDegree as physical
-            # columns (GraphViewParser.cs:1041-1131), so plain SELECTs can
-            # read them; we attach the computed aggregates on demand
-            outd = g.out_degree(name).withColumnRenamed("out_degree", "OutDegree")
-            ind = g.in_degree(name).withColumnRenamed("in_degree", "InDegree")
-            df = (
-                df.join(outd, "GlobalNodeId", "left")
-                .join(ind, "GlobalNodeId", "left")
-                .withColumn("OutDegree", F.coalesce("OutDegree", F.lit(0)))
-                .withColumn("InDegree", F.coalesce("InDegree", F.lit(0)))
-            )
+            df = _with_degrees(name, df)
         df.createOrReplaceTempView(name)
     for vname in g.catalog.node_views:
         if not vname.startswith("_"):
-            g.node_view_df(vname).createOrReplaceTempView(vname)
+            vdf = g.node_view_df(vname)
+            if want_degrees:
+                vdf = _with_degrees(vname, vdf)
+            vdf.createOrReplaceTempView(vname)
     for dname, df in g.derived_tables.items():
         df.createOrReplaceTempView(dname)
     if g.catalog.tables and (
@@ -497,11 +587,8 @@ def _attach_degree_columns(g, matched: DataFrame, masked: str,
     }
     for alias, kind in sorted(refs):
         name = bindings[alias]
-        if not g.catalog.has_table(name):
-            raise ValueError(
-                f"{alias}.{kind}: degree columns are supported on node "
-                f"tables, not node views ('{name}')"
-            )
+        # node tables AND node views: out_degree/in_degree resolve a view
+        # to its member tables and union their degrees
         if kind == "OutDegree":
             deg = g.out_degree(name)
             src_col = "out_degree"
@@ -530,26 +617,75 @@ def _prefixed_star(g, alias: str, name: str) -> str:
 
 
 def _exec_insert_node(g, sql: str) -> None:
+    """INSERT INTO T (cols) VALUES (...) | SELECT ...
+
+    The reference's INSERT is plain T-SQL passthrough whose source may be
+    any query (WDataModification.cs:77-149, WInsertSources.cs) — so a
+    SELECT source (including MATCH inside, or a registered CTE/derived
+    table) feeds ``insert_nodes_df`` directly.
+    """
     masked, lits = _mask_strings(sql)
     m = re.match(
         r"(?is)^\s*INSERT\s+INTO\s+(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s*"
-        r"\((?P<cols>[^)]*)\)\s*VALUES\s*(?P<vals>.+)$",
+        r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<src>VALUES\b.*|SELECT\b.*|\(\s*SELECT\b.*)$",
         masked,
     )
     if not m:
         raise ValueError(f"cannot parse INSERT: {sql[:80]!r}")
     tbl = m.group("tbl").strip("[]")
-    cols = [c.strip().strip("[]") for c in m.group("cols").split(",")]
-    rows = []
-    for tup in re.finditer(r"\(([^)]*)\)", m.group("vals")):
-        vals = [
-            _parse_literal(_unmask(v.strip(), lits))
-            for v in _split_depth0(tup.group(1), ",")
-        ]
-        if len(vals) != len(cols):
-            raise ValueError("VALUES arity mismatch")
-        rows.append(dict(zip(cols, vals)))
-    g.insert_nodes(tbl, rows)
+    cols = (
+        [c.strip().strip("[]") for c in m.group("cols").split(",")]
+        if m.group("cols") is not None
+        else None
+    )
+    src = m.group("src").strip()
+    if re.match(r"(?is)^VALUES\b", src):
+        if cols is None:
+            raise ValueError("INSERT ... VALUES requires a column list")
+        vals_text = re.sub(r"(?is)^VALUES\s*", "", src)
+        rows = []
+        for tup in re.finditer(r"\(([^)]*)\)", vals_text):
+            vals = [
+                _parse_literal(_unmask(v.strip(), lits))
+                for v in _split_depth0(tup.group(1), ",")
+            ]
+            if len(vals) != len(cols):
+                raise ValueError("VALUES arity mismatch")
+            rows.append(dict(zip(cols, vals)))
+        g.insert_nodes(tbl, rows)
+        return
+    # SELECT source — possibly parenthesized
+    if src.startswith("("):
+        src = src[1 : _match_paren(src, 0)]
+    df = _exec_select(g, _unmask(src, lits))
+    if df is None:
+        raise ValueError("INSERT ... SELECT: source produced no result")
+    if cols is None:
+        cols = list(df.columns)
+    elif len(df.columns) != len(cols):
+        raise ValueError(
+            f"INSERT ... SELECT arity mismatch: {len(cols)} columns vs "
+            f"{len(df.columns)} select items"
+        )
+    df = df.toDF(*cols)
+    t = g.catalog.table(tbl)
+    prop_names = [n for n, _ in t.properties]
+    unknown = [c for c in cols if c not in prop_names]
+    if unknown:
+        raise ValueError(f"INSERT into '{t.name}': not a property: {unknown}")
+    if t.node_id_column and t.node_id_column not in cols:
+        raise ValueError(
+            f"INSERT into '{t.name}' requires NodeId column "
+            f"'{t.node_id_column}'"
+        )
+    node_types = {f.name: f.dataType for f in g.nodes[t.name].schema.fields}
+    sel = [
+        (
+            F.col(n).cast(node_types[n]) if n in cols else F.lit(None).cast(node_types[n])
+        ).alias(n)
+        for n in prop_names
+    ]
+    g.insert_nodes_df(tbl, df.select(*sel))
 
 
 def _parse_literal(tok: str):

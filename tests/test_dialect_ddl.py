@@ -82,6 +82,22 @@ def test_procedure_param_prefix_and_literals(g):
     assert row["lit"] == "@p stays"
 
 
+def test_view_degree_columns_plain_sql(g):
+    g.execute(
+        """INSERT EDGE INTO Node.Edges
+           SELECT s,t FROM Node s, Node t WHERE s.id = 1 AND t.id = 2"""
+    )
+    g.create_node_view("VNode", ["Node"])
+    rows = {
+        r["name"]: (r["outd"], r["ind"])
+        for r in g.execute(
+            """SELECT v.name AS name, v.OutDegree AS outd, v.InDegree AS ind
+               FROM VNode v"""
+        ).collect()
+    }
+    assert rows["a"] == (1, 0) and rows["b"] == (0, 1) and rows["c"] == (0, 0)
+
+
 def test_create_node_view_star_and_mapped(spark):
     g = GraphDatabase(spark)
     g.execute(
