@@ -147,6 +147,108 @@ class GraphDatabase:
             self._edge_batch[e.qualified] = 0
         return table
 
+    def drop_node_table(self, table_name: str) -> None:
+        """DROP NODE TABLE (reference: GraphViewConnection.DropNodeTable,
+        GraphViewConnection.cs:1496): removes the table, its edge
+        DataFrames and the catalog entry. Refuses while another table's
+        edge type references it as sink (the reference maintains
+        reversed-edge columns on the sink table and fails the drop inside
+        one transaction; our analog is this referential check) or while
+        any node/edge view includes it. table_id is never reused, so a
+        re-created table gets a fresh 48-bit id range."""
+        t = self.catalog.table(table_name)
+        low = t.name.lower()
+        ref = [
+            f"{nt.name}.{e.name}"
+            for nt in self.catalog.tables.values()
+            if nt.name.lower() != low
+            for e in nt.edges.values()
+            if e.sink_table.lower() == low
+        ]
+        if ref:
+            raise GraphViewError(
+                f"cannot drop node table '{t.name}': referenced by edge "
+                f"column(s) {ref}"
+            )
+        in_views = [
+            v.name
+            for v in self.catalog.node_views.values()
+            if any(m.lower() == low for m in v.members)
+        ]
+        in_edge_views = [
+            v.name
+            for v in self.catalog.edge_views.values()
+            if any(tbl.lower() == low for tbl, _ in v.members)
+        ]
+        if in_views or in_edge_views:
+            raise GraphViewError(
+                f"cannot drop node table '{t.name}': member of view(s) "
+                f"{in_views + in_edge_views}"
+            )
+        for e in list(t.edges.values()):
+            self.edges.pop(e.qualified, None)
+            self._edge_batch.pop(e.qualified, None)
+            self._edge_counts.pop(e.qualified, None)
+        self.nodes.pop(t.name, None)
+        self._seq.pop(t.name, None)
+        self._node_counts.pop(t.name, None)
+        for k in list(self.catalog.tables):
+            if k.lower() == low:
+                del self.catalog.tables[k]
+        try:
+            self.spark.catalog.dropTempView(t.name)
+        except Exception:
+            pass
+
+    def drop_node_table_column(self, table_name: str, column: str) -> None:
+        """ALTER TABLE ... DROP COLUMN (reference:
+        GraphViewConnection.DropNodeTableColumn, GraphViewConnection.cs:
+        2294): drops a property column or an edge column (with its edge
+        DataFrame). The NodeId column and view-referenced columns refuse."""
+        t = self.catalog.table(table_name)
+        low = column.lower()
+        if t.node_id_column and t.node_id_column.lower() == low:
+            raise GraphViewError(
+                f"cannot drop NodeId column '{column}' of '{t.name}'"
+            )
+        if low in t.edges:
+            in_edge_views = [
+                v.name
+                for v in self.catalog.edge_views.values()
+                if any(
+                    tbl.lower() == t.name.lower() and en.lower() == low
+                    for tbl, en in v.members
+                )
+            ]
+            if in_edge_views:
+                raise GraphViewError(
+                    f"cannot drop edge column '{column}': member of edge "
+                    f"view(s) {in_edge_views}"
+                )
+            e = t.edges.pop(low)
+            self.edges.pop(e.qualified, None)
+            self._edge_batch.pop(e.qualified, None)
+            self._edge_counts.pop(e.qualified, None)
+            return
+        actual = next((n for n, _ in t.properties if n.lower() == low), None)
+        if actual is None:
+            raise KeyError(f"column '{column}' not found on '{t.name}'")
+        used_by = [
+            v.name
+            for v in self.catalog.node_views.values()
+            if any(
+                (m or {}).get(t.name, "") and (m or {})[t.name].lower() == low
+                for m in v.prop_map.values()
+            )
+        ]
+        if used_by:
+            raise GraphViewError(
+                f"cannot drop column '{column}': mapped in node view(s) "
+                f"{used_by}"
+            )
+        t.properties = [(n, ty) for n, ty in t.properties if n.lower() != low]
+        self.nodes[t.name] = self.nodes[t.name].drop(actual)
+
     @staticmethod
     def _edge_schema(e: EdgeType) -> T.StructType:
         """Physical storage schema: ``edge_id`` is NOT stored — exactly like
@@ -513,6 +615,38 @@ class GraphDatabase:
             else:
                 cols.append(F.col(p))
         self.nodes[t.name] = self.nodes[t.name].select(*cols)
+
+    def update_nodes_from(self, table_name: str, updates: DataFrame,
+                          set_cols: list[str]) -> None:
+        """UPDATE ... FROM (reference: full T-SQL UPDATE passthrough incl.
+        FROM/JOIN, WDataModification.cs:386+): ``updates`` carries one row
+        per matched node — ``GlobalNodeId``, ``__match`` (lit true) and one
+        ``__set_<col>`` value column per assigned property. One equi-join
+        on GlobalNodeId (the update side is usually small → AQE broadcasts
+        it), then a map-only overwrite of the assigned columns."""
+        t = self.catalog.table(table_name)
+        prop_types = dict(t.properties)
+        unknown = [c for c in set_cols if c not in prop_types]
+        if unknown:
+            raise GraphViewError(
+                f"UPDATE on '{t.name}': unknown column(s) {unknown}"
+            )
+        joined = self.nodes[t.name].join(updates, "GlobalNodeId", "left")
+        cols = [F.col("GlobalNodeId")]
+        for p, typ in t.properties:
+            if p in set_cols:
+                cols.append(
+                    F.when(
+                        F.col("__match"),
+                        F.col(f"__set_{p}").cast(_spark_type(typ)),
+                    )
+                    .otherwise(F.col(p))
+                    .alias(p)
+                )
+            else:
+                cols.append(F.col(p))
+        self.nodes[t.name] = joined.select(*cols)
+        self._node_counts.pop(t.name, None)
 
     # ------------------------------------------------------------------
     # Views (SURVEY §2.6 / View.cs)

@@ -30,6 +30,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from graphview_spark.matching.pattern import parse_match_paths
@@ -450,7 +451,36 @@ def execute_statement(g, sql: str) -> DataFrame | None:
     if kw == "UPDATE":
         _exec_update(g, s)
         return None
+    if kw == "DROP":
+        _exec_drop_table(g, s)
+        return None
+    if kw == "ALTER":
+        _exec_alter_table(g, s)
+        return None
     raise ValueError(f"unsupported statement: {s[:60]!r}")
+
+
+def _exec_drop_table(g, sql: str) -> None:
+    """DROP [NODE] TABLE name (GraphViewConnection.cs:1496)."""
+    m = re.match(
+        r"(?is)^\s*DROP\s+(?:NODE\s+)?TABLE\s+(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s*$",
+        sql,
+    )
+    if not m:
+        raise ValueError(f"cannot parse DROP: {sql[:60]!r}")
+    g.drop_node_table(m.group("tbl").strip("[]"))
+
+
+def _exec_alter_table(g, sql: str) -> None:
+    """ALTER TABLE name DROP COLUMN col (GraphViewConnection.cs:2294)."""
+    m = re.match(
+        r"(?is)^\s*ALTER\s+TABLE\s+(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s+"
+        r"DROP\s+COLUMN\s+(?P<col>\[[^\]]+\]|[A-Za-z_]\w*)\s*$",
+        sql,
+    )
+    if not m:
+        raise ValueError(f"cannot parse ALTER TABLE: {sql[:60]!r}")
+    g.drop_node_table_column(m.group("tbl").strip("[]"), m.group("col").strip("[]"))
 
 
 def _register_views(g, statement: str | None = None) -> None:
@@ -966,18 +996,35 @@ def _exec_create_edge_view(g, sql: str) -> None:
 
 
 def _exec_update(g, sql: str) -> None:
-    """UPDATE T SET col = expr[, ...] [WHERE cond] — node-property update
-    (reference: UPDATE is plain T-SQL passthrough, WDataModification.cs:386+;
-    our facade rewrites the node DF with a map-only projection)."""
+    """UPDATE T SET col = expr[, ...] [FROM ... JOIN ...] [WHERE cond]
+    (reference: UPDATE is full T-SQL passthrough incl. FROM/JOIN,
+    WDataModification.cs:386+). Without FROM: a map-only rewrite of the
+    node DF. With FROM: the source query computes per-node new values,
+    joined back on GlobalNodeId."""
     masked, lits = _mask_strings(sql)
-    m = re.match(
-        r"(?is)^\s*UPDATE\s+(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s+SET\s+"
-        r"(?P<set>.+?)(?:\s+WHERE\s+(?P<where>.+))?$",
+    mh = re.match(
+        r"(?is)^\s*UPDATE\s+(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s+SET\s+(?P<rest>.+)$",
         masked,
     )
-    if not m:
+    if not mh:
         raise ValueError(f"cannot parse UPDATE: {sql[:80]!r}")
-    tbl = m.group("tbl").strip("[]")
+    tbl = mh.group("tbl").strip("[]")
+    rest = mh.group("rest")
+    # split SET / FROM / WHERE at paren depth 0 only — a FROM inside a
+    # scalar-subquery SET value must not start the source clause
+    from_idx = _find_kw_depth0(rest, "FROM")
+    where_idx = _find_kw_depth0(rest, "WHERE")
+    set_end = min(x for x in (from_idx, where_idx, len(rest)) if x >= 0)
+    set_text = rest[:set_end]
+    from_text = (
+        rest[from_idx + 4 : (where_idx if where_idx > from_idx else len(rest))]
+        if from_idx >= 0
+        else None
+    )
+    where_text = rest[where_idx + 5 :] if where_idx >= 0 else None
+    if from_text is not None:
+        _exec_update_from(g, tbl, set_text, from_text, where_text, lits)
+        return
     t = g.catalog.table(tbl)
 
     def strip_qual(txt: str) -> str:
@@ -987,7 +1034,7 @@ def _exec_update(g, sql: str) -> None:
         )
 
     assignments: dict[str, str] = {}
-    for item in _split_depth0(m.group("set"), ","):
+    for item in _split_depth0(set_text, ","):
         am = re.match(
             r"(?s)\s*(?:\[(?P<bcol>[^\]]+)\]|(?P<col>[A-Za-z_]\w*))\s*=\s*(?P<val>.+)$",
             item,
@@ -996,11 +1043,82 @@ def _exec_update(g, sql: str) -> None:
             raise ValueError(f"cannot parse SET item: {item!r}")
         col = (am.group("bcol") or am.group("col")).strip()
         assignments[col] = _unmask(strip_qual(am.group("val").strip()), lits)
-    if m.group("where"):
-        cond = F.expr(_unmask(strip_qual(m.group("where")), lits))
+    if where_text:
+        cond = F.expr(_unmask(strip_qual(where_text), lits))
     else:
         cond = F.lit(True)
     g.update_nodes(tbl, assignments, cond)
+
+
+def _find_kw_depth0(text: str, kw: str) -> int:
+    """Index of the first depth-0 occurrence of keyword ``kw``, or -1."""
+    depth = 0
+    up, kwu = text.upper(), kw.upper()
+    for i, ch in enumerate(text):
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif depth == 0 and up.startswith(kwu, i) and _is_kw(text, i, len(kw)):
+            return i
+    return -1
+
+
+def _exec_update_from(g, target: str, set_text: str, from_text: str,
+                      where_text: str | None, lits: list[str]) -> None:
+    """UPDATE alias SET col = expr, ... FROM <sources> [WHERE ...]:
+    plan ``SELECT alias.GlobalNodeId, <set exprs> FROM ... WHERE ...``
+    through the normal SELECT machinery (joins, subqueries, CTE-registered
+    views all work), dedupe to one row per target node (T-SQL leaves
+    multi-match UPDATE..FROM nondeterministic; we take a deterministic
+    first by value order), then overwrite via ``update_nodes_from``."""
+    # the UPDATE target may be the table name itself or an alias bound in
+    # FROM ("UPDATE C ... FROM Customer C JOIN ...")
+    if g.catalog.has_table(target):
+        t = g.catalog.table(target)
+    else:
+        am = re.search(
+            rf"(?is)(\[[^\]]+\]|[A-Za-z_]\w*)\s+(?:AS\s+)?{re.escape(target)}\b",
+            from_text,
+        )
+        if not am or not g.catalog.has_table(am.group(1).strip("[]")):
+            raise ValueError(
+                f"UPDATE ... FROM: cannot resolve target '{target}' to a "
+                f"node table in the FROM clause"
+            )
+        t = g.catalog.table(am.group(1).strip("[]"))
+    set_cols: list[str] = []
+    set_exprs: list[str] = []
+    for item in _split_depth0(set_text, ","):
+        am = re.match(
+            r"(?s)\s*(?:\[(?P<bcol>[^\]]+)\]|(?P<col>[A-Za-z_]\w*(?:\s*\.\s*\w+)?))"
+            r"\s*=\s*(?P<val>.+)$",
+            item,
+        )
+        if not am:
+            raise ValueError(f"cannot parse SET item: {item!r}")
+        col = (am.group("bcol") or am.group("col")).strip()
+        col = re.sub(r"^\w+\s*\.\s*", "", col)  # alias.col → col
+        set_cols.append(col)
+        set_exprs.append(am.group("val").strip())
+    sel = [f"{target}.GlobalNodeId AS GlobalNodeId"]
+    sel += [f"{e} AS __set_{c}" for c, e in zip(set_cols, set_exprs)]
+    src_sql = f"SELECT {', '.join(sel)} FROM {from_text}"
+    if where_text:
+        src_sql += f" WHERE {where_text}"
+    updates = _exec_select(g, _unmask(src_sql, lits))
+    if updates is None:
+        raise ValueError("UPDATE ... FROM: source query produced no result")
+    w = W.partitionBy("GlobalNodeId").orderBy(
+        *[F.col(f"__set_{c}") for c in set_cols]
+    )
+    updates = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("__match", F.lit(True))
+    )
+    g.update_nodes_from(t.name, updates, set_cols)
 
 
 def _exec_delete_node(g, sql: str) -> None:

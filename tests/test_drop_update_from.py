@@ -1,0 +1,121 @@
+"""DROP NODE TABLE / ALTER TABLE DROP COLUMN / UPDATE ... FROM.
+
+Reference: GraphViewConnection.DropNodeTable (GraphViewConnection.cs:1496),
+DropNodeTableColumn (:2294), and UPDATE as full T-SQL passthrough incl.
+FROM/JOIN (TSQL Syntax Tree/WDataModification.cs:386+)."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphview_spark.graph import GraphDatabase, GraphViewError
+
+
+@pytest.fixture()
+def g(spark):
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [Author] (
+            [ColumnRole:"NodeId"] aid INT,
+            [ColumnRole:"Property"] name varchar(20),
+            [ColumnRole:"Property"] rating float,
+            [ColumnRole:"Edge",Reference:"Book"] Wrote VARBINARY(max) )"""
+    )
+    g.execute(
+        """CREATE TABLE [Book] (
+            [ColumnRole:"NodeId"] bid INT,
+            [ColumnRole:"Property"] title varchar(40) )"""
+    )
+    g.execute("INSERT INTO Author(aid,name,rating) VALUES(1,'ann',1.0),(2,'bob',2.0)")
+    g.execute("INSERT INTO Book(bid,title) VALUES(10,'x'),(11,'y')")
+    return g
+
+
+def test_drop_refused_while_referenced(g):
+    with pytest.raises(GraphViewError, match="referenced by edge"):
+        g.execute("DROP NODE TABLE Book")
+
+
+def test_drop_create_roundtrip(g):
+    # dropping the referencing table first releases Book
+    g.execute("DROP NODE TABLE Author")
+    assert not g.catalog.has_table("Author")
+    g.execute("DROP NODE TABLE Book")
+    g.execute(
+        """CREATE TABLE [Book] (
+            [ColumnRole:"NodeId"] bid INT,
+            [ColumnRole:"Property"] title varchar(40) )"""
+    )
+    g.execute("INSERT INTO Book(bid,title) VALUES(1,'z')")
+    assert g.execute("SELECT * FROM Book").count() == 1
+
+
+def test_drop_refused_while_in_view(g):
+    g.create_node_view("Lit", ["Author", "Book"])
+    with pytest.raises(GraphViewError, match="member of view"):
+        g.execute("DROP NODE TABLE Author")
+
+
+def test_drop_unknown_table_raises(g):
+    with pytest.raises(KeyError):
+        g.execute("DROP NODE TABLE Nope")
+
+
+def test_alter_drop_property_column(g):
+    g.execute("ALTER TABLE Author DROP COLUMN rating")
+    cols = g.execute("SELECT * FROM Author").columns
+    assert "rating" not in cols and "name" in cols
+    assert [n for n, _ in g.catalog.table("Author").properties] == ["aid", "name"]
+
+
+def test_alter_drop_nodeid_refused(g):
+    with pytest.raises(GraphViewError, match="NodeId"):
+        g.execute("ALTER TABLE Author DROP COLUMN aid")
+
+
+def test_alter_drop_edge_column(g):
+    g.execute("ALTER TABLE Author DROP COLUMN Wrote")
+    assert "wrote" not in g.catalog.table("Author").edges
+    # Book is no longer referenced — drop now succeeds
+    g.execute("DROP NODE TABLE Book")
+
+
+def test_update_from_joined_aggregate(g):
+    g.execute(
+        """CREATE TABLE [Sale] (
+            [ColumnRole:"NodeId"] sid INT,
+            [ColumnRole:"Property"] author_id INT,
+            [ColumnRole:"Property"] amount float )"""
+    )
+    g.execute(
+        """INSERT INTO Sale(sid,author_id,amount)
+           VALUES(1,1,10.0),(2,1,30.0),(3,2,5.0)"""
+    )
+    g.execute(
+        """UPDATE A SET rating = t.total
+           FROM Author A JOIN (
+               SELECT s.author_id AS author_id, SUM(s.amount) AS total
+               FROM Sale s GROUP BY s.author_id
+           ) t ON A.aid = t.author_id"""
+    )
+    rows = {r["name"]: r["rating"] for r in g.execute("SELECT * FROM Author").collect()}
+    assert rows == {"ann": 40.0, "bob": 5.0}
+
+
+def test_update_from_leaves_unmatched_rows(g):
+    g.execute(
+        """UPDATE A SET rating = A.rating + 100
+           FROM Author A WHERE A.name = 'ann'"""
+    )
+    rows = {r["name"]: r["rating"] for r in g.execute("SELECT * FROM Author").collect()}
+    assert rows == {"ann": 101.0, "bob": 2.0}
+
+
+def test_update_scalar_subquery_set_still_single_table(g):
+    # a FROM inside a parenthesized scalar subquery must NOT trigger the
+    # UPDATE..FROM path
+    g.execute(
+        "UPDATE Author SET rating = (SELECT MAX(b.bid) FROM Book b)"
+    )
+    ratings = {r["rating"] for r in g.execute("SELECT * FROM Author").collect()}
+    assert ratings == {11.0}
