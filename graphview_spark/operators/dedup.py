@@ -17,8 +17,9 @@ Scale design (the whole point of these operators):
   - SimHash: per-row 60-bit fingerprint; candidates via the pigeonhole
     chunk trick (hamming ≤ k pairs must collide on one of k+1 chunks) —
     again equi-join shuffles on short keys only.
-  - n-gram Jaccard: blocked by a length band so the pair space is
-    bounded per block; each block join is an equi-join.
+  - n-gram Jaccard (T=0.5): same signatures, wider LSH band shape
+    (8 x 2) so the s-curve midpoint matches the lower threshold;
+    candidates are a function of pair similarity, not corpus size.
   - Embedding cosine: brute-force within-label blocking here;
     the LSH-bucketed variant lives in operators/similarity.py.
 """
@@ -33,13 +34,13 @@ from graphview_spark.session import read_table
 SHINGLE_N = 4          # words per shingle
 N_PERM = 16            # minhash permutations
 N_BANDS = 4            # LSH bands (rows per band = N_PERM // N_BANDS)
+NGRAM_BANDS = 8        # wide-band shape for the 0.5-threshold join
 MINHASH_JACCARD_T = 0.7
 NGRAM_JACCARD_T = 0.5
 SIMHASH_BITS = 60      # 15 hex chars of md5 → 60-bit fingerprint
 SIMHASH_CHUNKS = 4     # pigeonhole: hamming ≤ CHUNKS-1 guaranteed caught
 SIMHASH_HAMMING_T = 3
 COSINE_T = 0.4
-LENGTH_BAND = 20       # chars per length-blocking band
 
 
 def read_spread(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
@@ -226,18 +227,25 @@ def _band_col(b: int, rows: int) -> Column:
     return F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate generation + exact-Jaccard verification.
-    Pairs must agree on at least one full band of the signature; only
-    those candidates pay the exact set-intersection cost."""
-    rows = N_PERM // N_BANDS
+def _lsh_verified_pairs(
+    spark: SparkSession, sf_dir: str, n_bands: int, threshold: float
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification,
+    parameterized by band shape. Pairs must agree on at least one full
+    band of the 16-permutation signature; only those candidates pay the
+    exact set-intersection cost. The band shape tunes the LSH s-curve:
+    collision probability for a pair at Jaccard J is ``1-(1-J^r)^b``
+    (r = rows per band), with midpoint ``(1/b)^(1/r)`` — so expected
+    candidates are a function of pair SIMILARITY, independent of corpus
+    size or length distribution."""
+    rows = N_PERM // n_bands
     docs = read_spread(spark, sf_dir, "documents", "doc_id")
-    # checkpoint: sigs feed 4 band branches + the verification join — the
-    # md5 signature work must run once, not once per consumer
+    # checkpoint: sigs feed the band branches + the verification join —
+    # the md5 signature work must run once, not once per consumer
     sigs = minhash_signatures(docs).localCheckpoint(eager=True)
 
     bands = None
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         part = sigs.select(
             "doc_id", F.lit(b).alias("band"), _band_col(b, rows).alias("bkey")
         )
@@ -261,9 +269,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.join(a, "doc_a")
         .join(b2, "doc_b")
         .withColumn("jaccard", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 3))
-        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup join at T=0.7: 4 bands x 4 rows — s-curve
+    midpoint (1/4)^(1/4) ≈ 0.71, matched to the verify threshold."""
+    return _lsh_verified_pairs(spark, sf_dir, N_BANDS, MINHASH_JACCARD_T)
 
 
 def _sql_hex15_to_int(var: str = "s") -> str:
@@ -275,8 +289,8 @@ def _sql_hex15_to_int(var: str = "s") -> str:
     )
 
 
-def _oracle_minhash() -> str:
-    rows = N_PERM // N_BANDS
+def _oracle_lsh_verified(n_bands: int, threshold: float) -> str:
+    rows = N_PERM // n_bands
     sig_exprs = ",\n  ".join(
         f"list_min(list_transform(hs, h -> ({a} * (h % {_MINHASH_MASK}) + {b}) "
         f"% {MINHASH_P})) AS sig_{i}"
@@ -287,7 +301,7 @@ def _oracle_minhash() -> str:
             b=b,
             key=" || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)),
         )
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     )
     jac = _SQL_JACCARD.format(a="x.hs", b="y.hs")
     return f"""
@@ -304,8 +318,12 @@ cands AS (
   WHERE l.doc_id < r.doc_id)
 SELECT doc_a, doc_b, round({jac}, 3) AS jaccard
 FROM cands JOIN shn x ON x.doc_id = doc_a JOIN shn y ON y.doc_id = doc_b
-WHERE round({jac}, 3) >= {MINHASH_JACCARD_T}
+WHERE round({jac}, 3) >= {threshold}
 """
+
+
+def _oracle_minhash() -> str:
+    return _oracle_lsh_verified(N_BANDS, MINHASH_JACCARD_T)
 
 
 # --------------------------------------------------------------------------
@@ -421,79 +439,30 @@ WHERE bit_count(xor(fp_a, fp_b)) <= {SIMHASH_HAMMING_T}
 
 
 # --------------------------------------------------------------------------
-# n-gram Jaccard with length blocking
+# n-gram Jaccard at the lower 0.5 threshold — wide-band LSH candidates
 # --------------------------------------------------------------------------
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity join, blocked by a character-length
-    band (near-dups have near-equal length): candidate pairs come from
-    equal or adjacent bands only, keeping the pair space linear-ish in
-    practice instead of O(n²).
+    """Exact n-gram Jaccard join at T=0.5: the SAME 16-permutation MinHash
+    signatures as ``dedup_minhash_lsh``, banded 8 x 2 instead of 4 x 4 so
+    the LSH s-curve midpoint (1/8)^(1/2) ≈ 0.35 sits below the 0.5
+    verify threshold (vs ≈0.71 for the 4 x 4 shape tuned to T=0.7).
 
-    The Jaccard runs over *hashed* shingles (md5 → bigint): Catalyst
-    pushes the similarity filter into the candidate join's condition, so
-    the set intersection is evaluated in the join hot path — intersecting
-    long arrays there is ~10× cheaper than 30-char string arrays, same
-    result (shingle sets are distinct; a 60-bit collision is negligible
-    and the oracle hashes identically anyway)."""
-    docs = read_spread(spark, sf_dir, "documents", "doc_id")
-    sh = (
-        docs.select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    shingles_col(F.col("text")),
-                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-                )
-            ).alias("sh"),
-            # floor, not cast: cast-of-double rounds-to-nearest in DuckDB
-            # but truncates in Spark — floor on both sides keeps the band
-            # assignment identical for n_chars/band fractions >= 0.5
-            F.floor(F.col("n_chars") / LENGTH_BAND).cast("long").alias("band"),
-        )
-        .filter(F.size("sh") > 0)
-        .localCheckpoint(eager=True)
-    )
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
-        F.col("band").alias("band_a"),
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
-        F.col("band").alias("band_b"),
-    )
-    # the three band offsets are disjoint join conditions → a pair can
-    # appear in at most one branch; no distinct needed (and a distinct
-    # here would shuffle the shingle arrays themselves)
-    pairs = None
-    for off in (0, 1, -1):
-        p = a.join(b, b.band_b == a.band_a + off).filter(F.col("doc_a") < F.col("doc_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return (
-        pairs.withColumn("jaccard", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 3))
-        .filter(F.col("jaccard") >= NGRAM_JACCARD_T)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    Candidate bound is a function of pair SIMILARITY, not of corpus size
+    or length distribution: a pair at Jaccard J collides in ≥1 band with
+    probability 1-(1-J²)⁸ (≈0.90 at J=0.5, ≈0.2% at the random-pair
+    J≈0.01), so expected candidates ≈ Σ_pairs [1-(1-J²)⁸] — only
+    near-duplicate mass generates work. The previous length-band
+    blocking collided ALL same-length documents, so its candidate count
+    grew quadratically with corpus size at any fixed length
+    distribution; this shape is the scale-safe replacement, and the
+    exact intersection over hashed shingles still only runs on
+    band collisions."""
+    return _lsh_verified_pairs(spark, sf_dir, NGRAM_BANDS, NGRAM_JACCARD_T)
 
 
 def _oracle_ngram() -> str:
-    jac = _SQL_JACCARD.format(a="x.sh", b="y.sh")
-    hex_to_int = _sql_hex15_to_int()
-    return f"""
-WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w,
-              floor(n_chars / {LENGTH_BAND})::BIGINT AS band FROM documents),
-sh AS (SELECT doc_id, band,
-       list_distinct(list_transform({_sql_shingles()}, s -> {hex_to_int})) AS sh
-       FROM docs),
-shn AS (SELECT * FROM sh WHERE len(sh) > 0),
-cands AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM shn x JOIN shn y
-    ON y.band BETWEEN x.band - 1 AND x.band + 1 AND x.doc_id < y.doc_id)
-SELECT doc_a, doc_b, round({jac}, 3) AS jaccard
-FROM cands JOIN shn x ON x.doc_id = doc_a JOIN shn y ON y.doc_id = doc_b
-WHERE round({jac}, 3) >= {NGRAM_JACCARD_T}
-"""
+    return _oracle_lsh_verified(NGRAM_BANDS, NGRAM_JACCARD_T)
 
 
 # --------------------------------------------------------------------------
