@@ -359,7 +359,7 @@ def _exec_with(g, s: str) -> DataFrame | None:
     returned DataFrame.
     """
     masked, lits = _mask_strings(s)
-    pos = re.match(r"(?is)^\s*WITH\b", masked).end()
+    pos = re.match(r"(?is)^\s*WITH\b(?:\s+RECURSIVE\b)?", masked).end()
     ctes: list[tuple[str, list[str] | None, str]] = []
     while True:
         m = re.match(r"\s*(\[[^\]]+\]|[A-Za-z_]\w*)", masked[pos:])
@@ -394,11 +394,14 @@ def _exec_with(g, s: str) -> DataFrame | None:
     registered: list[str] = []
     try:
         for name, cols, body in ctes:
-            df = _exec_select(g, _unmask(body, lits))
-            if df is None:
-                raise ValueError(f"WITH {name}: CTE body must be a SELECT")
-            if cols:
-                df = df.toDF(*cols)
+            if re.search(rf"(?i)\b{re.escape(name)}\b", body):
+                df = _exec_recursive_cte(g, name, cols, body, lits)
+            else:
+                df = _exec_select(g, _unmask(body, lits))
+                if df is None:
+                    raise ValueError(f"WITH {name}: CTE body must be a SELECT")
+                if cols:
+                    df = df.toDF(*cols)
             g.derived_tables[name] = df
             df.createOrReplaceTempView(name)
             registered.append(name)
@@ -411,6 +414,61 @@ def _exec_with(g, s: str) -> DataFrame | None:
                 g.spark.catalog.dropTempView(name)
             except Exception:
                 pass
+
+
+_MAX_RECURSION = 100   # T-SQL's default MAXRECURSION
+
+
+def _exec_recursive_cte(g, name: str, cols: list[str] | None, body: str,
+                        lits: list[str]) -> DataFrame:
+    """Recursive CTE — the reference's own variable-length-path engine is
+    exactly this shape (generated bfsPath recursive CTE,
+    DeployScriptTemplate.cs:208-341). T-SQL iteration semantics: anchor
+    members seed the result; each iteration re-evaluates the recursive
+    members against ONLY the rows produced by the previous iteration
+    (not the accumulated set), until an iteration adds nothing; a cycle
+    without a terminating predicate hits the MAXRECURSION cap and
+    raises, like SQL Server's error 530.
+
+    Spark shape: a driver-side fixpoint loop; every frontier is
+    localCheckpoint'ed so lineage stays O(1) per iteration and the union
+    of checkpointed frontiers is the CTE. This is the same
+    cache/checkpoint BFS pattern as matching/paths.py."""
+    parts = _split_union_all_depth0(body)
+    selfref = re.compile(rf"(?i)\b{re.escape(name)}\b")
+    anchors = [p for p in parts if not selfref.search(p)]
+    recs = [p for p in parts if selfref.search(p)]
+    if not anchors or not recs:
+        raise ValueError(
+            f"recursive CTE {name}: need anchor member(s) UNION ALL "
+            f"self-referencing member(s)"
+        )
+    acc = None
+    for a in anchors:
+        df = _exec_select(g, _unmask(a, lits))
+        acc = df if acc is None else acc.unionByName(df)
+    if cols:
+        acc = acc.toDF(*cols)
+    frontier = acc.localCheckpoint(eager=True)
+    total = frontier
+    for _ in range(_MAX_RECURSION):
+        frontier.createOrReplaceTempView(name)
+        g.derived_tables[name] = frontier
+        new = None
+        for r in recs:
+            df = _exec_select(g, _unmask(r, lits))
+            new = df if new is None else new.unionByName(df)
+        if cols:
+            new = new.toDF(*cols)
+        new = new.localCheckpoint(eager=True)
+        if new.count() == 0:
+            return total
+        total = total.unionByName(new)
+        frontier = new
+    raise ValueError(
+        f"recursive CTE {name}: exceeded MAXRECURSION ({_MAX_RECURSION}) — "
+        f"cyclic data without a terminating predicate?"
+    )
 
 
 def execute_statement(g, sql: str) -> DataFrame | None:

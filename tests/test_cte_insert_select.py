@@ -80,6 +80,66 @@ def test_cte_string_literal_with_comma_and_paren(people):
     assert res.first()["n"] == 4
 
 
+def test_recursive_cte_transitive_closure(people):
+    # reference parity: bfsPath is a generated recursive CTE
+    # (DeployScriptTemplate.cs:208-341)
+    res = people.execute(
+        """WITH edges AS (
+               SELECT x.id AS src, y.id AS dst
+               FROM People x, People y MATCH x-[Knows]->y
+           ), reach (root, node) AS (
+               SELECT e.src, e.dst FROM edges e WHERE e.src = 1
+               UNION ALL
+               SELECT r.root, e.dst
+               FROM reach r JOIN edges e ON e.src = r.node
+           )
+           SELECT node FROM reach ORDER BY node"""
+    )
+    assert [r["node"] for r in res.collect()] == [2, 3, 4]
+
+
+def test_recursive_cte_generator_with_bound(people):
+    res = people.execute(
+        """WITH nums (n) AS (
+               SELECT p.id FROM People p WHERE p.id = 1
+               UNION ALL
+               SELECT n + 1 FROM nums WHERE n < 5
+           )
+           SELECT COUNT(*) AS c, SUM(n) AS s FROM nums"""
+    )
+    row = res.first()
+    assert (row["c"], row["s"]) == (5, 15)
+
+
+def test_recursive_cte_cycle_hits_maxrecursion(spark):
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [N] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Edge",Reference:"N"] E VARBINARY(max) )"""
+    )
+    g.execute("INSERT INTO N(id) VALUES(1),(2)")
+    g.execute(
+        """INSERT EDGE INTO N.E SELECT a,b FROM N a, N b
+           WHERE a.id = 1 AND b.id = 2"""
+    )
+    g.execute(
+        """INSERT EDGE INTO N.E SELECT a,b FROM N a, N b
+           WHERE a.id = 2 AND b.id = 1"""
+    )
+    with pytest.raises(Exception, match="MAXRECURSION"):
+        g.execute(
+            """WITH edges AS (
+                   SELECT x.id AS src, y.id AS dst FROM N x, N y MATCH x-[E]->y
+               ), walk (node) AS (
+                   SELECT e.dst FROM edges e WHERE e.src = 1
+                   UNION ALL
+                   SELECT e.dst FROM walk w JOIN edges e ON e.src = w.node
+               )
+               SELECT COUNT(*) AS c FROM walk"""
+        )
+
+
 def test_insert_select_from_query(people):
     # bulk-ish node creation from a query: shifted ids, derived names
     people.execute(
