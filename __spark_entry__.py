@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from graphview_spark.operators import (
         dedup,
         multimodal,
+        sampling,
         similarity,
         temporal,
         text,
@@ -53,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(graph_queries.QUERIES)
     out.update(dedup.QUERIES)
     out.update(text.QUERIES)
+    out.update(sampling.QUERIES)
     out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(streaming_events.QUERIES)
@@ -66,6 +68,7 @@ def oracle_sql() -> dict[str, str]:
     from graphview_spark.operators import (
         dedup,
         multimodal,
+        sampling,
         similarity,
         temporal,
         text,
@@ -78,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(graph_queries.ORACLES)
     out.update(dedup.ORACLES)
     out.update(text.ORACLES)
+    out.update(sampling.ORACLES)
     out.update(similarity.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(streaming_events.ORACLES)

@@ -95,6 +95,75 @@ def pagerank(
     return ranks
 
 
+def shortest_paths(
+    sources: DataFrame, edges: DataFrame, max_iterations: int = 60
+) -> DataFrame:
+    """Unweighted single/multi-source shortest paths (BFS) — min hop
+    distance from any node in ``sources`` following edge direction.
+    Returns (GlobalNodeId, dist) for reachable nodes only.
+
+    Frontier formulation: each round joins only the nodes SETTLED LAST
+    ROUND against the edge list, so total work is O(sum of frontier
+    degrees) = O(E) across the whole run — not O(E) per round like a
+    dense Bellman-Ford sweep. Each round is one shuffle on node id;
+    localCheckpoint caps lineage; the settled set grows monotonically so
+    the anti-join is the BFS visited check."""
+    dist = sources.select(
+        "GlobalNodeId", F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_iterations):
+        nxt = (
+            frontier.join(edges, frontier["GlobalNodeId"] == edges["src"])
+            .select(
+                F.col("sink").alias("GlobalNodeId"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+            .groupBy("GlobalNodeId")
+            .agg(F.min("dist").alias("dist"))
+            .join(dist, "GlobalNodeId", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
+def triangle_count(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Global triangle count over an undirected simple graph given as
+    canonically oriented (a < b) edge pairs. Pure declarative two-path
+    join + closing-edge join — no iteration, no Python:
+    triangle {x<y<z} is counted exactly once as (x,y)+(y,z) closed by
+    (x,z). Returns one row (n_nodes, n_edges, n_triangles).
+
+    Scale: the orientation bounds join fan-out by min-degree endpoints
+    (the standard compact-forward optimization); at 100 TB the two
+    equi-joins shuffle on node id and AQE handles skewed hubs."""
+    e = (
+        pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.b") == F.col("bc.a"))
+        .join(
+            ac,
+            (F.col("ac.a") == F.col("ab.a")) & (F.col("ac.b") == F.col("bc.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select("b"))
+        .agg(F.countDistinct("id").alias("n_nodes"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nodes.crossJoin(n_edges).crossJoin(tri)
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iterations: int = 50
 ) -> DataFrame:
@@ -175,6 +244,70 @@ def q_graph_components(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_shortest_paths(spark, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the root customer (c_custkey=1) over the
+    Refers edges — frontier loop, oracle = recursive CTE closure."""
+    from graphview_spark.graph_queries import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes["Customer"]
+    edges = g.edge_with_id("Customer.Refers")
+    src = nodes.filter(F.col("c_custkey") == 1).select("GlobalNodeId")
+    sp = shortest_paths(src, edges)
+    return sp.join(nodes, "GlobalNodeId").select("c_custkey", "dist")
+
+
+def q_graph_triangles(spark, sf_dir: str) -> DataFrame:
+    """Triangle count over the MinHash near-duplicate pair graph (docs as
+    nodes, verified pairs at T=0.7 as undirected edges) — composes the
+    dedup LSH operator with the declarative triangle join."""
+    from graphview_spark.operators.dedup import (
+        MINHASH_JACCARD_T,
+        N_BANDS,
+        _lsh_verified_pairs,
+    )
+
+    pairs = _lsh_verified_pairs(spark, sf_dir, N_BANDS, MINHASH_JACCARD_T)
+    return triangle_count(pairs, "doc_a", "doc_b")
+
+
+def _oracle_shortest_paths() -> str:
+    """Min-hop BFS as a recursive closure; UNION dedups exact (id, d)
+    pairs and depth is bounded by the tree height, so it terminates."""
+    from graphview_spark.graph_queries import _ORACLE_REFERS
+
+    return f"""
+WITH RECURSIVE refers AS ({_ORACLE_REFERS}),
+walk(id, d) AS (
+  SELECT c_custkey, 0::BIGINT FROM customer WHERE c_custkey = 1
+  UNION
+  SELECT e.sink, w.d + 1 FROM walk w JOIN refers e ON e.src = w.id
+)
+SELECT id AS c_custkey, min(d) AS dist FROM walk GROUP BY id
+"""
+
+
+def _oracle_triangles() -> str:
+    from graphview_spark.operators.dedup import (
+        MINHASH_JACCARD_T,
+        N_BANDS,
+        _oracle_lsh_verified,
+    )
+
+    pair_sql = _oracle_lsh_verified(N_BANDS, MINHASH_JACCARD_T)
+    return f"""
+WITH pairs AS ({pair_sql}),
+e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM pairs)
+SELECT
+  (SELECT count(DISTINCT id)
+   FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)) AS n_nodes,
+  (SELECT count(*) FROM e) AS n_edges,
+  (SELECT count(*)
+   FROM e ab JOIN e bc ON ab.b = bc.a
+   JOIN e ac ON ac.a = ab.a AND ac.b = bc.b) AS n_triangles
+"""
+
+
 def _oracle_pagerank(iterations: int = 5, damping: float = 0.85) -> str:
     """Fixed-iteration PageRank as plain SQL: each round is one chained CTE
     (r1..rN), so DuckDB evaluates exactly the same recurrence the Spark
@@ -236,9 +369,13 @@ SELECT count(*) AS n_components, max(n_nodes) AS largest FROM sizes
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_components": q_graph_components,
+    "graph_shortest_paths": q_graph_shortest_paths,
+    "graph_triangles": q_graph_triangles,
 }
 
 ORACLES = {
     "graph_pagerank": _oracle_pagerank(),
     "graph_components": _oracle_components(),
+    "graph_shortest_paths": _oracle_shortest_paths(),
+    "graph_triangles": _oracle_triangles(),
 }

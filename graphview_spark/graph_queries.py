@@ -349,6 +349,34 @@ GROUP BY n_name
 """
 
 
+def q_match_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-view MATCH (Party over Customer+Supplier, View.cs:95-137) AND
+    edge-view MATCH (LocatedIn merging both FromNation columns,
+    View.cs:830-874) in one tagged result — two MATCH statements through
+    ``g.execute``, unioned."""
+    from pyspark.sql import functions as F
+
+    node_view = q_match_party_view(spark, sf_dir).withColumn(
+        "via", F.lit("node_view")
+    )
+    edge_view = (
+        q_match_edge_view(spark, sf_dir)
+        .withColumnRenamed("n_links", "n_members")
+        .select(F.lit("(all)").alias("party_type"), "nation", "n_members")
+        .withColumn("via", F.lit("edge_view"))
+    )
+    return node_view.unionByName(edge_view)
+
+
+ORACLE_MATCH_VIEWS = f"""
+SELECT party_type, nation, n_members, 'node_view' AS via
+FROM ({ORACLE_MATCH_PARTY_VIEW})
+UNION ALL
+SELECT '(all)' AS party_type, nation, n_links AS n_members, 'edge_view' AS via
+FROM ({ORACLE_MATCH_EDGE_VIEW})
+"""
+
+
 # --------------------------------------------------------------------------
 # EXISTS subquery against a non-pattern node table inside a MATCH statement
 # (reference: arbitrary T-SQL around MATCH, GraphViewParser.cs:1605-1640)
@@ -507,8 +535,7 @@ QUERIES = {
     "match_urgent_orders": q_match_urgent_orders,
     "match_refers_2hop": q_match_refers_2hop,
     "match_refer_path": q_match_refer_path,
-    "match_party_view": q_match_party_view,
-    "match_edge_view": q_match_edge_view,
+    "match_views": q_match_views,
     "match_exists_subquery": q_match_exists_subquery,
     "match_join_qualified": q_match_join_qualified,
     "match_degree_cols": q_match_degree_cols,
@@ -522,8 +549,7 @@ ORACLES = {
     "match_urgent_orders": ORACLE_MATCH_URGENT_ORDERS,
     "match_refers_2hop": ORACLE_MATCH_REFERS_2HOP,
     "match_refer_path": ORACLE_MATCH_REFER_PATH,
-    "match_party_view": ORACLE_MATCH_PARTY_VIEW,
-    "match_edge_view": ORACLE_MATCH_EDGE_VIEW,
+    "match_views": ORACLE_MATCH_VIEWS,
     "match_exists_subquery": ORACLE_MATCH_EXISTS_SUBQUERY,
     "match_join_qualified": ORACLE_MATCH_JOIN_QUALIFIED,
     "match_degree_cols": ORACLE_MATCH_DEGREE_COLS,

@@ -529,12 +529,86 @@ WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {COSINE_T}
 """
 
 
+# --------------------------------------------------------------------------
+# near-dup clustering + canonical selection
+# --------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Group near-duplicate PAIRS into clusters and pick one canonical
+    document per cluster — the step a real dedup pipeline runs after any
+    pair generator (LSH/SimHash/cosine): connected components over the
+    pair graph, cluster id = min doc_id in the component, ``keep`` marks
+    the canonical doc. Returns one row per clustered doc:
+    (doc_id, cluster_id, cluster_size, keep).
+
+    Scale: min-label propagation converges in O(cluster diameter)
+    rounds, and near-dup clusters are small-diameter by construction
+    (members pairwise-similar to a shared template), so a handful of
+    one-shuffle rounds suffices even at 100 TB; the alternating
+    large-star/small-star formulation is the drop-in upgrade if
+    adversarial chain-shaped clusters appear. Singleton docs never enter
+    the pair graph, so cost scales with duplicate mass, not corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    from graphview_spark.algorithms import connected_components
+
+    nodes = (
+        pairs.select(F.col("doc_a").alias("GlobalNodeId"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("sink")
+    )
+    cc = connected_components(nodes, edges)
+    return (
+        cc.select(
+            F.col("GlobalNodeId").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters over the T=0.7 MinHash-LSH verified pair graph."""
+    pairs = _lsh_verified_pairs(spark, sf_dir, N_BANDS, MINHASH_JACCARD_T)
+    return dedup_clusters(pairs)
+
+
+def _oracle_clusters() -> str:
+    """Components via a recursive reach closure (quadratic in component
+    size — gate-scale only), min label per node, size + canonical flag."""
+    pair_sql = _oracle_lsh_verified(N_BANDS, MINHASH_JACCARD_T)
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM sym),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.id
+),
+comp AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp
+          GROUP BY cluster_id)
+SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS keep
+FROM comp JOIN sizes USING (cluster_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embed_cosine": q_dedup_embed_cosine,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -543,4 +617,5 @@ ORACLES = {
     "dedup_simhash": _oracle_simhash(),
     "dedup_ngram_jaccard": _oracle_ngram(),
     "dedup_embed_cosine": ORACLE_DEDUP_EMBED,
+    "dedup_clusters": _oracle_clusters(),
 }

@@ -1,0 +1,116 @@
+"""Deterministic sampling and dataset-split operators for training-data
+pipelines (SURVEY.md §7 phase 7 family): hash-bucketed train/valid/test
+assignment, per-stratum subsampling, and weighted source mixing.
+
+Everything here keys on a cryptographic hash of a STABLE id — never
+``rand()`` — so assignment is reproducible run-to-run, independent of
+partitioning, join order, or cluster size, and a document keeps its
+split forever as the corpus grows (the property that matters for
+avoiding train/test contamination across dataset versions). All pure
+column expressions: map-only, codegen-resident, no shuffle except the
+final reporting aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphview_spark.session import read_table
+
+# (name, lower bucket bound inclusive, upper bound exclusive) out of 100
+SPLITS: list[tuple[str, int, int]] = [
+    ("train", 0, 80),
+    ("valid", 80, 90),
+    ("test", 90, 100),
+]
+
+_N_BUCKETS = 100
+
+
+def hash_bucket(key: Column, n_buckets: int = _N_BUCKETS) -> Column:
+    """Deterministic bucket in [0, n_buckets): first 15 hex chars of
+    md5(key) as a 60-bit integer, mod n_buckets. Identical arithmetic is
+    expressible in DuckDB (and any engine with md5), which is what makes
+    the assignment portable across engines — the same doc lands in the
+    same split everywhere."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+
+
+def _sql_bucket(var: str, n_buckets: int = _N_BUCKETS) -> str:
+    """DuckDB mirror of :func:`hash_bucket`."""
+    from graphview_spark.operators.dedup import _sql_hex15_to_int
+
+    return f"({_sql_hex15_to_int(f'{var}::VARCHAR')} % {n_buckets})"
+
+
+def assign_split(df: DataFrame, key_col: str) -> DataFrame:
+    """Add ``bucket`` and ``split`` columns keyed on ``key_col``."""
+    out = df.withColumn("bucket", hash_bucket(F.col(key_col)))
+    expr = F.lit(None).cast("string")
+    for name, lo, hi in reversed(SPLITS):
+        expr = F.when(
+            (F.col("bucket") >= lo) & (F.col("bucket") < hi), name
+        ).otherwise(expr)
+    return out.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, fractions: dict[str, float], stratum_col: str
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff its hash
+    bucket falls below ``fractions[stratum] * 100``. Unlike
+    ``DataFrame.sample``, re-running (or re-partitioning) returns the
+    SAME rows, and per-stratum rates implement source mixing/reweighting
+    without a shuffle."""
+    frac = F.lit(None).cast("double")
+    for name, f in fractions.items():
+        frac = F.when(F.col(stratum_col) == name, F.lit(f)).otherwise(frac)
+    bucket = hash_bucket(F.col(key_col))
+    return df.filter(bucket < frac * _N_BUCKETS)
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: stratification report of the 80/10/10 hash split over
+    documents — per (source, split): doc count and char volume. The
+    per-row assignment is the operator; the groupBy is the verification
+    report (map-side combined, one small shuffle)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def _oracle_sample_split() -> str:
+    cases = "\n       ".join(
+        f"WHEN bucket >= {lo} AND bucket < {hi} THEN '{name}'"
+        for name, lo, hi in SPLITS
+    )
+    return f"""
+WITH b AS (SELECT source, n_chars, {_sql_bucket('doc_id')} AS bucket
+           FROM documents)
+SELECT source,
+       CASE {cases} END AS split,
+       count(*) AS n_docs,
+       sum(n_chars) AS sum_chars
+FROM b
+GROUP BY source, split
+"""
+
+
+QUERIES = {
+    "sample_split": q_sample_split,
+}
+
+ORACLES = {
+    "sample_split": _oracle_sample_split(),
+}

@@ -270,14 +270,31 @@ FROM ranked WHERE rank <= {IVF_K}
 """
 
 
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k AND IVF coarse-quantized top-k in one
+    tagged result — the exact baseline plus the nprobe/nlist scale path
+    over the same query set (their agreement rate IS the recall check a
+    real ANN deployment monitors)."""
+    brute = q_sim_topk_bruteforce(spark, sf_dir).withColumn(
+        "method", F.lit("brute")
+    )
+    ivf = q_sim_ivf_topk(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    return brute.unionByName(ivf)
+
+
+_ORACLE_SIM_TOPK_BOTH = f"""
+SELECT *, 'brute' AS method FROM ({ORACLE_SIM_TOPK})
+UNION ALL
+SELECT *, 'ivf' AS method FROM ({ORACLE_SIM_IVF})
+"""
+
+
 QUERIES = {
-    "sim_topk_bruteforce": q_sim_topk_bruteforce,
+    "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
-    "sim_ivf_topk": q_sim_ivf_topk,
 }
 
 ORACLES = {
-    "sim_topk_bruteforce": ORACLE_SIM_TOPK,
+    "sim_topk": _ORACLE_SIM_TOPK_BOTH,
     "sim_ann_lsh": _oracle_ann(),
-    "sim_ivf_topk": ORACLE_SIM_IVF,
 }

@@ -344,22 +344,126 @@ GROUP BY lang
 """
 
 
+def q_text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics AND heuristic quality scoring in ONE per-doc
+    projection — the two per-row operator families share a single
+    tokenize and a single scan (no join; at 100 TB a self-join on
+    doc_id just to reunite per-row columns would be a pointless full
+    shuffle). Map-only, codegen-resident."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n = F.size(words)
+    chars_no_space = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    uniq_ratio = F.size(F.array_distinct(words)) / n
+    stop_ratio = _count_in(words, STOPWORDS) / n
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    score = F.round(
+        0.5 * uniq_ratio + 0.3 * (1 - stop_ratio) + 0.2 * len_term, 3
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
+        ).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        F.round(chars_no_space / n, 3).alias("avg_word_len"),
+        F.round(uniq_ratio, 3).alias("unique_ratio"),
+        F.round(stop_ratio, 3).alias("stopword_ratio"),
+        score.alias("quality_score"),
+        F.when(score >= 0.55, "high")
+        .when(score >= 0.45, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    )
+
+
+_ORACLE_TEXT_STATS_QUALITY = f"""
+SELECT s.*, q.unique_ratio, q.stopword_ratio, q.quality_score,
+       q.quality_bucket
+FROM ({ORACLE_TEXT_STATS}) s JOIN ({ORACLE_TEXT_QUALITY}) q USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# repetition-based quality (Gopher-style repetition rules)
+# --------------------------------------------------------------------------
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics, the Gopher-rule family for
+    filtering degenerate/templated text: fraction of duplicate words
+    (1 - type/token ratio) and the fraction of bigram mass taken by the
+    single most frequent bigram. Pure per-row higher-order-function
+    expressions — the mode count is an O(distinct x n) fold over each
+    doc's own bigram array, map-only, no shuffle, no UDF."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = docs.select("doc_id", bigrams.alias("g"), n.alias("n_words"),
+                       F.size(F.array_distinct(words)).alias("n_uniq"))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("g")),
+            lambda x: F.size(F.filter(F.col("g"), lambda y: y == x)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.round(1.0 - F.col("n_uniq") / F.col("n_words"), 4).alias(
+            "dup_word_frac"
+        ),
+        F.size("g").alias("n_bigrams"),
+        F.when(
+            F.size("g") > 0, F.round(top_cnt / F.size("g"), 4)
+        ).alias("top_bigram_frac"),
+    )
+
+
+ORACLE_TEXT_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+b AS (SELECT doc_id, w,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i + 1])
+                  ELSE [] END AS g
+      FROM t)
+SELECT doc_id,
+       round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4)
+         AS dup_word_frac,
+       len(g) AS n_bigrams,
+       CASE WHEN len(g) > 0 THEN
+         round(list_max(list_transform(list_distinct(g),
+                 x -> len(list_filter(g, y -> y = x))))::DOUBLE / len(g), 4)
+       END AS top_bigram_frac
+FROM b
+"""
+
+
 QUERIES = {
-    "text_stats": q_text_stats,
-    "text_quality": q_text_quality,
+    "text_stats_quality": q_text_stats_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_topk_ngrams": q_text_topk_ngrams,
     "text_normalize": q_text_normalize,
     "text_vocab": q_text_vocab,
+    "text_repetition": q_text_repetition,
 }
 
 ORACLES = {
-    "text_stats": ORACLE_TEXT_STATS,
-    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_stats_quality": _ORACLE_TEXT_STATS_QUALITY,
     "text_langid": _oracle_langid(),
     "text_fingerprint": _oracle_fingerprint(),
     "text_topk_ngrams": ORACLE_TEXT_TOPK_NGRAMS,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "text_vocab": ORACLE_TEXT_VOCAB,
+    "text_repetition": ORACLE_TEXT_REPETITION,
 }

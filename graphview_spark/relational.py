@@ -657,6 +657,38 @@ WHERE a.r_regionkey < b.r_regionkey
 """
 
 
+def q_outer_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with IS NULL/coalesce AND an explicit cross join
+    in one tagged result (SURVEY §2.3 qualified joins + cross join,
+    §2.2 IS NULL) — the two join shapes padded to a common schema."""
+    outer = q_outer_join_nulls(spark, sf_dir).select(
+        F.lit("left_outer").alias("tag"),
+        F.col("n_name").alias("a"),
+        F.col("n_nationkey").cast("string").alias("b"),
+        F.col("n_cust").alias("n"),
+        F.col("no_customers").alias("flag"),
+    )
+    cross = q_cross_join(spark, sf_dir).select(
+        F.lit("cross").alias("tag"),
+        F.col("r_name").alias("a"),
+        F.col("r2_name").alias("b"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
+    return outer.unionByName(cross)
+
+
+ORACLE_OUTER_CROSS = f"""
+SELECT 'left_outer' AS tag, n_name AS a, n_nationkey::VARCHAR AS b,
+       n_cust AS n, no_customers AS flag
+FROM ({ORACLE_OUTER_JOIN_NULLS})
+UNION ALL
+SELECT 'cross' AS tag, r_name AS a, r2_name AS b,
+       NULL::BIGINT AS n, NULL::BOOLEAN AS flag
+FROM ({ORACLE_CROSS_JOIN})
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.5 CTE-as-composition + §2.1 derived table
 # --------------------------------------------------------------------------
@@ -741,8 +773,7 @@ QUERIES = {
     "rel_rollup_distinct": q_rollup_distinct,
     "rel_set_ops": q_set_ops,
     "rel_window_topn": q_window_topn,
-    "rel_outer_join_nulls": q_outer_join_nulls,
-    "rel_cross_join": q_cross_join,
+    "rel_outer_cross": q_outer_cross,
     "rel_cte_derived": q_cte_derived,
     "rel_events_daily": q_events_daily,
 }
@@ -758,8 +789,7 @@ ORACLES = {
     "rel_rollup_distinct": ORACLE_ROLLUP_DISTINCT,
     "rel_set_ops": ORACLE_SET_OPS,
     "rel_window_topn": ORACLE_WINDOW_TOPN,
-    "rel_outer_join_nulls": ORACLE_OUTER_JOIN_NULLS,
-    "rel_cross_join": ORACLE_CROSS_JOIN,
+    "rel_outer_cross": ORACLE_OUTER_CROSS,
     "rel_cte_derived": ORACLE_CTE_DERIVED,
     "rel_events_daily": ORACLE_EVENTS_DAILY,
 }

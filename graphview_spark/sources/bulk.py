@@ -22,9 +22,45 @@ driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graphview_spark.graph import GraphDatabase
+
+
+def read_input(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "csv",
+    sep: str = ",",
+    header: bool = True,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Read a bulk-load input file: ``csv`` (the reference's delimited
+    format), ``jsonl`` (line-delimited JSON — the training-corpus
+    interchange staple), or ``parquet``. All three split by file blocks
+    and read distributed; csv/jsonl types resolve at the cast below, so
+    no inferSchema pass over the data."""
+    if fmt == "csv":
+        df = spark.read.csv(path, sep=sep, header=header, inferSchema=False)
+        if not header:
+            if columns is None:
+                raise ValueError(
+                    "headerless bulk load needs explicit columns=[...]"
+                )
+            if len(columns) != len(df.columns):
+                raise ValueError(
+                    f"file has {len(df.columns)} fields, "
+                    f"columns names {len(columns)}"
+                )
+            df = df.toDF(*columns)
+        return df
+    if fmt == "jsonl":
+        # one schema-discovery pass over line heads only; values recast
+        # against the node table's declared types by the caller
+        return spark.read.json(path)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    raise ValueError(f"unsupported bulk format '{fmt}'")
 
 
 def bulk_insert_nodes(
@@ -34,8 +70,9 @@ def bulk_insert_nodes(
     sep: str = ",",
     header: bool = True,
     columns: list[str] | None = None,
+    fmt: str = "csv",
 ) -> int:
-    """Load a delimited file into a node table.
+    """Load a delimited/JSONL/parquet file into a node table.
 
     ``columns`` names the file's fields in order when there is no header
     (the reference's "data column subset" — BulkInsert.cs:520-560);
@@ -43,15 +80,8 @@ def bulk_insert_nodes(
     properties are null-padded, unknown fields raise.
     """
     t = g.catalog.table(table_name)
-    df = g.spark.read.csv(path, sep=sep, header=header, inferSchema=False)
-    if not header:
-        if columns is None:
-            raise ValueError("headerless bulk load needs explicit columns=[...]")
-        if len(columns) != len(df.columns):
-            raise ValueError(
-                f"file has {len(df.columns)} fields, columns names {len(columns)}"
-            )
-        df = df.toDF(*columns)
+    df = read_input(g.spark, path, fmt=fmt, sep=sep, header=header,
+                    columns=columns)
     props = {p.lower(): (p, typ) for p, typ in t.properties}
     sel = []
     seen = set()
@@ -83,6 +113,7 @@ def bulk_insert_edges(
     src_id_col: str | None = None,
     sink_id_col: str | None = None,
     attr_cols: list[str] | None = None,
+    fmt: str = "csv",
 ) -> int:
     """Load (srcNodeId, sinkNodeId, attrs...) rows into an edge column.
 
@@ -98,7 +129,7 @@ def bulk_insert_edges(
     if src_t.node_id_column is None or sink_t.node_id_column is None:
         raise ValueError("bulk edge load needs NodeId columns on both tables")
 
-    df = g.spark.read.csv(path, sep=sep, header=header, inferSchema=False)
+    df = read_input(g.spark, path, fmt=fmt, sep=sep, header=header)
     cols = df.columns
     src_c = src_id_col or cols[0]
     sink_c = sink_id_col or cols[1]

@@ -103,6 +103,58 @@ def run_stream_to_memory(
     return spark.table(name)
 
 
+def build_dedup(events: DataFrame, within: str | None = None) -> DataFrame:
+    """Streaming deduplication on event_id — the at-least-once →
+    exactly-once repair step in front of every downstream aggregate.
+    Batch: plain dropDuplicates. Streaming with ``within``:
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only for
+    the watermark horizon, so state is bounded by (arrival rate x
+    horizon), not by stream lifetime — the only formulation that
+    survives an unbounded 100 TB/day stream."""
+    if within is not None and events.isStreaming:
+        return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def build_purchase_click_join(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's click within the preceding ``horizon``. In streaming both
+    sides carry watermarks and the time-bound condition lets Spark expire
+    join state (unbounded-state stream joins are rejected by the
+    planner); in batch the identical condition is a plain range join."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        F.round("amount", 2).alias("amount"),
+    )
+
+
 # ---- custom stateful operator (applyInPandasWithState) -------------------
 
 RUNNING_STATE_SCHEMA = "total double, n long"
@@ -227,13 +279,32 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1h) AND sliding (1h every 30min) windowed aggregation in
+    one tagged result — both batch forms of ``build_windowed_counts``,
+    whose identical transformation runs under readStream with a
+    watermark (tests/test_streaming.py asserts the equivalence)."""
+    tumbling = q_stream_windowed(spark, sf_dir).withColumn(
+        "kind", F.lit("tumbling")
+    )
+    sliding = q_stream_sliding(spark, sf_dir).withColumn(
+        "kind", F.lit("sliding")
+    )
+    return tumbling.unionByName(sliding)
+
+
+ORACLE_STREAM_WINDOWS = f"""
+SELECT *, 'tumbling' AS kind FROM ({ORACLE_STREAM_WINDOWED})
+UNION ALL
+SELECT *, 'sliding' AS kind FROM ({ORACLE_STREAM_SLIDING})
+"""
+
+
 QUERIES = {
     "stream_sessions": q_stream_sessions,
-    "stream_windowed": q_stream_windowed,
-    "stream_sliding": q_stream_sliding,
+    "stream_windows": q_stream_windows,
 }
 ORACLES = {
     "stream_sessions": ORACLE_STREAM_SESSIONS,
-    "stream_windowed": ORACLE_STREAM_WINDOWED,
-    "stream_sliding": ORACLE_STREAM_SLIDING,
+    "stream_windows": ORACLE_STREAM_WINDOWS,
 }

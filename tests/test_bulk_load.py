@@ -135,3 +135,46 @@ def test_bulk_edges_unresolved_raises(g, tmp_path):
     edges = _write(tmp_path, "e.csv", ["src,dst,since", "1,99,2020"])
     with pytest.raises(ValueError, match="unknown node ids"):
         bulk_insert_edges(g, "Person", "Follows", edges)
+
+
+def test_bulk_nodes_jsonl(g, tmp_path):
+    p = _write(tmp_path, "people.jsonl", [
+        '{"pid": 1, "name": "Alice"}',
+        '{"pid": 2, "name": "Bob"}',
+    ])
+    n = bulk_insert_nodes(g, "Person", p, fmt="jsonl")
+    assert n == 2
+    names = sorted(
+        r["name"] for r in g.execute("SELECT * FROM Person").collect()
+    )
+    assert names == ["Alice", "Bob"]
+
+
+def test_bulk_nodes_parquet_and_edges_jsonl(g, tmp_path):
+    pq = os.path.join(str(tmp_path), "people_pq")
+    g.spark.createDataFrame(
+        [(1, "Alice"), (2, "Bob"), (3, "Caven")], "pid int, name string"
+    ).write.parquet(pq)
+    assert bulk_insert_nodes(g, "Person", pq, fmt="parquet") == 3
+
+    ej = _write(tmp_path, "follows.jsonl", [
+        '{"src": 1, "dst": 2, "since": 2020}',
+        '{"src": 2, "dst": 3, "since": 2021}',
+    ])
+    n = bulk_insert_edges(
+        g, "Person", "Follows", ej, fmt="jsonl",
+        src_id_col="src", sink_id_col="dst", attr_cols=["since"],
+    )
+    assert n == 2
+    rows = g.execute(
+        """SELECT A.name AS a, B.name AS b
+           FROM Person A, Person B MATCH A-[Follows]->B"""
+    ).collect()
+    assert sorted((r["a"], r["b"]) for r in rows) == [
+        ("Alice", "Bob"), ("Bob", "Caven"),
+    ]
+
+
+def test_bulk_unknown_format_raises(g, tmp_path):
+    with pytest.raises(ValueError, match="unsupported bulk format"):
+        bulk_insert_nodes(g, "Person", "x", fmt="orc-ish")

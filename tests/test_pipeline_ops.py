@@ -1,0 +1,138 @@
+"""New pipeline operators: BFS shortest paths, triangle counting,
+near-dup clustering, deterministic sampling, repetition metrics —
+exact-value checks on tiny literal DataFrames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphview_spark.algorithms import shortest_paths, triangle_count
+from graphview_spark.operators.dedup import dedup_clusters
+from graphview_spark.operators.sampling import (
+    SPLITS,
+    assign_split,
+    stratified_sample,
+)
+
+
+def test_shortest_paths_chain_and_branch(spark):
+    # 1 -> 2 -> 3 -> 4, plus shortcut 1 -> 3; node 5 unreachable
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, sink long"
+    )
+    src = spark.createDataFrame([(1,)], "GlobalNodeId long")
+    got = {
+        r["GlobalNodeId"]: r["dist"]
+        for r in shortest_paths(src, edges).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_shortest_paths_multi_source_min(spark):
+    # sources 1 and 4; 3 is distance 1 from 4, distance 2 from 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 3)], "src long, sink long"
+    )
+    src = spark.createDataFrame([(1,), (4,)], "GlobalNodeId long")
+    got = {
+        r["GlobalNodeId"]: r["dist"]
+        for r in shortest_paths(src, edges).collect()
+    }
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_triangle_count_counts_each_once(spark):
+    # K4 on {1,2,3,4} has 4 triangles; extra pendant edge adds none
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pairs = spark.createDataFrame(k4 + [(4, 9)], "a long, b long")
+    row = triangle_count(pairs).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (5, 7, 4)
+
+
+def test_triangle_count_none(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    assert triangle_count(pairs).collect()[0]["n_triangles"] == 0
+
+
+def test_dedup_clusters_components_and_canonical(spark):
+    # {10,20,30} via chain, {40,50} pair; min id is canonical
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert set(rows) == {10, 20, 30, 40, 50}
+    assert all(rows[d]["cluster_id"] == 10 for d in (10, 20, 30))
+    assert all(rows[d]["cluster_id"] == 40 for d in (40, 50))
+    assert rows[10]["cluster_size"] == 3 and rows[40]["cluster_size"] == 2
+    assert {d for d, r in rows.items() if r["keep"]} == {10, 40}
+
+
+def test_assign_split_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    one = assign_split(df.repartition(1), "doc_id")
+    many = assign_split(df.repartition(13), "doc_id")
+    assert (
+        one.orderBy("doc_id").collect() == many.orderBy("doc_id").collect()
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in one.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    # 80/10/10 within a loose tolerance on 1000 uniform hashes
+    assert set(counts) == {s for s, _, _ in SPLITS}
+    assert 700 < counts["train"] < 900
+    assert 50 < counts["valid"] < 160 and 50 < counts["test"] < 160
+    # every bucket respects its split's range
+    bad = one.filter(
+        ~(
+            ((F.col("split") == "train") & (F.col("bucket") < 80))
+            | ((F.col("split") == "valid") & F.col("bucket").between(80, 89))
+            | ((F.col("split") == "test") & (F.col("bucket") >= 90))
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_stratified_sample_rates_and_stability(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("src"),
+    )
+    frac = {"a": 0.5, "b": 0.1}
+    s1 = stratified_sample(df, "doc_id", frac, "src")
+    s2 = stratified_sample(df.repartition(7), "doc_id", frac, "src")
+    assert s1.orderBy("doc_id").collect() == s2.orderBy("doc_id").collect()
+    counts = {
+        r["src"]: r["n"]
+        for r in s1.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert 400 < counts["a"] < 600      # ~500 of 1000
+    assert 60 < counts["b"] < 140       # ~100 of 1000
+
+
+def test_text_repetition_degenerate_doc(spark, tmp_path):
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam", "en", "s", 19),
+            (2, "one two three four", "en", "s", 18),
+            (3, "solo", "en", "s", 4),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    from graphview_spark.operators.text import q_text_repetition
+
+    rows = {
+        r["doc_id"]: r
+        for r in q_text_repetition(spark, str(tmp_path)).collect()
+    }
+    # "spam spam ..." : 4 words 1 distinct -> dup 0.75; all 3 bigrams equal
+    assert rows[1]["dup_word_frac"] == pytest.approx(0.75)
+    assert rows[1]["top_bigram_frac"] == pytest.approx(1.0)
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-3)
+    # single-word doc: no bigrams -> NULL fraction, not a crash
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["top_bigram_frac"] is None

@@ -118,3 +118,52 @@ def test_running_totals_stateful(spark, events_dir):
     assert len(final) == len(want)
     for r in final:
         assert (r["running_total"], r["n_events"]) == want[r["user_id"]]
+
+
+def test_stream_dedup_within_watermark(spark, events_dir):
+    """Streaming dedup drops the duplicates a re-delivered source batch
+    introduces; state is watermark-bounded."""
+    from graphview_spark.streaming.events import build_dedup
+
+    # duplicate every event once (simulated at-least-once redelivery)
+    dup_dir = events_dir + "_dup"
+    base = _batch(spark, events_dir)
+    base.union(base).repartition(3).write.parquet(dup_dir, mode="overwrite")
+
+    stream = spark.readStream.schema(base.schema).parquet(dup_dir)
+    got = run_stream_to_memory(
+        spark, build_dedup(stream, within="1 hour"), "dedup_stream",
+        mode="append",
+    )
+    assert got.count() == base.count()
+    assert got.select("event_id").distinct().count() == base.count()
+    # batch form agrees
+    assert build_dedup(spark.read.parquet(dup_dir)).count() == base.count()
+
+
+def test_stream_stream_interval_join(spark, events_dir):
+    """Stream-stream time-bounded join equals the batch range join."""
+    from graphview_spark.streaming.events import build_purchase_click_join
+
+    batch = _batch(spark, events_dir)
+    types = [r["event_type"] for r in batch.select("event_type").distinct().collect()]
+    t_click, t_buy = sorted(types)[0], sorted(types)[-1]
+    assert t_click != t_buy
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == t_click),
+            df.filter(F.col("event_type") == t_buy),
+        )
+
+    want = build_purchase_click_join(*split(batch)).collect()
+    sc = events_stream(spark, events_dir, watermark="2 hours")
+    clicks, purchases = split(sc)
+    got = run_stream_to_memory(
+        spark,
+        build_purchase_click_join(clicks, purchases),
+        "ss_join",
+        mode="append",
+    ).collect()
+    assert len(want) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
