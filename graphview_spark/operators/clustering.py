@@ -1,0 +1,157 @@
+"""Embedding clustering: Lloyd's k-means as DataFrame iterations.
+
+Completes the IVF story in ``operators/similarity.py`` — IVF *uses*
+coarse centroids; this operator *trains* them. Net-new surface (the
+reference has no vector operations), same driver-loop design as
+``algorithms.py``: a fixed, deterministic iteration count so results
+are engine-portable and oracle-checkable by unrolling.
+
+Scale notes: each iteration is (a) a broadcast of k centroids against
+the corpus — map-only assignment, no shuffle of the vectors — and
+(b) one map-side-combinable groupBy(cluster, dim) mean over exploded
+components. The corpus is never shuffled on a pair key; cost per
+iteration is O(N·k·DIM) multiply-adds inside codegen plus one small
+aggregate — exactly how you'd train a 100 TB quantizer (sample first
+if even that is too much; the operator shape is unchanged).
+
+Determinism contract shared with the DuckDB oracle: init centroids =
+per-label means rounded to 6dp, squared distances rounded to 6dp
+before the argmin (cluster-id ascending tie-break), updated means
+rounded to 6dp — identical double arithmetic both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from graphview_spark.session import read_table
+
+KMEANS_ITERATIONS = 2
+
+
+def _sq_dist(v: Column, c: Column) -> Column:
+    """Squared Euclidean distance of two array<double>, rounded to 6dp
+    (the cross-engine argmin contract)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        6,
+    )
+
+
+def _mean_centroids(assigned: DataFrame, by: str) -> DataFrame:
+    """Per-``by`` element-wise mean vector via posexplode → regroup,
+    rounded to 6dp. Returns (cluster, c)."""
+    return (
+        assigned.select(F.col(by).alias("cluster"), F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    )
+
+
+def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k centroids, argmin of
+    the rounded squared distance, cluster-id tie-break."""
+    w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cluster").asc())
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("d2", _sq_dist(F.col("v"), F.col("c")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster", "d2")
+    )
+
+
+def kmeans(
+    emb: DataFrame, iterations: int = KMEANS_ITERATIONS
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over (vec_id, v, label) with per-label-mean init.
+    Returns (assignments, centroids); assignments carry the rounded
+    squared distance to their centroid."""
+    cent = _mean_centroids(emb, "label").localCheckpoint(eager=True)
+    assigned = None
+    for _ in range(iterations):
+        assigned = _assign(emb, cent)
+        cent = _mean_centroids(assigned, "cluster").localCheckpoint(eager=True)
+    # distances in the returned assignment are vs the FINAL centroids
+    assigned = _assign(emb, cent)
+    return assigned, cent
+
+
+def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: cluster population and inertia (sum of squared
+    distance to the final centroid) after 2 deterministic Lloyd
+    iterations from the per-label-mean init."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    assigned, _ = kmeans(emb)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("d2"), 3).alias("inertia"),
+    )
+
+
+def _oracle_kmeans(iterations: int = KMEANS_ITERATIONS) -> str:
+    """The same recurrence unrolled: cent0 = label means; each round is
+    an argmin assignment CTE + a mean-update CTE; final assignment vs
+    the last centroids feeds the report."""
+    from graphview_spark.operators.similarity import DIM
+
+    d2 = (
+        f"round(list_sum(list_transform(generate_series(1, {DIM}), "
+        "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6)"
+    )
+
+    def mean_cte(src: str, key: str) -> str:
+        return f"""(
+  SELECT {key} AS cluster, array_agg(m ORDER BY pos) AS c FROM (
+    SELECT {key}, i AS pos, round(avg(v[i]), 6) AS m
+    FROM {src}, generate_series(1, {DIM}) AS t(i)
+    GROUP BY {key}, i)
+  GROUP BY {key})"""
+
+    def assign_cte(cent: str) -> str:
+        return f"""(
+  SELECT vec_id, v, cluster, d2 FROM (
+    SELECT e.vec_id, e.v, c.cluster, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM e CROSS JOIN {cent} c)
+  WHERE rn = 1)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)",
+        f"cent0 AS {mean_cte('e', 'label')}",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"a{i} AS {assign_cte(f'cent{i - 1}')}")
+        ctes.append(f"cent{i} AS {mean_cte(f'a{i}', 'cluster')}")
+    ctes.append(f"afinal AS {assign_cte(f'cent{iterations}')}")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT cluster, count(*) AS n_vecs, round(sum(d2), 3) AS inertia
+FROM afinal GROUP BY cluster"""
+    )
+
+
+QUERIES = {
+    "ml_kmeans": q_ml_kmeans,
+}
+
+ORACLES = {
+    "ml_kmeans": _oracle_kmeans(),
+}

@@ -448,13 +448,41 @@ FROM b
 """
 
 
+def q_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level aggregates in one tagged result: top-k bigrams
+    (explode → map-side-combined count → TakeOrdered) AND per-language
+    vocabulary (exact distinct + token volume) — the two corpus-wide
+    reporting shapes over the same exploded-token scan family."""
+    topk = q_text_topk_ngrams(spark, sf_dir).select(
+        F.lit("topk_ngram").alias("tag"),
+        F.col("ngram").alias("key"),
+        F.col("n").alias("n"),
+        F.lit(None).cast("long").alias("n_tokens"),
+    )
+    vocab = q_text_vocab(spark, sf_dir).select(
+        F.lit("vocab").alias("tag"),
+        F.col("lang").alias("key"),
+        F.col("vocab").alias("n"),
+        F.col("n_tokens"),
+    )
+    return topk.unionByName(vocab)
+
+
+_ORACLE_TEXT_CORPUS = f"""
+SELECT 'topk_ngram' AS tag, ngram AS key, n, NULL::BIGINT AS n_tokens
+FROM ({ORACLE_TEXT_TOPK_NGRAMS})
+UNION ALL
+SELECT 'vocab' AS tag, lang AS key, vocab AS n, n_tokens
+FROM ({ORACLE_TEXT_VOCAB})
+"""
+
+
 QUERIES = {
     "text_stats_quality": q_text_stats_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
-    "text_topk_ngrams": q_text_topk_ngrams,
+    "text_corpus": q_text_corpus,
     "text_normalize": q_text_normalize,
-    "text_vocab": q_text_vocab,
     "text_repetition": q_text_repetition,
 }
 
@@ -462,8 +490,7 @@ ORACLES = {
     "text_stats_quality": _ORACLE_TEXT_STATS_QUALITY,
     "text_langid": _oracle_langid(),
     "text_fingerprint": _oracle_fingerprint(),
-    "text_topk_ngrams": ORACLE_TEXT_TOPK_NGRAMS,
+    "text_corpus": _ORACLE_TEXT_CORPUS,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
-    "text_vocab": ORACLE_TEXT_VOCAB,
     "text_repetition": ORACLE_TEXT_REPETITION,
 }

@@ -728,8 +728,13 @@ WHERE spent > 300000
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-bucketed aggregation over the events table (SURVEY §2.2
     string/date functions row — inherited builtins; batch shape of the
-    streaming windowed agg in graphview_spark.streaming)."""
+    streaming windowed agg in graphview_spark.streaming). Also exercises
+    semi-structured extraction: ``props`` is a JSON string column and
+    ``get_json_object`` pulls a typed field in the same scan (the
+    JVM-side path for JSON-bearing event logs — no Python, no second
+    pass)."""
     ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
         ev.groupBy(
             F.to_date(F.col("ts")).alias("day"),
@@ -739,6 +744,7 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg(k), 2).alias("avg_prop_k"),
         )
     )
 
@@ -747,7 +753,9 @@ ORACLE_EVENTS_DAILY = """
 SELECT CAST(ts AS DATE) AS day, event_type,
        count(*)                AS n_events,
        count(DISTINCT user_id) AS n_users,
-       round(sum(value), 2)    AS total_value
+       round(sum(value), 2)    AS total_value,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 2)
+                               AS avg_prop_k
 FROM events
 GROUP BY CAST(ts AS DATE), event_type
 """

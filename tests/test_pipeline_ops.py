@@ -136,3 +136,26 @@ def test_text_repetition_degenerate_doc(spark, tmp_path):
     assert rows[2]["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-3)
     # single-word doc: no bigrams -> NULL fraction, not a crash
     assert rows[3]["n_bigrams"] == 0 and rows[3]["top_bigram_frac"] is None
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from graphview_spark.operators.clustering import kmeans
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 0),
+            (2, [0.0, 1.0], 1),   # labels deliberately interleaved:
+            (3, [10.0, 10.0], 0), # per-label init centroids start wrong
+            (4, [10.0, 11.0], 1),
+        ],
+        "vec_id long, v array<double>, label int",
+    )
+    assigned, cent = kmeans(emb, iterations=2)
+    rows = {r["vec_id"]: r for r in assigned.collect()}
+    assert rows[1]["cluster"] == rows[2]["cluster"]
+    assert rows[3]["cluster"] == rows[4]["cluster"]
+    assert rows[1]["cluster"] != rows[3]["cluster"]
+    # converged centroids are the true means; every point is 0.25 away
+    assert all(r["d2"] == pytest.approx(0.25) for r in rows.values())
+    cents = sorted(tuple(r["c"]) for r in cent.collect())
+    assert cents == [(0.0, 0.5), (10.0, 10.5)]
