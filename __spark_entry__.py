@@ -92,3 +92,20 @@ def oracle_sql() -> dict[str, str]:
     out.update(streaming_events.ORACLES)
     out.update(algorithms.ORACLES)
     return out
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Operators beyond the driver gate's ~50-entry cap. Same contract
+    as ``queries()``; oracle-checked by tools/check.py (results committed
+    as CHECKS_LOCAL.md) and pytest-covered — kept out of ``queries()``
+    only so the capped driver gate keeps recording the core surface."""
+    from graphview_spark.operators import pipeline
+
+    return dict(pipeline.QUERIES)
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for ``extra_queries()``."""
+    from graphview_spark.operators import pipeline
+
+    return dict(pipeline.ORACLES)

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from graphview_spark.session import read_table
+from graphview_spark.operators.dedup import read_spread
 
 KMEANS_ITERATIONS = 2
 
@@ -94,7 +94,7 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: cluster population and inertia (sum of squared
     distance to the final centroid) after 2 deterministic Lloyd
     iterations from the per-label-mean init."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    emb = read_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
     assigned, _ = kmeans(emb)

@@ -1,0 +1,301 @@
+"""Training-data pipeline operators: decontamination, sequence packing,
+quantile-based quality filtering, and domain mixing.
+
+Net-new surface (SURVEY.md §2.9) — the steps between "raw corpus" and
+"training batches" that a 100 TB pipeline runs after dedup:
+
+  - Decontamination: drop training documents that share any word n-gram
+    with a held-out benchmark set. The benchmark n-gram set is tiny
+    relative to the corpus (thousands of eval documents), so candidate
+    matching is a BROADCAST semi-join against the corpus's exploded
+    n-grams — the corpus is never shuffled, and the explode is map-side
+    fuel for a codegen'd hash probe.
+  - Sequence packing: concat-and-chunk packing of token streams into
+    fixed-budget training sequences. A running token-offset window per
+    shard; shards are hash-assigned so the sort parallelizes, and the
+    shard count is the knob that bounds per-task sort size at scale.
+  - Quality quantile filter: keep documents at or above a per-language
+    score quantile. ``cume_dist`` over (lang, score) — deterministic
+    under ties (equal scores share a rank), unlike sampled percentiles.
+    The one-pass sketch alternative (approx_percentile) is asserted in
+    tests as the scale path when an exact global sort is not worth it.
+  - Domain mixing: deterministic hash-acceptance resampling to target
+    per-language rates, with an importance weight (1/rate) carried on
+    kept rows so downstream loss weighting can undo the bias.
+
+Every operator is a pure DataFrame plan with md5-based determinism (no
+RNG), so each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphview_spark.session import read_table
+
+DECONTAM_N = 5            # words per decontamination n-gram
+PACK_BUDGET = 2048        # tokens per packed training sequence
+PACK_SHARDS = 8           # parallel packing streams (per-task sort bound)
+QUANTILE_KEEP = 0.5       # keep docs at/above this per-lang score quantile
+MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
+MIX_BUCKETS = 1000        # acceptance-hash granularity
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams of a space-tokenized text column (same
+    guard as dedup.shingles_col: short docs yield [])."""
+    words = F.split(text, " ")
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _sql_word_ngrams(n: int) -> str:
+    """DuckDB mirror of ``_word_ngrams`` (w = word list)."""
+    return (
+        f"CASE WHEN len(w) >= {n} THEN list_distinct(list_transform("
+        f"generate_series(1, len(w) - {n - 1}), "
+        f"i -> array_to_string(w[i:i+{n - 1}], ' '))) "
+        f"ELSE [] END"
+    )
+
+
+# --------------------------------------------------------------------------
+# decontamination
+# --------------------------------------------------------------------------
+
+def benchmark_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic stand-in for a held-out eval benchmark: every 97th
+    document. A real pipeline feeds the actual benchmark table here."""
+    return docs.filter(F.col("doc_id") % 97 == 0)
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = DECONTAM_N) -> DataFrame:
+    """Flag training documents sharing ≥1 word n-gram with the benchmark.
+
+    Plan shape: the benchmark's distinct n-grams (small) broadcast into
+    an inner join against the corpus's exploded n-grams — per-doc match
+    counts aggregate map-side, and only the (tiny) contaminated-id list
+    shuffles; the clean corpus joins that list broadcast, so the corpus
+    itself is never repartitioned. Returns every train row with
+    (doc_id, n_shared_ngrams, contaminated)."""
+    bench_grams = (
+        benchmark.select(F.explode(_word_ngrams(F.col("text"), n)).alias("gram"))
+        .distinct()
+    )
+    train_grams = train.select(
+        "doc_id", F.explode(_word_ngrams(F.col("text"), n)).alias("gram")
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+    return (
+        train.select("doc_id")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def q_pipeline_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, benchmark_docs(docs))
+
+
+def _oracle_decontam() -> str:
+    g = _sql_word_ngrams(DECONTAM_N)
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (SELECT doc_id, {g} AS grams FROM w),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM grams WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, unnest(grams) AS gram FROM grams WHERE doc_id % 97 <> 0),
+hits AS (SELECT t.doc_id, count(*) AS n_shared_ngrams
+         FROM train t JOIN bench b USING (gram) GROUP BY t.doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+       coalesce(h.n_shared_ngrams, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Concat-and-chunk packing: documents are laid end-to-end per shard
+    (ordered by doc_id) and the token stream is cut every ``budget``
+    tokens; a document belongs to the sequence containing its first
+    token. One running-sum window per shard — ``shards`` bounds the
+    per-task sort, so raise it with corpus size (it only changes which
+    docs co-pack, not the operator's correctness)."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    return (
+        toks.withColumn("end", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor((F.col("end") - F.col("n_tokens")) / budget).alias("seq_id"),
+            ((F.col("end") - F.col("n_tokens")) % budget).alias("seq_offset"),
+        )
+    )
+
+
+def q_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(read_table(spark, sf_dir, "documents"))
+
+
+def _oracle_pack() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS e
+  FROM t)
+SELECT doc_id, shard, n_tokens,
+       ((e - n_tokens) // {PACK_BUDGET})::BIGINT AS seq_id,
+       ((e - n_tokens) % {PACK_BUDGET})::BIGINT AS seq_offset
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# quality quantile filter
+# --------------------------------------------------------------------------
+
+def q_pipeline_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile filter: a document is kept when its
+    quality score's cumulative distribution within its language reaches
+    1 - QUANTILE_KEEP (i.e. the top half per language). Exact and
+    deterministic (ties share a cume_dist); the approx_percentile sketch
+    is the documented one-pass alternative (tests/test_pipeline2.py)."""
+    from pyspark.sql import Window as W
+
+    from graphview_spark.operators.text import quality_score_col
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", quality_score_col(F.col("text")).alias("quality_score")
+    )
+    w = W.partitionBy("lang").orderBy("quality_score")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.round(F.cume_dist().over(w), 4).alias("q"),
+        (F.cume_dist().over(w) >= F.lit(1.0 - QUANTILE_KEEP)).alias("kept"),
+    )
+
+
+def _oracle_quality_quantile() -> str:
+    from graphview_spark.operators.text import SQL_QUALITY_SCORE
+
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+m AS (SELECT doc_id, lang, {SQL_QUALITY_SCORE} AS quality_score FROM t)
+SELECT doc_id, lang, quality_score,
+       round(cume_dist() OVER (PARTITION BY lang ORDER BY quality_score), 4) AS q,
+       cume_dist() OVER (PARTITION BY lang ORDER BY quality_score)
+         >= {1.0 - QUANTILE_KEEP} AS kept
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# domain mixing
+# --------------------------------------------------------------------------
+
+def q_pipeline_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-acceptance resampling to per-language target
+    rates. Map-only (the acceptance test is per-row md5 math — no
+    shuffle, no RNG); kept rows carry weight = 1/rate so weighted counts
+    remain unbiased. Languages absent from MIX_RATES default to 1.0."""
+    docs = read_table(spark, sf_dir, "documents")
+    rate = None
+    for lang, r in MIX_RATES.items():
+        rate = (
+            F.when(F.col("lang") == lang, F.lit(r))
+            if rate is None
+            else rate.when(F.col("lang") == lang, F.lit(r))
+        )
+    rate = rate.otherwise(F.lit(1.0))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id"))), 1, 15), 16, 10)
+        .cast("long") % MIX_BUCKETS
+    )
+    return (
+        docs.select("doc_id", "lang", rate.alias("rate"), bucket.alias("b"))
+        .filter(F.col("b") < F.col("rate") * MIX_BUCKETS)
+        .select(
+            "doc_id",
+            "lang",
+            F.round(1.0 / F.col("rate"), 3).alias("weight"),
+        )
+    )
+
+
+def _oracle_mix() -> str:
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items())
+    hex_to_int = (
+        "list_reduce(list_transform(string_split("
+        "substr(md5('mix|' || doc_id::VARCHAR), 1, 15), ''), "
+        "c -> strpos('0123456789abcdef', c)::BIGINT - 1), (a, b) -> a * 16 + b)"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE lang {cases} ELSE 1.0 END AS rate,
+         {hex_to_int} % {MIX_BUCKETS} AS b
+  FROM documents)
+SELECT doc_id, lang, round(1.0 / rate, 3) AS weight
+FROM t WHERE b < rate * {MIX_BUCKETS}
+"""
+
+
+QUERIES = {
+    "pipeline_decontam": q_pipeline_decontam,
+    "pipeline_pack": q_pipeline_pack,
+    "pipeline_quality_quantile": q_pipeline_quality_quantile,
+    "pipeline_mix": q_pipeline_mix,
+}
+
+ORACLES = {
+    "pipeline_decontam": _oracle_decontam(),
+    "pipeline_pack": _oracle_pack(),
+    "pipeline_quality_quantile": _oracle_quality_quantile(),
+    "pipeline_mix": _oracle_mix(),
+}

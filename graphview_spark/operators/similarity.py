@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from graphview_spark.operators.dedup import cosine_col, dot_col, norm_col
+from graphview_spark.operators.dedup import cosine_col, dot_col, norm_col, read_spread
 from graphview_spark.session import read_table
 
 TOP_K = 5
@@ -67,7 +67,7 @@ def bucket_col(v: Column) -> Column:
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k neighbors for the query subset. Deterministic
     tie-break: (rounded cosine desc, neighbor id asc)."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    emb = read_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("nv", norm_col(F.col("v")))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -123,7 +123,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate similarity join: pairs sharing an LSH bucket with
     verified cosine ≥ threshold. The bucket equi-join replaces the
     all-pairs cross join — the piece that makes this viable at 100 TB."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    emb = read_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # bucket AND norm computed once per vector, materialized by the
@@ -187,7 +187,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF_NPROBE nearest centroids and ranks only those labels' vectors.
     At scale the inverted lists are label-partitioned parquet — a probe
     reads nprobe/nlist of the corpus instead of all of it."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    emb = read_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     ).withColumn("nv", norm_col(F.col("v")))
     # centroid per label: element-wise mean via posexplode → regroup

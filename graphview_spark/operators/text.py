@@ -79,6 +79,18 @@ FROM documents
 # quality scoring
 # --------------------------------------------------------------------------
 
+def quality_score_col(text: Column) -> Column:
+    """The heuristic quality score as a reusable column expression
+    (type-token ratio + stopword ratio + length term) — shared by
+    q_text_quality and the pipeline quantile filter."""
+    words = _words(text)
+    n = F.size(words)
+    uniq_ratio = F.size(F.array_distinct(words)) / n
+    stop_ratio = _count_in(words, STOPWORDS) / n
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    return F.round(0.5 * uniq_ratio + 0.3 * (1 - stop_ratio) + 0.2 * len_term, 3)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: type-token ratio, stopword ratio, and a
     length term, combined into one score + bucket. The exact formula is a
@@ -104,6 +116,15 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# the score formula over a pre-split word list `w` (DuckDB) — mirror of
+# quality_score_col, shared with the pipeline quantile filter
+SQL_QUALITY_SCORE = (
+    "round(0.5 * (len(list_distinct(w))::DOUBLE / len(w)) "
+    f"+ 0.3 * (1 - len(list_filter(w, x -> x IN ({_SW})))::DOUBLE / len(w)) "
+    "+ 0.2 * least(len(w) / 100.0, 1.0), 3)"
+)
+
 ORACLE_TEXT_QUALITY = f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -74,6 +74,9 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    if hasattr(entry, "extra_queries"):
+        qs = {**qs, **entry.extra_queries()}
+        oracles = {**oracles, **entry.extra_oracle_sql()}
     ok = bad = weak = 0
     for name, fn in qs.items():
         if only and not name.startswith(only):
