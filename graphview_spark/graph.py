@@ -105,6 +105,9 @@ class GraphDatabase:
         # SELECT INTO targets (reference: plain SQL tables created by
         # SELECT INTO passthrough) — queryable in later statements
         self.derived_tables: dict[str, DataFrame] = {}
+        # CREATE INDEX records: index name -> (table, columns). Indexes
+        # are physical-layout advice on Spark (see create_index)
+        self.indexes: dict[str, tuple[str, list[str]]] = {}
 
     # ------------------------------------------------------------------
     # DDL
@@ -248,6 +251,58 @@ class GraphDatabase:
             )
         t.properties = [(n, ty) for n, ty in t.properties if n.lower() != low]
         self.nodes[t.name] = self.nodes[t.name].drop(actual)
+
+    def truncate_table(self, table_name: str) -> None:
+        """TRUNCATE TABLE (plain T-SQL passthrough in the reference —
+        same row-removal surface as DELETE without WHERE, metadata-speed
+        on Spark since DataFrames are versioned, not paged): resets the
+        node DF and the table's outgoing edge DFs to empty. Same
+        integrity rule as DELETE NODE (TranslateDataModificationVisitor.
+        cs:2164-2179): refuses while another table's edges still point at
+        this table's nodes — outgoing edges vanish with their source rows
+        (they live in the source table's edge list, like the reference's
+        varbinary edge columns), but incoming ones would dangle."""
+        t = self.catalog.table(table_name)
+        low = t.name.lower()
+        for nt in self.catalog.tables.values():
+            if nt.name.lower() == low:
+                continue
+            for e in nt.edges.values():
+                if e.sink_table.lower() == low and self.edge_count(e.qualified):
+                    raise GraphViewError(
+                        f"cannot truncate '{t.name}': incoming edge(s) via "
+                        f"{e.qualified}"
+                    )
+        empty_nodes = self.spark.createDataFrame([], self.nodes[t.name].schema)
+        self.nodes[t.name] = empty_nodes
+        self._node_counts[t.name] = 0
+        for e in t.edges.values():
+            self.edges[e.qualified] = self.spark.createDataFrame(
+                [], self.edges[e.qualified].schema
+            )
+            self._edge_counts[e.qualified] = 0
+        # GlobalNodeId sequence intentionally NOT reset: ids are never
+        # reused (same policy as drop/re-create's fresh table id range)
+
+    def create_index(self, index_name: str, table_name: str,
+                     columns: list[str]) -> None:
+        """CREATE INDEX (T-SQL passthrough in the reference — indexes
+        live in SQL Server; GraphView's own metadata tables get clustered
+        PKs at GraphViewConnection.cs:300-360). Spark has no secondary
+        indexes: the physical analogs are bucketed/sorted persistence
+        (``save_bucketed`` — co-located, exchange-free MATCH joins) and
+        parquet min/max pruning, both already applied. The statement is
+        accepted and recorded in the catalog so reference DDL scripts run
+        unchanged, and validated against real columns so typos fail like
+        they would on SQL Server."""
+        t = self.catalog.table(table_name)
+        known = {n.lower() for n, _ in t.properties}
+        bad = [c for c in columns if c.lower() not in known]
+        if bad:
+            raise GraphViewError(
+                f"CREATE INDEX on '{t.name}': unknown column(s) {bad}"
+            )
+        self.indexes[index_name] = (t.name, list(columns))
 
     @staticmethod
     def _edge_schema(e: EdgeType) -> T.StructType:

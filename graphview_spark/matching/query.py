@@ -486,6 +486,32 @@ def execute_statement(g, sql: str) -> DataFrame | None:
         return None
     if re.match(r"(?is)^\s*EXEC(?:UTE)?\b", s):
         return _exec_exec(g, s)
+    if re.match(r"(?is)^\s*MERGE\b", s):
+        _exec_merge(g, s)
+        return None
+    if re.match(r"(?is)^\s*TRUNCATE\s+TABLE\b", s):
+        m = re.match(
+            r"(?is)^\s*TRUNCATE\s+TABLE\s+(\[[^\]]+\]|[A-Za-z_]\w*)\s*$", s
+        )
+        if not m:
+            raise ValueError(f"cannot parse TRUNCATE: {s[:60]!r}")
+        g.truncate_table(m.group(1).strip("[]"))
+        return None
+    mi = re.match(
+        r"(?is)^\s*CREATE\s+(?:UNIQUE\s+)?(?:(?:NON)?CLUSTERED\s+)?INDEX\s+"
+        r"(?P<name>\[[^\]]+\]|[A-Za-z_]\w*)\s+ON\s+"
+        r"(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s*\((?P<cols>[^)]*)\)\s*$",
+        s,
+    )
+    if mi:
+        cols = [
+            re.sub(r"(?is)\s+(ASC|DESC)$", "", c.strip()).strip("[]").strip()
+            for c in mi.group("cols").split(",")
+        ]
+        g.create_index(
+            mi.group("name").strip("[]"), mi.group("tbl").strip("[]"), cols
+        )
+        return None
     head = re.match(r"(?is)^\s*([A-Za-z]+)(\s+(EDGE|NODE|INTO|TABLE))?", s)
     kw = (head.group(1) or "").upper() if head else ""
     kw2 = (head.group(3) or "").upper() if head and head.group(3) else ""
@@ -1177,6 +1203,82 @@ def _exec_update_from(g, target: str, set_text: str, from_text: str,
         .withColumn("__match", F.lit(True))
     )
     g.update_nodes_from(t.name, updates, set_cols)
+
+
+def _exec_merge(g, sql: str) -> None:
+    """MERGE INTO T [AS a] USING (<query>)|<table> [AS] s ON <cond>
+    [WHEN MATCHED THEN UPDATE SET col = expr, ...]
+    [WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)]
+
+    Reference: MERGE is plain T-SQL passthrough like every non-graph DML
+    statement (WDataModification.cs:77+ shows the passthrough pattern).
+    Spark-first plan: ONE source scan feeds two set-oriented branches —
+    the matched branch is the UPDATE...FROM join-back, the not-matched
+    branch an anti-join (NOT EXISTS) INSERT...SELECT. Multi-match rows
+    (which T-SQL MERGE rejects at runtime) take a deterministic first by
+    value order, same as UPDATE...FROM."""
+    masked, lits = _mask_strings(sql)
+    m = re.match(
+        r"(?is)^\s*MERGE\s+(?:INTO\s+)?(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)"
+        r"(?:\s+AS\s+(?P<talias>\w+)|\s+(?!USING\b)(?P<talias2>[A-Za-z_]\w*))?"
+        r"\s+USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|\[[^\]]+\]|[A-Za-z_]\w*)"
+        r"(?:\s+AS\s+(?P<salias>\w+)|\s+(?!ON\b)(?P<salias2>[A-Za-z_]\w*))?"
+        r"\s+ON\s+(?P<rest>.+)$",
+        masked,
+    )
+    if not m:
+        raise ValueError(f"cannot parse MERGE: {sql[:80]!r}")
+    tbl = m.group("tbl").strip("[]")
+    talias = m.group("talias") or m.group("talias2") or tbl
+    salias = m.group("salias") or m.group("salias2")
+    rest = m.group("rest")
+
+    first_when = _find_kw_depth0(rest, "WHEN")
+    if first_when < 0:
+        raise ValueError("MERGE requires at least one WHEN branch")
+    on_text = rest[:first_when].strip()
+    branches = rest[first_when:]
+
+    upd = re.search(
+        r"(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<set>.+?)"
+        r"(?=WHEN\s+NOT\s+MATCHED|$)",
+        branches,
+    )
+    ins = re.search(
+        r"(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
+        r"\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*?)\)\s*"
+        r"(?=WHEN\s+MATCHED|$)",
+        branches,
+    )
+    if not upd and not ins:
+        raise ValueError(f"cannot parse MERGE WHEN branches: {sql[:80]!r}")
+
+    # register the source once (a subquery plans through the full SELECT
+    # machinery — MATCH, CTE views, joins all allowed)
+    src = m.group("src").strip()
+    if src.startswith("("):
+        df = _exec_select(g, _unmask(src[1:-1].strip(), lits))
+        if df is None:
+            raise ValueError("MERGE USING: source produced no result")
+        df.createOrReplaceTempView("__merge_src")
+        src_ref = "__merge_src"
+    else:
+        src_ref = src.strip("[]")
+    src_clause = f"{src_ref} {salias}" if salias else src_ref
+
+    if upd:
+        from_text = f"{tbl} {talias if talias != tbl else ''} ".strip()
+        from_text += f" JOIN {src_clause} ON {on_text}"
+        _exec_update_from(g, talias, upd.group("set"), from_text, None, lits)
+    if ins:
+        cols = [c.strip().strip("[]") for c in ins.group("cols").split(",")]
+        anti = (
+            f"SELECT {ins.group('vals')} FROM {src_clause} "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {tbl} "
+            f"{talias if talias != tbl else ''} WHERE {on_text})"
+        )
+        stmt = f"INSERT INTO {tbl} ({', '.join(cols)}) {anti}"
+        _exec_insert_node(g, _unmask(stmt, lits))
 
 
 def _exec_delete_node(g, sql: str) -> None:
