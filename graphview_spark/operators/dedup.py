@@ -254,7 +254,8 @@ def cached_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_verified_pairs(
-    spark: SparkSession, sf_dir: str, n_bands: int, threshold: float
+    spark: SparkSession, sf_dir: str, n_bands: int, threshold: float,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification,
     parameterized by band shape. Pairs must agree on at least one full
@@ -265,11 +266,16 @@ def _lsh_verified_pairs(
     candidates are a function of pair SIMILARITY, independent of corpus
     size or length distribution."""
     ckey = (spark.sparkContext.applicationId, sf_dir, n_bands, threshold)
-    hit = _PAIR_CACHE.get(ckey)
+    hit = _PAIR_CACHE.get(ckey) if materialize else None
     if hit is not None:
         return hit
     rows = N_PERM // n_bands
-    sigs = cached_signatures(spark, sf_dir)
+    if materialize:
+        sigs = cached_signatures(spark, sf_dir)
+    else:
+        # plan-audit path: the full lineage (signatures included), no
+        # checkpoint barriers, nothing cached
+        sigs = minhash_signatures(read_spread(spark, sf_dir, "documents", "doc_id"))
 
     # one generate pass over the signature table → (doc_id, band, bkey);
     # hs/sigs stay OUT of the self-join so the shuffle rows are short
@@ -293,9 +299,10 @@ def _lsh_verified_pairs(
         .withColumn("jaccard", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 3))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .localCheckpoint(eager=True)
     )
-    _PAIR_CACHE[ckey] = out
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        _PAIR_CACHE[ckey] = out
     return out
 
 
