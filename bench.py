@@ -43,7 +43,13 @@ def main() -> None:
             for p in ("dedup_", "sim_", "text_", "match_", "stream_", "events_")
         ):
             names.append(n)
-
+    # extended-registry operators (outside the driver gate cap) bench too
+    if hasattr(entry, "extra_queries"):
+        extra = entry.extra_queries()
+        qs = {**qs, **extra}
+        for n in extra:
+            if n not in names:
+                names.append(n)
     # warmup: spin up the JVM + parquet footer reads (not timed)
     qs[names[0]](spark, sf_dir).limit(1).collect()
 
