@@ -99,13 +99,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     as ``queries()``; oracle-checked by tools/check.py (results committed
     as CHECKS_LOCAL.md) and pytest-covered — kept out of ``queries()``
     only so the capped driver gate keeps recording the core surface."""
+    from graphview_spark import algorithms
     from graphview_spark.operators import pipeline
 
-    return dict(pipeline.QUERIES)
+    return {**pipeline.QUERIES, **algorithms.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for ``extra_queries()``."""
+    from graphview_spark import algorithms
     from graphview_spark.operators import pipeline
 
-    return dict(pipeline.ORACLES)
+    return {**pipeline.ORACLES, **algorithms.EXTRA_ORACLES}

@@ -366,6 +366,108 @@ SELECT count(*) AS n_components, max(n_nodes) AS largest FROM sizes
 """
 
 
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    adopts the most frequent label among its neighbors each round, ties
+    broken by the smallest label — fully deterministic, so a fixed
+    iteration count is oracle-expressible as unrolled CTEs. ``nodes`` is
+    (id), ``edges`` (src, sink) in the same id domain; edges are treated
+    undirected. Returns (id, label).
+
+    Scale: one shuffle per round (neighbor-label count groupBy + the
+    argmax window share the receiver-id partitioning), per-node state is
+    one label, and localCheckpoint keeps plan depth constant — the same
+    posture as pagerank/components above."""
+    from pyspark.sql import Window as W
+
+    sym = (
+        edges.select("src", "sink")
+        .union(edges.select(F.col("sink").alias("src"), F.col("src").alias("sink")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        counts = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy(F.col("sink").alias("__id"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = W.partitionBy("__id").orderBy(
+            F.col("__c").desc(), F.col("label").asc()
+        )
+        pick = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", F.col("label").alias("__new"))
+        )
+        labels = (
+            labels.join(pick, labels["id"] == pick["__id"], "left")
+            .select(
+                "id",
+                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def q_graph_communities(spark, sf_dir: str) -> DataFrame:
+    """LPA communities over the Refers edges in the c_custkey domain (so
+    labels are oracle-comparable — GlobalNodeIds are engine-internal)."""
+    from graphview_spark.graph_queries import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes["Customer"]
+    key = nodes.select("GlobalNodeId", "c_custkey")
+    edges = (
+        g.edge_with_id("Customer.Refers")
+        .join(key.select(F.col("GlobalNodeId").alias("src"),
+                         F.col("c_custkey").alias("src_key")), "src")
+        .join(key.select(F.col("GlobalNodeId").alias("sink"),
+                         F.col("c_custkey").alias("sink_key")), "sink")
+        .select(F.col("src_key").alias("src"), F.col("sink_key").alias("sink"))
+    )
+    lp = label_propagation(
+        nodes.select(F.col("c_custkey").alias("id")), edges, iterations=3
+    )
+    return lp.select(F.col("id").alias("c_custkey"),
+                     F.col("label").alias("community"))
+
+
+def _oracle_communities(iterations: int = 3) -> str:
+    from graphview_spark.graph_queries import _ORACLE_REFERS
+
+    parts = [
+        f"refers AS ({_ORACLE_REFERS})",
+        "sym AS (SELECT src, sink FROM refers "
+        "UNION ALL SELECT sink, src FROM refers)",
+        "l0 AS (SELECT c_custkey AS id, c_custkey AS label FROM customer)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"l{i - 1}"
+        parts.append(
+            f"p{i} AS (SELECT id, label FROM ("
+            f"SELECT e.sink AS id, l.label, "
+            f"row_number() OVER (PARTITION BY e.sink "
+            f"ORDER BY count(*) DESC, l.label ASC) AS rn "
+            f"FROM sym e JOIN {prev} l ON e.src = l.id "
+            f"GROUP BY e.sink, l.label) WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT {prev}.id, "
+            f"coalesce(p{i}.label, {prev}.label) AS label "
+            f"FROM {prev} LEFT JOIN p{i} USING (id))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id AS c_custkey, label AS community FROM l{iterations}"
+    )
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_components": q_graph_components,
@@ -379,3 +481,7 @@ ORACLES = {
     "graph_shortest_paths": _oracle_shortest_paths(),
     "graph_triangles": _oracle_triangles(),
 }
+
+# outside the driver gate's ~50-entry cap — checked via extra_queries()
+EXTRA_QUERIES = {"graph_communities": q_graph_communities}
+EXTRA_ORACLES = {"graph_communities": _oracle_communities()}

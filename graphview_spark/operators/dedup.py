@@ -49,11 +49,15 @@ def read_spread(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFr
     The synthetic tables are single small parquet files → Spark scans them
     as one partition, which would serialize every per-row-heavy operator
     (md5 signatures, intersections) onto one core. On a real deployment
-    the scan is already split by ``spark.sql.files.maxPartitionBytes``;
-    this repartition makes the local harness behave like that. Hashing on
-    the row key keeps the spread deterministic."""
+    the scan is already split by ``spark.sql.files.maxPartitionBytes`` —
+    so the repartition only fires when the scan has fewer splits than
+    cores (a 100 TB scan returns thousands of splits and passes through
+    untouched; no gratuitous full shuffle at scale). Hashing on the row
+    key keeps the spread deterministic."""
     df = read_table(spark, sf_dir, name)
     n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, F.col(key))
 
 

@@ -73,3 +73,25 @@ def test_aggregate_messages_degree(spark, tiny):
     )
     got = {r["GlobalNodeId"]: r["msg"] for r in indeg.collect()}
     assert got == {2: 1, 3: 2}
+
+
+def test_label_propagation_two_cliques(spark):
+    from graphview_spark.algorithms import label_propagation
+    from pyspark.sql import functions as F
+
+    # two triangles {1,2,3} and {10,11,12} joined by a weak bridge 3-10
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        ["src", "sink"],
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12)], ["id"]
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(nodes, edges, iterations=3).collect()
+    }
+    # each clique converges on its minimum label
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12]
+    assert got[10] != 1
