@@ -129,7 +129,20 @@ def bulk_insert_edges(
     if src_t.node_id_column is None or sink_t.node_id_column is None:
         raise ValueError("bulk edge load needs NodeId columns on both tables")
 
-    df = read_input(g.spark, path, fmt=fmt, sep=sep, header=header)
+    if not header and fmt == "csv" and src_id_col is None:
+        # the reference's null columnList (BulkInsertEdge(..., null, ...)):
+        # positional file layout (srcId, sinkId, attrs in declared order)
+        raw = g.spark.read.csv(path, sep=sep, header=False, inferSchema=False)
+        attr_names = [n for n, _ in e.attributes]
+        names = ["__file_src", "__file_sink"] + attr_names[: len(raw.columns) - 2]
+        if len(names) != len(raw.columns):
+            raise ValueError(
+                f"edge file has {len(raw.columns)} fields; expected 2 ids "
+                f"+ up to {len(attr_names)} declared attributes"
+            )
+        df = raw.toDF(*names)
+    else:
+        df = read_input(g.spark, path, fmt=fmt, sep=sep, header=header)
     cols = df.columns
     src_c = src_id_col or cols[0]
     sink_c = sink_id_col or cols[1]
