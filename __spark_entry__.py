@@ -100,14 +100,22 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     as CHECKS_LOCAL.md) and pytest-covered — kept out of ``queries()``
     only so the capped driver gate keeps recording the core surface."""
     from graphview_spark import algorithms
-    from graphview_spark.operators import pipeline
+    from graphview_spark.operators import pipeline, temporal
 
-    return {**pipeline.QUERIES, **algorithms.EXTRA_QUERIES}
+    return {
+        **pipeline.QUERIES,
+        **algorithms.EXTRA_QUERIES,
+        **temporal.EXTRA_QUERIES,
+    }
 
 
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for ``extra_queries()``."""
     from graphview_spark import algorithms
-    from graphview_spark.operators import pipeline
+    from graphview_spark.operators import pipeline, temporal
 
-    return {**pipeline.ORACLES, **algorithms.EXTRA_ORACLES}
+    return {
+        **pipeline.ORACLES,
+        **algorithms.EXTRA_ORACLES,
+        **temporal.EXTRA_ORACLES,
+    }

@@ -124,3 +124,36 @@ def test_gate_queries_match_oracle(spark, duck):
         assert_df_matches_oracle(
             fn(spark, "/root/testdata/sf0.001"), duck, temporal.ORACLES[name]
         )
+
+
+def test_rollup_levels_merge_exactly(spark, sf_dir):
+    """Each rollup level computed from the level below equals the same
+    aggregate computed directly from raw events (mergeable stats)."""
+    from pyspark.sql import functions as F
+
+    from graphview_spark.operators.temporal import hypertable_rollup
+    from graphview_spark.session import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    levels = hypertable_rollup(events)
+    direct_hour = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    rolled = {
+        (r["event_type"], r["bucket"]): (r["n"], round(r["sum_value"], 6))
+        for r in levels["hour"].collect()
+    }
+    direct = {
+        (r["event_type"], r["bucket"]): (r["n"], round(r["sum_value"], 6))
+        for r in direct_hour.collect()
+    }
+    assert rolled == direct
+    assert levels["day"].count() <= levels["hour"].count()
