@@ -41,8 +41,40 @@ class GraphViewError(RuntimeError):
     GraphViewException (GraphView/GraphViewException.cs)."""
 
 
+# T-SQL type names whose Spark spelling differs. The important one is
+# float: T-SQL float is 8-byte (double); Spark's "float" parses as 4-byte
+# and would silently halve precision on migrated schemas.
+_TSQL_TYPES = {
+    "float": "double",
+    "real": "float",
+    "bit": "boolean",
+    "datetime": "timestamp",
+    "datetime2": "timestamp",
+    "smalldatetime": "timestamp",
+    "datetimeoffset": "timestamp",
+    "money": "decimal(19,4)",
+    "smallmoney": "decimal(10,4)",
+    "uniqueidentifier": "string",
+    "text": "string",
+    "ntext": "string",
+    "image": "binary",
+    "sql_variant": "string",
+}
+
+
 def _spark_type(sql_type: str) -> T.DataType:
-    return T._parse_datatype_string(sql_type)
+    s = sql_type.strip().lower()
+    # n[var]char → [var]char (same semantics on Spark's UTF-8 strings)
+    s = re.sub(r"^n(?=(?:var)?char\b)", "", s)
+    # (max) length markers have no Spark spelling → unbounded types
+    if re.match(r"(?:var)?char\s*\(\s*max\s*\)", s):
+        s = "string"
+    elif re.match(r"varbinary\s*\(\s*max\s*\)|varbinary\b", s):
+        s = "binary"
+    base = s.split("(")[0].strip()
+    if base in _TSQL_TYPES:
+        s = _TSQL_TYPES[base]
+    return T._parse_datatype_string(s)
 
 
 def _sql_lit(v) -> str:

@@ -174,3 +174,24 @@ def test_create_edge_view_statement(g):
     assert sorted(r["_EdgeType"] for r in df.collect()) == [
         "Node.Edges", "Org.Links",
     ]
+
+
+def test_tsql_type_mapping(spark):
+    """T-SQL column types map to their true Spark widths — float is
+    8-byte (double) on SQL Server, bit is boolean, (max) is unbounded."""
+    from graphview_spark.graph import GraphDatabase
+
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [Typed] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Property"] score float,
+            [ColumnRole:"Property"] active bit,
+            [ColumnRole:"Property"] note nvarchar(max),
+            [ColumnRole:"Property"] seen datetime )"""
+    )
+    dt = dict(g.nodes["Typed"].dtypes)
+    assert dt["score"] == "double"
+    assert dt["active"] == "boolean"
+    assert dt["note"] == "string"
+    assert dt["seen"] == "timestamp"
