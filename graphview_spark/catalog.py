@@ -17,6 +17,7 @@ every node id is globally unique and encodes its table.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 
 
@@ -53,8 +54,6 @@ def normalize_sql_type(t: str) -> str:
         "float": "double",
         "real": "float",
         "double": "double",
-        "decimal": "decimal(18,4)",
-        "numeric": "decimal(18,4)",
         "varchar": "string",
         "nvarchar": "string",
         "char": "string",
@@ -71,6 +70,11 @@ def normalize_sql_type(t: str) -> str:
         "varbinary": "binary",
         "binary": "binary",
     }
+    if base in ("decimal", "numeric"):
+        # preserve declared precision/scale — mapping to a fixed
+        # decimal(18,4) silently re-scaled user columns
+        m = re.match(r"(?:decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+        return f"decimal({m.group(1)},{m.group(2)})" if m else "decimal(18,4)"
     return mapping.get(base, "string")
 
 

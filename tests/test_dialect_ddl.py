@@ -195,3 +195,15 @@ def test_tsql_type_mapping(spark):
     assert dt["active"] == "boolean"
     assert dt["note"] == "string"
     assert dt["seen"] == "timestamp"
+
+
+def test_decimal_precision_preserved(spark):
+    from graphview_spark.graph import GraphDatabase
+
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [Priced] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Property"] price DECIMAL(10,2) )"""
+    )
+    assert dict(g.nodes["Priced"].dtypes)["price"] == "decimal(10,2)"
