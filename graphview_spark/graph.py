@@ -316,6 +316,31 @@ class GraphDatabase:
         # GlobalNodeId sequence intentionally NOT reset: ids are never
         # reused (same policy as drop/re-create's fresh table id range)
 
+    def clear(self) -> None:
+        """Drop everything — the reference's ClearData /
+        ClearGraphDatabase (GraphViewConnection.cs; tutorials call it on
+        open and on close). Node tables, edges, views, procedures,
+        derived tables and indexes all go; table ids restart."""
+        for name in list(self.catalog.tables):
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        for name in list(self.derived_tables):
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        self.nodes.clear()
+        self.edges.clear()
+        self._seq.clear()
+        self._edge_batch.clear()
+        self._edge_counts.clear()
+        self._node_counts.clear()
+        self.derived_tables.clear()
+        self.indexes.clear()
+        self.catalog = GraphCatalog()
+
     def create_index(self, index_name: str, table_name: str,
                      columns: list[str]) -> None:
         """CREATE INDEX (T-SQL passthrough in the reference — indexes

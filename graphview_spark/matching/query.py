@@ -489,6 +489,21 @@ def execute_statement(g, sql: str) -> DataFrame | None:
     if re.match(r"(?is)^\s*MERGE\b", s):
         _exec_merge(g, s)
         return None
+    if re.match(r"(?is)^\s*EXPLAIN\b", s):
+        # translation introspection — the reference exposes the generated
+        # T-SQL through GetTsqlQuery() "For testing only"
+        # (GraphViewCommand.cs:41-65); our translation target is a Spark
+        # plan, so EXPLAIN returns the optimized + physical plan text
+        inner = re.sub(r"(?is)^\s*EXPLAIN\s+", "", s)
+        df = execute_statement(g, inner)
+        if df is None:
+            raise ValueError("EXPLAIN requires a statement returning rows")
+        plan = df._jdf.queryExecution().explainString(
+            g.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "extended"
+            )
+        )
+        return g.spark.createDataFrame([(plan,)], ["plan"])
     if re.match(r"(?is)^\s*TRUNCATE\s+TABLE\b", s):
         m = re.match(
             r"(?is)^\s*TRUNCATE\s+TABLE\s+(\[[^\]]+\]|[A-Za-z_]\w*)\s*$", s

@@ -110,3 +110,21 @@ def test_create_index_recorded_and_validated(g):
     assert g.indexes["ix_eid"] == ("Emp", ["eid"])
     with pytest.raises(GraphViewError, match="unknown column"):
         g.execute("CREATE INDEX ix_bad ON Emp (nosuch)")
+
+
+def test_explain_returns_plan(g):
+    plan = g.execute(
+        "EXPLAIN SELECT eid, name FROM Emp WHERE salary > 5"
+    ).collect()[0]["plan"]
+    assert "Physical Plan" in plan
+
+
+def test_clear_drops_everything(g):
+    g.clear()
+    assert not g.catalog.has_table("Emp")
+    g.execute(
+        """CREATE TABLE [Emp] (
+            [ColumnRole:"NodeId"] eid INT )"""
+    )
+    g.execute("INSERT INTO Emp(eid) VALUES(7)")
+    assert g.node_count("Emp") == 1
