@@ -128,6 +128,63 @@ def extract_features(
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def fake_resizer(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """Deterministic stand-in for an image resampler: keeps every k-th
+    byte where k = ceil(original_area / target_area) — stable output size
+    proportional to the target, no codec needed. A real deployment
+    injects a PIL/opencv-backed fn with the same signature."""
+    if not payload or tw <= 0 or th <= 0:
+        return b""
+    area, tarea = max(w * h, 1), tw * th
+    k = max((area + tarea - 1) // tarea, 1)
+    return payload[::k]
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int,
+    resizer: Callable = fake_resizer,
+) -> DataFrame:
+    """Image resize plumbing over mapInPandas: Arrow-batched, image rows
+    only, metadata rewritten to the target dimensions, payload replaced
+    by the resampled bytes. The byte-level transform is the injected
+    ``resizer`` (deterministic fake by default — no image libs ship in
+    this environment; the Spark-side schema/batching is the real part)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = [
+                resizer(
+                    bytes(p) if p is not None else b"",
+                    int(w or 0), int(h or 0), target_w, target_h,
+                )
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": out,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     timestamp (the decode of the actual frame is the stubbed codec step).

@@ -68,3 +68,24 @@ def test_payload_column_pruned_for_metadata_query(spark, sf_dir):
     scan = meta_only._jdf.queryExecution().executedPlan().toString()
     read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" not in read_schema     # source column not scanned
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    from graphview_spark.operators.multimodal import (
+        media_from_documents,
+        resize_images,
+    )
+
+    media = media_from_documents(spark, sf_dir)
+    out = resize_images(media, 32, 32)
+    rows = out.collect()
+    assert rows, "expected image rows"
+    assert all(r["kind"] == "image" for r in rows)
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
+    # deterministic: same input -> same bytes
+    again = {r["media_id"]: bytes(r["payload"]) for r in out.collect()}
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in rows)
+    # smaller target area -> payload never grows
+    srcs = {r["media_id"]: len(r["payload"]) for r in media.filter(
+        media["kind"] == "image").collect()}
+    assert all(len(r["payload"]) <= srcs[r["media_id"]] for r in rows)
