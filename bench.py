@@ -43,12 +43,14 @@ def main() -> None:
             for p in ("dedup_", "sim_", "text_", "match_", "stream_", "events_")
         ):
             names.append(n)
-    # extended-registry operators (outside the driver gate cap) bench too
+    # extended-registry operators (outside the driver gate cap) bench
+    # too — except the rel_* single-operator forms, whose work already
+    # runs inside the merged gate queries above (no double counting)
     if hasattr(entry, "extra_queries"):
         extra = entry.extra_queries()
         qs = {**qs, **extra}
         for n in extra:
-            if n not in names:
+            if n not in names and not n.startswith("rel_"):
                 names.append(n)
     # warmup: spin up the JVM + parquet footer reads (not timed)
     qs[names[0]](spark, sf_dir).limit(1).collect()

@@ -802,9 +802,44 @@ ORACLES = {
     "rel_events_daily": ORACLE_EVENTS_DAILY,
 }
 
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + bounded moving average (SURVEY §2.5 window row):
+    per-customer order history with previous/next order price and a
+    3-order trailing mean — one shuffle on the partition key, all frames
+    share the sort."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+        # 3dp, not 2: a 2-row frame averages cents/2 = exact .xx5
+        # values, and halfway rounding at 2dp differs between engines
+        F.round(
+            F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 3
+        ).alias("trailing3_avg"),
+    )
+
+
+ORACLE_WINDOW_LEAD_LAG = """
+SELECT o_custkey, o_orderkey,
+       round(lag(o_totalprice, 1)  OVER w, 2) AS prev_price,
+       round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS trailing3_avg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
 # Single-operator forms kept runnable for tests and ad-hoc checks (not
 # registered with the driver gate — see the cap note above).
 EXTRA_QUERIES = {
+    "rel_window_lead_lag": q_window_lead_lag,
     "rel_exists_semi": q_exists_semi,
     "rel_not_exists_anti": q_not_exists_anti,
     "rel_in_subquery": q_in_subquery,
@@ -816,6 +851,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES = {
+    "rel_window_lead_lag": ORACLE_WINDOW_LEAD_LAG,
     "rel_exists_semi": ORACLE_EXISTS_SEMI,
     "rel_not_exists_anti": ORACLE_NOT_EXISTS_ANTI,
     "rel_in_subquery": ORACLE_IN_SUBQUERY,
