@@ -108,6 +108,43 @@ def _split_columns(body: str) -> list[str]:
     return parts
 
 
+def parse_column_def(raw: str) -> ColumnDef:
+    """Parse one annotated column definition (``[ColumnRole:...] name
+    TYPE``) — shared by CREATE TABLE and ALTER TABLE ... ADD."""
+    raw = raw.strip().rstrip(";").rstrip(",")
+    am = re.match(
+        r"\[(?P<ann>\s*ColumnRole\s*:.*?)\]\s*(?P<rest>.*)$",
+        raw,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not am:
+        raise ValueError(
+            f"every column needs a [ColumnRole: ...] annotation "
+            f"(reference GraphViewParser.cs:1066-1071): {raw!r}"
+        )
+    ann = _parse_annotation(am.group("ann"))
+    rest = am.group("rest").strip()
+    rm = re.match(
+        r"(?P<col>\[[^\]]+\]|[A-Za-z_]\w*)\s+(?P<type>[A-Za-z]+(\s*\([^)]*\))?)",
+        rest,
+    )
+    if not rm:
+        raise ValueError(f"cannot parse column definition: {rest!r}")
+    role = ann.get("columnrole", "").lower()
+    if role not in ("nodeid", "property", "edge"):
+        raise ValueError(f"unknown ColumnRole {role!r}")
+    c = ColumnDef(
+        role=role,
+        name=_strip_brackets(rm.group("col")),
+        sql_type=normalize_sql_type(rm.group("type")),
+        reference=ann.get("reference"),
+        attributes=ann.get("attributes", []),
+    )
+    if c.role == "edge" and not c.reference:
+        raise ValueError(f"edge column '{c.name}' needs Reference:\"SinkTable\"")
+    return c
+
+
 def parse_create_node_table(ddl: str) -> NodeTableDDL:
     ddl = ddl.strip().rstrip(";")
     m = re.match(
@@ -123,32 +160,7 @@ def parse_create_node_table(ddl: str) -> NodeTableDDL:
         raw = raw.strip()
         if not raw:
             continue
-        am = re.match(r"\[(?P<ann>\s*ColumnRole\s*:.*?)\]\s*(?P<rest>.*)$", raw, re.IGNORECASE | re.DOTALL)
-        if not am:
-            raise ValueError(
-                f"every column needs a [ColumnRole: ...] annotation "
-                f"(reference GraphViewParser.cs:1066-1071): {raw!r}"
-            )
-        ann = _parse_annotation(am.group("ann"))
-        rest = am.group("rest").strip()
-        rm = re.match(
-            r"(?P<col>\[[^\]]+\]|[A-Za-z_]\w*)\s+(?P<type>[A-Za-z]+(\s*\([^)]*\))?)",
-            rest,
-        )
-        if not rm:
-            raise ValueError(f"cannot parse column definition: {rest!r}")
-        role = ann.get("columnrole", "").lower()
-        if role not in ("nodeid", "property", "edge"):
-            raise ValueError(f"unknown ColumnRole {role!r}")
-        cols.append(
-            ColumnDef(
-                role=role,
-                name=_strip_brackets(rm.group("col")),
-                sql_type=normalize_sql_type(rm.group("type")),
-                reference=ann.get("reference"),
-                attributes=ann.get("attributes", []),
-            )
-        )
+        cols.append(parse_column_def(raw))
     if sum(1 for c in cols if c.role == "nodeid") > 1:
         raise ValueError("at most one NodeId column per table")
     for c in cols:

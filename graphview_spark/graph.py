@@ -284,6 +284,65 @@ class GraphDatabase:
         t.properties = [(n, ty) for n, ty in t.properties if n.lower() != low]
         self.nodes[t.name] = self.nodes[t.name].drop(actual)
 
+    def add_node_table_column(self, table_name: str, coldef_sql: str) -> None:
+        """ALTER TABLE ... ADD <annotated column> (reference:
+        AddNodeTableColumn, GraphViewConnection.cs:1849): a property
+        column null-pads existing rows (map-only projection, no data
+        rewrite at scale thanks to columnar parquet + the versioned DF),
+        an edge column registers a new empty edge DataFrame. NodeId
+        columns cannot be added after creation (the reference's unique
+        index would fail on duplicate nulls)."""
+        from graphview_spark.ddl import parse_column_def
+
+        t = self.catalog.table(table_name)
+        c = parse_column_def(coldef_sql)
+        if c.role == "nodeid":
+            raise GraphViewError(
+                f"cannot add a NodeId column to existing table '{t.name}'"
+            )
+        low = c.name.lower()
+        if any(p.lower() == low for p, _ in t.properties) or low in t.edges:
+            raise GraphViewError(
+                f"column '{c.name}' already exists on '{t.name}'"
+            )
+        if c.role == "property":
+            t.properties = list(t.properties) + [(c.name, c.sql_type)]
+            self.nodes[t.name] = self.nodes[t.name].withColumn(
+                c.name, F.lit(None).cast(_spark_type(c.sql_type))
+            )
+            return
+        if not self.catalog.has_table(c.reference):
+            raise GraphViewError(
+                f"edge column '{c.name}' references unknown table "
+                f"'{c.reference}'"
+            )
+        e = EdgeType(
+            name=c.name,
+            source_table=t.name,
+            sink_table=self.catalog.table(c.reference).name,
+            attributes=c.attributes,
+        )
+        t.edges[low] = e
+        self.edges[e.qualified] = _values_df(
+            self.spark, self._edge_schema(e), []
+        )
+        self._edge_batch[e.qualified] = 0
+
+    def drop_procedure(self, name: str) -> None:
+        """DROP PROCEDURE (reference: GraphViewConnection.DropProcedure,
+        GraphViewConnection.cs:1699)."""
+        low = name.lower()
+        for k in list(self.catalog.procedures):
+            if k.lower() == low:
+                del self.catalog.procedures[k]
+                return
+        raise KeyError(f"procedure not found: {name}")
+
+    def list_tables(self) -> list[str]:
+        """Node-table names (reference: GetNodeTables,
+        GraphViewConnection.cs:2708)."""
+        return sorted(self.catalog.tables)
+
     def truncate_table(self, table_name: str) -> None:
         """TRUNCATE TABLE (plain T-SQL passthrough in the reference —
         same row-removal surface as DELETE without WHERE, metadata-speed

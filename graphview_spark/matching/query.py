@@ -560,7 +560,15 @@ def execute_statement(g, sql: str) -> DataFrame | None:
 
 
 def _exec_drop_table(g, sql: str) -> None:
-    """DROP [NODE] TABLE name (GraphViewConnection.cs:1496)."""
+    """DROP [NODE] TABLE name (GraphViewConnection.cs:1496) |
+    DROP PROC[EDURE] name (GraphViewConnection.cs:1699)."""
+    mp = re.match(
+        r"(?is)^\s*DROP\s+PROC(?:EDURE)?\s+(?P<p>\[[^\]]+\]|[A-Za-z_]\w*)\s*$",
+        sql,
+    )
+    if mp:
+        g.drop_procedure(mp.group("p").strip("[]"))
+        return
     m = re.match(
         r"(?is)^\s*DROP\s+(?:NODE\s+)?TABLE\s+(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s*$",
         sql,
@@ -571,15 +579,28 @@ def _exec_drop_table(g, sql: str) -> None:
 
 
 def _exec_alter_table(g, sql: str) -> None:
-    """ALTER TABLE name DROP COLUMN col (GraphViewConnection.cs:2294)."""
+    """ALTER TABLE name DROP COLUMN col (GraphViewConnection.cs:2294) |
+    ALTER TABLE name ADD <annotated column def> (AddNodeTableColumn,
+    GraphViewConnection.cs:1849 — same annotation grammar as CREATE
+    TABLE, so property AND edge columns can be added)."""
     m = re.match(
         r"(?is)^\s*ALTER\s+TABLE\s+(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s+"
         r"DROP\s+COLUMN\s+(?P<col>\[[^\]]+\]|[A-Za-z_]\w*)\s*$",
         sql,
     )
-    if not m:
+    if m:
+        g.drop_node_table_column(
+            m.group("tbl").strip("[]"), m.group("col").strip("[]")
+        )
+        return
+    ma = re.match(
+        r"(?is)^\s*ALTER\s+TABLE\s+(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s+"
+        r"ADD\s+(?P<coldef>\[\s*ColumnRole\s*:.+)$",
+        sql,
+    )
+    if not ma:
         raise ValueError(f"cannot parse ALTER TABLE: {sql[:60]!r}")
-    g.drop_node_table_column(m.group("tbl").strip("[]"), m.group("col").strip("[]"))
+    g.add_node_table_column(ma.group("tbl").strip("[]"), ma.group("coldef"))
 
 
 def _register_views(g, statement: str | None = None) -> None:

@@ -119,3 +119,53 @@ def test_update_scalar_subquery_set_still_single_table(g):
     )
     ratings = {r["rating"] for r in g.execute("SELECT * FROM Author").collect()}
     assert ratings == {11.0}
+
+
+def test_alter_add_property_column(g):
+    g.execute(
+        'ALTER TABLE Author ADD [ColumnRole:"Property"] country varchar(10)'
+    )
+    rows = g.execute("SELECT aid, country FROM Author").collect()
+    assert all(r["country"] is None for r in rows) and len(rows) == 2
+    g.execute("UPDATE Author SET country = 'US' WHERE aid = 1")
+    got = {r["aid"]: r["country"] for r in g.execute(
+        "SELECT aid, country FROM Author").collect()}
+    assert got == {1: "US", 2: None}
+
+
+def test_alter_add_edge_column_and_traverse(g):
+    g.execute(
+        'ALTER TABLE Author ADD '
+        '[ColumnRole:"Edge",Reference:"Author"] Mentors VARBINARY(max)'
+    )
+    g.execute(
+        "INSERT EDGE INTO Author.Mentors SELECT a,b FROM Author a, Author b "
+        "WHERE a.aid = 1 AND b.aid = 2"
+    )
+    got = g.execute(
+        "SELECT a.name AS m, b.name AS s FROM Author a, Author b "
+        "MATCH a-[Mentors]->b"
+    ).collect()
+    assert [(r["m"], r["s"]) for r in got] == [("ann", "bob")]
+
+
+def test_alter_add_rejects_nodeid_and_dupes(g):
+    import pytest as _pytest
+
+    from graphview_spark.graph import GraphViewError
+
+    with _pytest.raises(GraphViewError, match="NodeId"):
+        g.execute('ALTER TABLE Author ADD [ColumnRole:"NodeId"] k INT')
+    with _pytest.raises(GraphViewError, match="already exists"):
+        g.execute('ALTER TABLE Author ADD [ColumnRole:"Property"] name varchar(5)')
+
+
+def test_drop_procedure_roundtrip(g):
+    g.execute("CREATE PROCEDURE P1 @x INT AS BEGIN SELECT @x AS v END")
+    assert g.execute_procedure("P1", x=3).collect()[0]["v"] == 3
+    g.execute("DROP PROCEDURE P1")
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        g.execute_procedure("P1", x=3)
+    assert g.list_tables() == ["Author", "Book"]
