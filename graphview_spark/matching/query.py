@@ -478,6 +478,9 @@ def execute_statement(g, sql: str) -> DataFrame | None:
     if re.match(r"(?is)^\s*CREATE\s+PROC(?:EDURE)?\b", s):
         _exec_create_procedure(g, s)
         return None
+    if re.match(r"(?is)^\s*CREATE\s+FUNCTION\b", s):
+        _exec_create_function(g, s)
+        return None
     if re.match(r"(?is)^\s*CREATE\s+NODE\s+VIEW\b", s):
         _exec_create_node_view(g, s)
         return None
@@ -946,6 +949,55 @@ def _split_union_all_depth0(text: str) -> list[str]:
         i += 1
     parts.append("".join(cur))
     return [p.strip() for p in parts if p.strip()]
+
+
+def _exec_create_function(g, sql: str) -> None:
+    """T-SQL scalar CREATE FUNCTION (single-RETURN form) → Spark SQL UDF.
+
+    The reference parses CREATE FUNCTION and passes it through to SQL
+    Server (WProcedureStatement.cs:150-250). Spark ≥3.5 has declarative
+    SQL UDFs, so the scalar single-expression form translates directly:
+
+        CREATE FUNCTION Double(@x INT) RETURNS INT AS
+        BEGIN RETURN @x * 2 END
+
+    becomes ``CREATE OR REPLACE TEMPORARY FUNCTION Double(x INT)
+    RETURNS INT RETURN x * 2`` — usable from every later dialect
+    statement. Multi-statement bodies raise (procedures cover those)."""
+    masked, lits = _mask_strings(sql)
+    m = re.match(
+        r"(?is)^\s*CREATE\s+FUNCTION\s+(?P<name>\[[^\]]+\]|[A-Za-z_]\w*)\s*"
+        r"\((?P<params>[^)]*)\)\s*RETURNS\s+(?P<ret>[\w()]+)\s+AS\s+"
+        r"BEGIN\s+RETURN\s+(?P<expr>.+?)\s*;?\s*END\s*$",
+        masked,
+    )
+    if not m:
+        raise ValueError(
+            "CREATE FUNCTION supports the scalar single-RETURN form "
+            f"(use CREATE PROCEDURE for statement bodies): {sql[:60]!r}"
+        )
+    from graphview_spark.catalog import normalize_sql_type
+
+    params = []
+    for p in m.group("params").split(","):
+        p = p.strip()
+        if not p:
+            continue
+        pm = re.match(r"@(?P<n>\w+)\s+(?P<t>[\w()]+)$", p)
+        if not pm:
+            raise ValueError(f"cannot parse function parameter: {p!r}")
+        params.append((pm.group("n"), normalize_sql_type(pm.group("t"))))
+    expr = re.sub(r"@(\w+)", r"\1", m.group("expr"))
+    name = m.group("name").strip("[]")
+    sig = ", ".join(f"{n} {t}" for n, t in params)
+    ret = normalize_sql_type(m.group("ret"))
+    g.spark.sql(
+        _unmask(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
+            f"RETURNS {ret} RETURN {expr}",
+            lits,
+        )
+    )
 
 
 def _exec_create_procedure(g, sql: str) -> None:

@@ -115,3 +115,29 @@ def test_select_into(people, spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert set(back.columns) == {"id", "name"}
+
+
+def test_create_function_dialect(spark):
+    from graphview_spark.graph import GraphDatabase
+
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [N] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Property"] price float )"""
+    )
+    g.execute("INSERT INTO N(id, price) VALUES(1, 10.0),(2, 20.0)")
+    g.execute(
+        "CREATE FUNCTION WithTax(@p FLOAT) RETURNS FLOAT AS "
+        "BEGIN RETURN @p * 1.1 END"
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in g.execute("SELECT id, WithTax(price) AS t FROM N").collect()
+    }
+    assert got == {1: 11.0, 2: pytest.approx(22.0)}
+    with pytest.raises(ValueError, match="single-RETURN"):
+        g.execute(
+            "CREATE FUNCTION Bad(@x INT) RETURNS INT AS "
+            "BEGIN DECLARE @y INT = 1; RETURN @x + @y END"
+        )
