@@ -200,38 +200,52 @@ FROM s
 def q_pipeline_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality-quantile filter: a document is kept when its
     quality score's cumulative distribution within its language reaches
-    1 - QUANTILE_KEEP (i.e. the top half per language). Exact and
-    deterministic (ties share a cume_dist); the approx_percentile sketch
-    is the documented one-pass alternative (tests/test_pipeline2.py)."""
+    1 - QUANTILE_KEEP (i.e. the top half per language). cume_dist is
+    computed as EXACT integer counts (c = docs with score ≤ mine, n =
+    lang total): q = round-half-up(10⁴·c/n)/10⁴ and kept ⟺ 2c ≥ n —
+    engine-independent at halfway values, where rounding the float
+    cume_dist() diverged. The approx_percentile sketch is the one-pass
+    alternative (tests/test_pipeline2.py)."""
     from pyspark.sql import Window as W
 
-    from graphview_spark.operators.text import quality_score_col
+    from graphview_spark.operators.text import quality_milli_col
 
     docs = read_table(spark, sf_dir, "documents")
     scored = docs.select(
-        "doc_id", "lang", quality_score_col(F.col("text")).alias("quality_score")
+        "doc_id", "lang", quality_milli_col(F.col("text")).alias("milli")
     )
-    w = W.partitionBy("lang").orderBy("quality_score")
+    wc = (
+        W.partitionBy("lang")
+        .orderBy("milli")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = W.partitionBy("lang")
+    c = F.count(F.lit(1)).over(wc)
+    n = F.count(F.lit(1)).over(wn)
     return scored.select(
         "doc_id",
         "lang",
-        "quality_score",
-        F.round(F.cume_dist().over(w), 4).alias("q"),
-        (F.cume_dist().over(w) >= F.lit(1.0 - QUANTILE_KEEP)).alias("kept"),
+        (F.col("milli") / F.lit(1000.0)).alias("quality_score"),
+        (F.floor((20000 * c + n) / (2 * n)) / F.lit(10000.0)).alias("q"),
+        (2 * c >= n).alias("kept"),
     )
 
 
 def _oracle_quality_quantile() -> str:
-    from graphview_spark.operators.text import SQL_QUALITY_SCORE
+    from graphview_spark.operators.text import SQL_QUALITY_MILLI
 
     return f"""
 WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-m AS (SELECT doc_id, lang, {SQL_QUALITY_SCORE} AS quality_score FROM t)
-SELECT doc_id, lang, quality_score,
-       round(cume_dist() OVER (PARTITION BY lang ORDER BY quality_score), 4) AS q,
-       cume_dist() OVER (PARTITION BY lang ORDER BY quality_score)
-         >= {1.0 - QUANTILE_KEEP} AS kept
-FROM m
+m AS (SELECT doc_id, lang, {SQL_QUALITY_MILLI} AS milli FROM t),
+r AS (SELECT doc_id, lang, milli,
+             count(*) OVER (PARTITION BY lang ORDER BY milli
+                            RANGE UNBOUNDED PRECEDING) AS c,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM m)
+SELECT doc_id, lang, milli / 1000.0 AS quality_score,
+       ((20000 * c + n) // (2 * n)) / 10000.0 AS q,
+       2 * c >= n AS kept
+FROM r
 """
 
 

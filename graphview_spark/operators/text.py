@@ -43,6 +43,24 @@ def _count_in(words: Column, vocab: list[str]) -> Column:
     return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
 
 
+def _ratio_r(num: Column, den: Column, dp: int = 3) -> Column:
+    """``round(num/den, dp)`` computed in EXACT integer arithmetic:
+    ``floor((2·10^dp·num + den) / (2·den)) / 10^dp`` (round-half-up).
+
+    Rounding the binary-double quotient is engine-dependent exactly at
+    halfway points (e.g. 8743/14000 = 0.6245 → Spark 0.624, DuckDB
+    0.625 — a real sf0.1 divergence); integer math makes Spark and the
+    oracle agree by construction. Positive integer inputs only."""
+    scale = 10 ** dp
+    return F.floor((2 * scale * num + den) / (2 * den)) / F.lit(float(scale))
+
+
+def _sql_ratio_r(num: str, den: str, dp: int = 3) -> str:
+    """DuckDB mirror of ``_ratio_r`` (``//`` floors on positive ints)."""
+    scale = 10 ** dp
+    return f"((({2 * scale} * ({num}) + ({den})) // (2 * ({den}))) / {scale}.0)"
+
+
 # --------------------------------------------------------------------------
 # token counting
 # --------------------------------------------------------------------------
@@ -60,7 +78,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
         F.length("text").alias("len_chars"),
-        F.round(chars_no_space / F.size(words), 3).alias("avg_word_len"),
+        _ratio_r(chars_no_space, F.size(words)).alias("avg_word_len"),
     )
 
 
@@ -69,8 +87,8 @@ SELECT doc_id,
        len(string_split(text, ' '))                       AS n_words,
        len(regexp_extract_all(text, '{TOKEN_PATTERN}'))   AS n_tokens,
        length(text)                                       AS len_chars,
-       round(length(replace(text, ' ', ''))::DOUBLE
-             / len(string_split(text, ' ')), 3)           AS avg_word_len
+       {_sql_ratio_r("length(replace(text, ' ', ''))",
+                     "len(string_split(text, ' '))")}     AS avg_word_len
 FROM documents
 """
 
@@ -79,37 +97,47 @@ FROM documents
 # quality scoring
 # --------------------------------------------------------------------------
 
-def quality_score_col(text: Column) -> Column:
-    """The heuristic quality score as a reusable column expression
-    (type-token ratio + stopword ratio + length term) — shared by
-    q_text_quality and the pipeline quantile filter."""
+def quality_milli_col(text: Column) -> Column:
+    """1000× the heuristic quality score as an exact integer.
+
+    score = 0.5·u/n + 0.3·(n-s)/n + 0.2·min(n,100)/100
+          = N / (1000·n) with N = 100·(5u + 3(n-s)) + 2·n·min(n,100),
+    so round(score,3)·1000 = round_half_up(N/n) = ⌊(2N+n)/(2n)⌋ —
+    all integer, hence bit-identical in Spark and the DuckDB oracle
+    (the float form diverged at true halfway values, e.g. 0.6245)."""
     words = _words(text)
     n = F.size(words)
-    uniq_ratio = F.size(F.array_distinct(words)) / n
-    stop_ratio = _count_in(words, STOPWORDS) / n
-    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
-    return F.round(0.5 * uniq_ratio + 0.3 * (1 - stop_ratio) + 0.2 * len_term, 3)
+    u = F.size(F.array_distinct(words))
+    s = _count_in(words, STOPWORDS)
+    big_n = 100 * (5 * u + 3 * (n - s)) + 2 * n * F.least(n, F.lit(100))
+    return F.floor((2 * big_n + n) / (2 * n))
+
+
+def quality_score_col(text: Column) -> Column:
+    """The heuristic quality score (3dp double) as a reusable column —
+    shared by q_text_quality and the pipeline quantile filter."""
+    return quality_milli_col(text) / F.lit(1000.0)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: type-token ratio, stopword ratio, and a
     length term, combined into one score + bucket. The exact formula is a
     pipeline parameter; what matters is the operator shape (pure per-row
-    math over the tokenized text)."""
+    math over the tokenized text). All rounded ratios use exact integer
+    rounding (_ratio_r) so the oracle matches at halfway values."""
     docs = read_table(spark, sf_dir, "documents")
     words = _words(F.col("text"))
     n = F.size(words)
-    uniq_ratio = F.size(F.array_distinct(words)) / n
-    stop_ratio = _count_in(words, STOPWORDS) / n
-    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
-    score = F.round(0.5 * uniq_ratio + 0.3 * (1 - stop_ratio) + 0.2 * len_term, 3)
+    u = F.size(F.array_distinct(words))
+    s = _count_in(words, STOPWORDS)
+    milli = quality_milli_col(F.col("text"))
     return docs.select(
         "doc_id",
-        F.round(uniq_ratio, 3).alias("unique_ratio"),
-        F.round(stop_ratio, 3).alias("stopword_ratio"),
-        score.alias("quality_score"),
-        F.when(score >= 0.55, "high")
-        .when(score >= 0.45, "medium")
+        _ratio_r(u, n).alias("unique_ratio"),
+        _ratio_r(s, n).alias("stopword_ratio"),
+        (milli / F.lit(1000.0)).alias("quality_score"),
+        F.when(milli >= 550, "high")
+        .when(milli >= 450, "medium")
         .otherwise("low")
         .alias("quality_bucket"),
     )
@@ -117,32 +145,29 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
-# the score formula over a pre-split word list `w` (DuckDB) — mirror of
-# quality_score_col, shared with the pipeline quantile filter
-SQL_QUALITY_SCORE = (
-    "round(0.5 * (len(list_distinct(w))::DOUBLE / len(w)) "
-    f"+ 0.3 * (1 - len(list_filter(w, x -> x IN ({_SW})))::DOUBLE / len(w)) "
-    "+ 0.2 * least(len(w) / 100.0, 1.0), 3)"
+# integer milli-score over a pre-split word list `w` (DuckDB) — exact
+# mirror of quality_milli_col, shared with the pipeline quantile filter
+SQL_QUALITY_MILLI = (
+    "((2 * (100 * (5 * len(list_distinct(w)) "
+    f"+ 3 * (len(w) - len(list_filter(w, x -> x IN ({_SW}))))) "
+    "+ 2 * len(w) * least(len(w), 100)) + len(w)) // (2 * len(w)))"
 )
+SQL_QUALITY_SCORE = f"({SQL_QUALITY_MILLI} / 1000.0)"
 
 ORACLE_TEXT_QUALITY = f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 m AS (
   SELECT doc_id,
-         len(list_distinct(w))::DOUBLE / len(w) AS uniq_ratio,
-         len(list_filter(w, x -> x IN ({_SW})))::DOUBLE / len(w) AS stop_ratio,
-         least(len(w) / 100.0, 1.0) AS len_term
+         {_sql_ratio_r("len(list_distinct(w))", "len(w)")} AS unique_ratio,
+         {_sql_ratio_r(f"len(list_filter(w, x -> x IN ({_SW})))", "len(w)")}
+           AS stopword_ratio,
+         {SQL_QUALITY_MILLI} AS milli
   FROM t)
-SELECT doc_id,
-       round(uniq_ratio, 3) AS unique_ratio,
-       round(stop_ratio, 3) AS stopword_ratio,
-       round(0.5 * uniq_ratio + 0.3 * (1 - stop_ratio) + 0.2 * len_term, 3)
-         AS quality_score,
-       CASE WHEN round(0.5 * uniq_ratio + 0.3 * (1 - stop_ratio)
-                       + 0.2 * len_term, 3) >= 0.55 THEN 'high'
-            WHEN round(0.5 * uniq_ratio + 0.3 * (1 - stop_ratio)
-                       + 0.2 * len_term, 3) >= 0.45 THEN 'medium'
+SELECT doc_id, unique_ratio, stopword_ratio,
+       milli / 1000.0 AS quality_score,
+       CASE WHEN milli >= 550 THEN 'high'
+            WHEN milli >= 450 THEN 'medium'
             ELSE 'low' END AS quality_bucket
 FROM m
 """
@@ -374,13 +399,10 @@ def q_text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     words = _words(F.col("text"))
     n = F.size(words)
+    u = F.size(F.array_distinct(words))
+    s = _count_in(words, STOPWORDS)
     chars_no_space = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    uniq_ratio = F.size(F.array_distinct(words)) / n
-    stop_ratio = _count_in(words, STOPWORDS) / n
-    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
-    score = F.round(
-        0.5 * uniq_ratio + 0.3 * (1 - stop_ratio) + 0.2 * len_term, 3
-    )
+    milli = quality_milli_col(F.col("text"))
     return docs.select(
         "doc_id",
         n.alias("n_words"),
@@ -388,12 +410,12 @@ def q_text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
         ).alias("n_tokens"),
         F.length("text").alias("len_chars"),
-        F.round(chars_no_space / n, 3).alias("avg_word_len"),
-        F.round(uniq_ratio, 3).alias("unique_ratio"),
-        F.round(stop_ratio, 3).alias("stopword_ratio"),
-        score.alias("quality_score"),
-        F.when(score >= 0.55, "high")
-        .when(score >= 0.45, "medium")
+        _ratio_r(chars_no_space, n).alias("avg_word_len"),
+        _ratio_r(u, n).alias("unique_ratio"),
+        _ratio_r(s, n).alias("stopword_ratio"),
+        (milli / F.lit(1000.0)).alias("quality_score"),
+        F.when(milli >= 550, "high")
+        .when(milli >= 450, "medium")
         .otherwise("low")
         .alias("quality_bucket"),
     )
@@ -439,17 +461,17 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.round(1.0 - F.col("n_uniq") / F.col("n_words"), 4).alias(
-            "dup_word_frac"
-        ),
+        _ratio_r(
+            F.col("n_words") - F.col("n_uniq"), F.col("n_words"), 4
+        ).alias("dup_word_frac"),
         F.size("g").alias("n_bigrams"),
         F.when(
-            F.size("g") > 0, F.round(top_cnt / F.size("g"), 4)
+            F.size("g") > 0, _ratio_r(top_cnt, F.size("g"), 4)
         ).alias("top_bigram_frac"),
     )
 
 
-ORACLE_TEXT_REPETITION = """
+ORACLE_TEXT_REPETITION = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 b AS (SELECT doc_id, w,
              CASE WHEN len(w) >= 2
@@ -458,12 +480,13 @@ b AS (SELECT doc_id, w,
                   ELSE [] END AS g
       FROM t)
 SELECT doc_id,
-       round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4)
+       {_sql_ratio_r("len(w) - len(list_distinct(w))", "len(w)", 4)}
          AS dup_word_frac,
        len(g) AS n_bigrams,
        CASE WHEN len(g) > 0 THEN
-         round(list_max(list_transform(list_distinct(g),
-                 x -> len(list_filter(g, y -> y = x))))::DOUBLE / len(g), 4)
+         {_sql_ratio_r(
+             "list_max(list_transform(list_distinct(g), "
+             "x -> len(list_filter(g, y -> y = x))))", "len(g)", 4)}
        END AS top_bigram_frac
 FROM b
 """
