@@ -388,6 +388,84 @@ SELECT count(*) AS n_components, max(n_nodes) AS largest FROM sizes
 """
 
 
+def bellman_ford(
+    source: DataFrame, edges: DataFrame, iterations: int
+) -> DataFrame:
+    """Fixed-round Bellman-Ford: dist_{k+1}(v) = min(dist_k(v),
+    min over in-edges (dist_k(u) + w)). ``source`` is (id) rows at
+    distance 0; ``edges`` is (src, sink, w). A fixed iteration count
+    makes the result deterministic and oracle-expressible as unrolled
+    CTEs; k rounds give exact distances for all shortest paths of ≤ k
+    edges (run diameter-many rounds for the full fixpoint). One
+    join+groupBy shuffle per round on the stable node-id key,
+    checkpointed — same posture as pagerank above."""
+    dist = source.select("id", F.lit(0).cast("long").alias("dist"))
+    edges = edges.select("src", "sink", "w").localCheckpoint(eager=True)
+    for _ in range(iterations):
+        relaxed = (
+            edges.join(dist, edges["src"] == dist["id"])
+            .select(F.col("sink").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            .unionByName(dist)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist = relaxed
+    return dist
+
+
+def q_graph_weighted_paths(spark, sf_dir: str) -> DataFrame:
+    """Weighted shortest distances from customer 1 over Refers edges,
+    edge weight derived deterministically from the sink key (the synth
+    edges carry no attributes): w = sink % 7 + 1. 8 Bellman-Ford rounds
+    in the c_custkey domain (oracle = 8 unrolled relax CTEs)."""
+    from graphview_spark.graph_queries import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes["Customer"]
+    key = nodes.select("GlobalNodeId", "c_custkey")
+    edges = (
+        g.edge_with_id("Customer.Refers")
+        .join(key.select(F.col("GlobalNodeId").alias("src"),
+                         F.col("c_custkey").alias("src_key")), "src")
+        .join(key.select(F.col("GlobalNodeId").alias("sink"),
+                         F.col("c_custkey").alias("sink_key")), "sink")
+        .select(
+            F.col("src_key").alias("src"),
+            F.col("sink_key").alias("sink"),
+            (F.col("sink_key") % 7 + 1).cast("long").alias("w"),
+        )
+    )
+    src = nodes.filter(F.col("c_custkey") == 1).select(
+        F.col("c_custkey").alias("id")
+    )
+    return bellman_ford(src, edges, iterations=8).select(
+        F.col("id").alias("c_custkey"), "dist"
+    )
+
+
+def _oracle_weighted_paths(iterations: int = 8) -> str:
+    from graphview_spark.graph_queries import _ORACLE_REFERS
+
+    parts = [
+        f"refers AS ({_ORACLE_REFERS})",
+        "e AS (SELECT src, sink, sink % 7 + 1 AS w FROM refers)",
+        "d0 AS (SELECT 1::BIGINT AS id, 0::BIGINT AS dist)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"d{i - 1}"
+        parts.append(
+            f"d{i} AS (SELECT id, min(dist) AS dist FROM ("
+            f"SELECT e.sink AS id, d.dist + e.w AS dist "
+            f"FROM e JOIN {prev} d ON e.src = d.id "
+            f"UNION ALL SELECT id, dist FROM {prev}) GROUP BY id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id AS c_custkey, dist FROM d{iterations}"
+    )
+
+
 def label_propagation(
     nodes: DataFrame, edges: DataFrame, iterations: int = 3
 ) -> DataFrame:
@@ -505,5 +583,11 @@ ORACLES = {
 }
 
 # outside the driver gate's ~50-entry cap — checked via extra_queries()
-EXTRA_QUERIES = {"graph_communities": q_graph_communities}
-EXTRA_ORACLES = {"graph_communities": _oracle_communities()}
+EXTRA_QUERIES = {
+    "graph_communities": q_graph_communities,
+    "graph_weighted_paths": q_graph_weighted_paths,
+}
+EXTRA_ORACLES = {
+    "graph_communities": _oracle_communities(),
+    "graph_weighted_paths": _oracle_weighted_paths(),
+}

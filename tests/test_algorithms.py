@@ -95,3 +95,17 @@ def test_label_propagation_two_cliques(spark):
     assert got[1] == got[2] == got[3] == 1
     assert got[10] == got[11] == got[12]
     assert got[10] != 1
+
+
+def test_bellman_ford_small_graph(spark):
+    from graphview_spark.algorithms import bellman_ford
+    from pyspark.sql import functions as F
+
+    # 1 -> 2 (w=4); 1 -> 3 (w=1); 3 -> 2 (w=1): shortest 1->2 is 2 via 3
+    edges = spark.createDataFrame(
+        [(1, 2, 4), (1, 3, 1), (3, 2, 1), (2, 4, 10)],
+        ["src", "sink", "w"],
+    )
+    src = spark.createDataFrame([(1,)], ["id"])
+    got = {r["id"]: r["dist"] for r in bellman_ford(src, edges, 4).collect()}
+    assert got == {1: 0, 2: 2, 3: 1, 4: 12}
