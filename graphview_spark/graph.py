@@ -758,6 +758,31 @@ class GraphDatabase:
         self._node_counts.pop(t.name, None)
         self.nodes[t.name] = nodes.join(matched, "GlobalNodeId", "left_anti")
 
+    def delete_nodes_df(self, table_name: str, matched: DataFrame) -> None:
+        """DELETE NODE by a DataFrame of GlobalNodeIds (the join-delete
+        form, ``DELETE x FROM T x JOIN ...``) — same referential guard
+        and statement-level atomicity as ``delete_nodes``: raises if any
+        matched node still has in/out edges, deletes nothing on failure."""
+        t = self.catalog.table(table_name)
+        nodes = self.nodes[t.name]
+        matched = matched.select("GlobalNodeId").distinct()
+        outd = self.out_degree(t.name).filter(F.col("out_degree") > 0).select(
+            "GlobalNodeId"
+        )
+        ind = self.in_degree(t.name).filter(F.col("in_degree") > 0).select(
+            "GlobalNodeId"
+        )
+        n_bad = matched.join(
+            outd.unionByName(ind), "GlobalNodeId", "left_semi"
+        ).count()
+        if n_bad:
+            raise GraphViewError(
+                f"DELETE NODE on '{t.name}': {n_bad} matched node(s) still "
+                "has/have ingoing or outdoing edge(s)"
+            )
+        self._node_counts.pop(t.name, None)
+        self.nodes[t.name] = nodes.join(matched, "GlobalNodeId", "left_anti")
+
     def update_nodes(self, table_name: str, assignments: dict, cond) -> None:
         """UPDATE of node properties (reference: plain T-SQL UPDATE passed
         through, WDataModification.cs:386+). Versioned overwrite of the

@@ -1371,6 +1371,35 @@ def _exec_merge(g, sql: str) -> None:
 
 def _exec_delete_node(g, sql: str) -> None:
     masked, lits = _mask_strings(sql)
+    # join-delete form first: DELETE NODE alias FROM <sources> [WHERE ..]
+    # (T-SQL's DELETE x FROM T x JOIN ... passthrough shape,
+    # WDataModification.cs:77+) — the alias before FROM distinguishes it
+    mj = re.match(
+        r"(?is)^\s*DELETE\s+NODE\s+(?P<alias>[A-Za-z_]\w*)\s+FROM\s+"
+        r"(?P<src>.+?)(?:\s+WHERE\s+(?P<where>.+))?$",
+        masked,
+    )
+    if mj:
+        alias = mj.group("alias")
+        from_text = mj.group("src")
+        am = re.search(
+            rf"(?is)(\[[^\]]+\]|[A-Za-z_]\w*)\s+(?:AS\s+)?{re.escape(alias)}\b",
+            from_text,
+        )
+        if not am or not g.catalog.has_table(am.group(1).strip("[]")):
+            raise ValueError(
+                f"DELETE NODE ... FROM: cannot resolve alias '{alias}' to "
+                f"a node table in the FROM clause"
+            )
+        t = g.catalog.table(am.group(1).strip("[]"))
+        sel = f"SELECT DISTINCT {alias}.GlobalNodeId AS GlobalNodeId FROM {from_text}"
+        if mj.group("where"):
+            sel += f" WHERE {mj.group('where')}"
+        ids = _exec_select(g, _unmask(sel, lits))
+        if ids is None:
+            raise ValueError("DELETE NODE ... FROM: source produced no result")
+        g.delete_nodes_df(t.name, ids)
+        return
     m = re.match(
         r"(?is)^\s*DELETE\s+NODE\s+FROM\s+(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)"
         r"(?:\s+WHERE\s+(?P<where>.+))?$",

@@ -169,3 +169,30 @@ def test_drop_procedure_roundtrip(g):
     with _pytest.raises(KeyError):
         g.execute_procedure("P1", x=3)
     assert g.list_tables() == ["Author", "Book"]
+
+
+def test_delete_node_join_form(g, spark):
+    # stage a key list to join against, then delete the matching author
+    spark.createDataFrame([(2,)], ["kid"]).createOrReplaceTempView("kill_list")
+    g.execute(
+        "DELETE NODE a FROM Author a JOIN kill_list k ON a.aid = k.kid"
+    )
+    assert {r["aid"] for r in g.execute("SELECT aid FROM Author").collect()} == {1}
+
+
+def test_delete_node_join_form_guards_edges(g, spark):
+    g.execute(
+        "INSERT EDGE INTO Author.Wrote SELECT a, b FROM Author a, Book b "
+        "WHERE a.aid = 1 AND b.bid = 10"
+    )
+    import pytest as _pytest
+
+    from graphview_spark.graph import GraphViewError
+
+    spark.createDataFrame([(1,)], ["kid"]).createOrReplaceTempView("kill_list")
+    with _pytest.raises(GraphViewError, match="edge"):
+        g.execute(
+            "DELETE NODE a FROM Author a JOIN kill_list k ON a.aid = k.kid"
+        )
+    # nothing deleted on failure
+    assert g.execute("SELECT aid FROM Author").count() == 2
