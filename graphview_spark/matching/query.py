@@ -1332,12 +1332,21 @@ def _exec_merge(g, sql: str) -> None:
         r"(?=WHEN\s+NOT\s+MATCHED|$)",
         branches,
     )
-    ins = re.search(
-        r"(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
-        r"\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*?)\)\s*"
-        r"(?=WHEN\s+MATCHED|$)",
+    # the VALUES list may nest calls arbitrarily (upper(concat(...))) —
+    # scan balanced parens instead of bounding nesting depth by regex
+    ins = None
+    ins_head = re.search(
+        r"(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\((?P<cols>[^)]*)\)"
+        r"\s*VALUES\s*(?=\()",
         branches,
     )
+    if ins_head:
+        vstart = ins_head.end()
+        vend = _match_paren(branches, vstart)
+        ins = {
+            "cols": ins_head.group("cols"),
+            "vals": branches[vstart + 1 : vend],
+        }
     if not upd and not ins:
         raise ValueError(f"cannot parse MERGE WHEN branches: {sql[:80]!r}")
 
@@ -1359,9 +1368,9 @@ def _exec_merge(g, sql: str) -> None:
         from_text += f" JOIN {src_clause} ON {on_text}"
         _exec_update_from(g, talias, upd.group("set"), from_text, None, lits)
     if ins:
-        cols = [c.strip().strip("[]") for c in ins.group("cols").split(",")]
+        cols = [c.strip().strip("[]") for c in ins["cols"].split(",")]
         anti = (
-            f"SELECT {ins.group('vals')} FROM {src_clause} "
+            f"SELECT {ins['vals']} FROM {src_clause} "
             f"WHERE NOT EXISTS (SELECT 1 FROM {tbl} "
             f"{talias if talias != tbl else ''} WHERE {on_text})"
         )

@@ -128,3 +128,15 @@ def test_clear_drops_everything(g):
     )
     g.execute("INSERT INTO Emp(eid) VALUES(7)")
     assert g.node_count("Emp") == 1
+
+
+def test_merge_insert_with_function_values(g, spark):
+    spark.createDataFrame([(8, "ada")], ["id", "nm"]).createOrReplaceTempView(
+        "fn_src"
+    )
+    g.execute(
+        """MERGE INTO Emp t USING fn_src s ON t.eid = s.id
+           WHEN NOT MATCHED THEN INSERT (eid, name)
+                VALUES (s.id, upper(concat(s.nm, '!')))"""
+    )
+    assert _rows(g)[8][0] == "ADA!"
