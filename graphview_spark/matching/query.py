@@ -1306,20 +1306,37 @@ def _exec_merge(g, sql: str) -> None:
     (which T-SQL MERGE rejects at runtime) take a deterministic first by
     value order, same as UPDATE...FROM."""
     masked, lits = _mask_strings(sql)
-    m = re.match(
+    mh = re.match(
         r"(?is)^\s*MERGE\s+(?:INTO\s+)?(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)"
         r"(?:\s+AS\s+(?P<talias>\w+)|\s+(?!USING\b)(?P<talias2>[A-Za-z_]\w*))?"
-        r"\s+USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|\[[^\]]+\]|[A-Za-z_]\w*)"
-        r"(?:\s+AS\s+(?P<salias>\w+)|\s+(?!ON\b)(?P<salias2>[A-Za-z_]\w*))?"
-        r"\s+ON\s+(?P<rest>.+)$",
+        r"\s+USING\s+(?=(?P<paren>\()|)",
         masked,
     )
-    if not m:
+    if not mh:
         raise ValueError(f"cannot parse MERGE: {sql[:80]!r}")
-    tbl = m.group("tbl").strip("[]")
-    talias = m.group("talias") or m.group("talias2") or tbl
-    salias = m.group("salias") or m.group("salias2")
-    rest = m.group("rest")
+    tbl = mh.group("tbl").strip("[]")
+    talias = mh.group("talias") or mh.group("talias2") or tbl
+    # the USING source: balanced-paren subquery (nests arbitrarily) or a
+    # bare table name
+    if mh.group("paren"):
+        send = _match_paren(masked, mh.end())
+        src_text = masked[mh.end() : send + 1]
+        after = masked[send + 1 :]
+    else:
+        ms = re.match(r"\s*(\[[^\]]+\]|[A-Za-z_]\w*)", masked[mh.end():])
+        if not ms:
+            raise ValueError(f"cannot parse MERGE USING: {sql[:80]!r}")
+        src_text = ms.group(1)
+        after = masked[mh.end() + ms.end():]
+    ma = re.match(
+        r"(?is)^(?:\s+AS\s+(?P<salias>\w+)|\s+(?!ON\b)(?P<salias2>[A-Za-z_]\w*))?"
+        r"\s+ON\s+(?P<rest>.+)$",
+        after,
+    )
+    if not ma:
+        raise ValueError(f"cannot parse MERGE ON: {sql[:80]!r}")
+    salias = ma.group("salias") or ma.group("salias2")
+    rest = ma.group("rest")
 
     first_when = _find_kw_depth0(rest, "WHEN")
     if first_when < 0:
@@ -1352,7 +1369,7 @@ def _exec_merge(g, sql: str) -> None:
 
     # register the source once (a subquery plans through the full SELECT
     # machinery — MATCH, CTE views, joins all allowed)
-    src = m.group("src").strip()
+    src = src_text.strip()
     if src.startswith("("):
         df = _exec_select(g, _unmask(src[1:-1].strip(), lits))
         if df is None:

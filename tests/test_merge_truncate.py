@@ -140,3 +140,14 @@ def test_merge_insert_with_function_values(g, spark):
                 VALUES (s.id, upper(concat(s.nm, '!')))"""
     )
     assert _rows(g)[8][0] == "ADA!"
+
+
+def test_merge_nested_subquery_source(g):
+    g.execute(
+        """MERGE INTO Emp USING (
+             SELECT eid AS id, round(greatest(salary, least(salary, 5.0)), 1) AS sal
+             FROM Emp WHERE eid IN (SELECT eid FROM Emp WHERE eid = 1)
+           ) s ON Emp.eid = s.id
+           WHEN MATCHED THEN UPDATE SET salary = s.sal"""
+    )
+    assert _rows(g)[1][1] == 10.0
