@@ -100,24 +100,26 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     as CHECKS_LOCAL.md) and pytest-covered — kept out of ``queries()``
     only so the capped driver gate keeps recording the core surface."""
     from graphview_spark import algorithms, relational
-    from graphview_spark.operators import pipeline, temporal
+    from graphview_spark.operators import pipeline, skew, temporal
 
     return {
         **relational.EXTRA_QUERIES,
         **pipeline.QUERIES,
         **algorithms.EXTRA_QUERIES,
         **temporal.EXTRA_QUERIES,
+        **skew.EXTRA_QUERIES,
     }
 
 
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for ``extra_queries()``."""
     from graphview_spark import algorithms, relational
-    from graphview_spark.operators import pipeline, temporal
+    from graphview_spark.operators import pipeline, skew, temporal
 
     return {
         **relational.EXTRA_ORACLES,
         **pipeline.ORACLES,
         **algorithms.EXTRA_ORACLES,
         **temporal.EXTRA_ORACLES,
+        **skew.EXTRA_ORACLES,
     }

@@ -63,6 +63,46 @@ def salted_aggregate(
     )
 
 
+def q_skew_salted_agg(spark, sf_dir: str) -> DataFrame:
+    """Oracle-gated form of the salted aggregation: lineitem grouped by
+    its (few, hence hot at scale) returnflag/linestatus keys through the
+    two-level salted path — results equal the plain GROUP BY by
+    construction, which IS the oracle."""
+    from graphview_spark.session import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n_rows": ("l_quantity", "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "n_rows",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+ORACLE_SKEW_SALTED_AGG = """
+SELECT l_returnflag, l_linestatus,
+       count(l_quantity) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+EXTRA_QUERIES = {"skew_salted_agg": q_skew_salted_agg}
+EXTRA_ORACLES = {"skew_salted_agg": ORACLE_SKEW_SALTED_AGG}
+
+
 def salt_explode_join(
     big: DataFrame,
     small: DataFrame,
