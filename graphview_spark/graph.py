@@ -646,6 +646,35 @@ class GraphDatabase:
             self._node_counts[name] = n
         return n
 
+    def update_statistics(self, table_name: str | None = None) -> dict:
+        """Refresh the planner's cached statistics (reference:
+        UpdateTableStatistics / UpdateEdgeAverageDegree,
+        GraphViewConnection.cs:2747-2931, which maintain per-edge average
+        degrees in _EdgeAverageDegreeCollection for the cost-based join
+        order). Here the same numbers drive the greedy MATCH join order
+        (matching/planner.py:148-153); they self-populate lazily and DML
+        invalidates them, so this call is only needed to force an eager
+        refresh (e.g. after bulk load, before a planning-heavy batch).
+        Returns {table: rows} ∪ {edge: (rows, avg_out_degree)}. The
+        reference's SAMPLING TABLES themselves stay deliberately absent:
+        runtime re-planning (AQE) replaces estimate correction, SURVEY
+        §4.2."""
+        tables = (
+            [self.catalog.table(table_name)]
+            if table_name
+            else list(self.catalog.tables.values())
+        )
+        out: dict = {}
+        for t in tables:
+            self._node_counts.pop(t.name, None)
+            n = self.node_count(t.name)
+            out[t.name] = n
+            for e in t.edges.values():
+                self._edge_counts.pop(e.qualified, None)
+                ne = self.edge_count(e.qualified)
+                out[e.qualified] = (ne, round(ne / n, 4) if n else 0.0)
+        return out
+
     # ------------------------------------------------------------------
     # Degrees (computed, not stored — SURVEY §1.4)
     # ------------------------------------------------------------------

@@ -178,3 +178,21 @@ def test_bulk_nodes_parquet_and_edges_jsonl(g, tmp_path):
 def test_bulk_unknown_format_raises(g, tmp_path):
     with pytest.raises(ValueError, match="unsupported bulk format"):
         bulk_insert_nodes(g, "Person", "x", fmt="orc-ish")
+
+
+def test_update_statistics_refresh(spark):
+    from graphview_spark.graph import GraphDatabase
+
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [S] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Edge",Reference:"S"] E VARBINARY(max) )"""
+    )
+    g.execute("INSERT INTO S(id) VALUES(1),(2),(3),(4)")
+    g.execute(
+        "INSERT EDGE INTO S.E SELECT a,b FROM S a, S b WHERE a.id + 1 = b.id"
+    )
+    stats = g.update_statistics("S")
+    assert stats["S"] == 4
+    assert stats["S.E"] == (3, 0.75)
