@@ -471,8 +471,27 @@ def _exec_recursive_cte(g, name: str, cols: list[str] | None, body: str,
     )
 
 
+def _strip_tsql_hints(masked: str) -> str:
+    """Remove T-SQL physical hints that have no Spark meaning but appear
+    all over real scripts (the reference forwards them to SQL Server):
+    a trailing ``OPTION (...)`` query hint and ``WITH (NOLOCK)`` /
+    ``(NOLOCK)`` table hints. Execution semantics on Spark are
+    unaffected (no locks to skip; Catalyst/AQE own the physical plan)."""
+    out = re.sub(r"(?is)\s+WITH\s*\(\s*NOLOCK\s*\)", " ", masked)
+    out = re.sub(r"(?is)\(\s*NOLOCK\s*\)", " ", out)
+    m = re.search(r"(?is)\bOPTION\s*\(", out)
+    if m:
+        end = _match_paren(out, m.end() - 1)
+        if end > 0 and not out[end + 1 :].strip():
+            out = out[: m.start()]
+    return out
+
+
 def execute_statement(g, sql: str) -> DataFrame | None:
     s = strip_comments(sql).strip().rstrip(";").strip()
+    masked, _lits = _mask_strings(s)
+    if re.search(r"(?is)\bNOLOCK\b|\bOPTION\s*\(", masked):
+        s = _unmask(_strip_tsql_hints(masked), _lits).strip()
     if re.match(r"(?is)^\s*WITH\b", s):
         return _exec_with(g, s)
     if re.match(r"(?is)^\s*CREATE\s+PROC(?:EDURE)?\b", s):

@@ -151,3 +151,21 @@ def test_merge_nested_subquery_source(g):
            WHEN MATCHED THEN UPDATE SET salary = s.sal"""
     )
     assert _rows(g)[1][1] == 10.0
+
+
+def test_tsql_hints_stripped(g):
+    rows = g.execute(
+        "SELECT eid, name FROM Emp WITH (NOLOCK) "
+        "WHERE salary > 5 OPTION (MAXDOP 4, RECOMPILE)"
+    ).collect()
+    assert {r["eid"] for r in rows} == {1, 2}
+    # MATCH statements carry hints too
+    g.execute(
+        "INSERT EDGE INTO Emp.Manages SELECT a, b FROM Emp a, Emp b "
+        "WHERE a.eid = 1 AND b.eid = 2"
+    )
+    got = g.execute(
+        "SELECT A.name AS n FROM Emp A, Emp B (NOLOCK) "
+        "MATCH A-[Manages]->B OPTION (HASH JOIN)"
+    ).collect()
+    assert [r["n"] for r in got] == ["ann"]
