@@ -50,6 +50,16 @@ def _mask_strings(sql: str) -> tuple[str, list[str]]:
     i = 0
     while i < len(sql):
         ch = sql[i]
+        # T-SQL unicode literal prefix: N'...' → '...' (Spark strings
+        # are UTF-8 already; the N must not survive as an identifier)
+        if (
+            ch in "Nn"
+            and i + 1 < len(sql)
+            and sql[i + 1] == "'"
+            and (i == 0 or (not sql[i - 1].isalnum() and sql[i - 1] != "_"))
+        ):
+            i += 1
+            continue
         if ch == "'":
             j = i + 1
             buf = ["'"]
@@ -487,11 +497,43 @@ def _strip_tsql_hints(masked: str) -> str:
     return out
 
 
+_TSQL_FN_MAP = [
+    # (T-SQL spelling, Spark spelling) — same argument order in each.
+    # DATEADD/DATEDIFF map to timestampadd/timestampdiff; note T-SQL
+    # DATEDIFF counts BOUNDARY crossings while timestampdiff counts
+    # complete units — identical for DAY on date-typed args, off-by-one
+    # possible mid-unit (documented deviation).
+    (r"\bISNULL\s*\(", "coalesce("),
+    (r"\bLEN\s*\(", "length("),
+    (r"\bGETDATE\s*\(\s*\)", "current_timestamp()"),
+    (r"\bGETUTCDATE\s*\(\s*\)", "current_timestamp()"),
+    (r"\bCHARINDEX\s*\(", "locate("),
+    (r"\bDATEADD\s*\(", "timestampadd("),
+    (r"\bDATEDIFF\s*\(", "timestampdiff("),
+    (r"\bNEWID\s*\(\s*\)", "uuid()"),
+]
+
+
+def _rewrite_tsql_builtins(masked: str) -> str:
+    """Spell common T-SQL builtins the Spark way (the reference forwards
+    them to SQL Server untranslated; Spark either lacks them or gives
+    them different meaning — ISNULL is single-argument on Spark)."""
+    for pat, rep in _TSQL_FN_MAP:
+        masked = re.sub(pat, rep, masked, flags=re.IGNORECASE)
+    return masked
+
+
 def execute_statement(g, sql: str) -> DataFrame | None:
     s = strip_comments(sql).strip().rstrip(";").strip()
     masked, _lits = _mask_strings(s)
     if re.search(r"(?is)\bNOLOCK\b|\bOPTION\s*\(", masked):
-        s = _unmask(_strip_tsql_hints(masked), _lits).strip()
+        masked = _strip_tsql_hints(masked)
+        s = _unmask(masked, _lits).strip()
+    if re.search(
+        r"(?i)\b(ISNULL|LEN|GETDATE|GETUTCDATE|CHARINDEX|DATEADD|DATEDIFF|NEWID)\s*\(",
+        masked,
+    ):
+        s = _unmask(_rewrite_tsql_builtins(masked), _lits).strip()
     if re.match(r"(?is)^\s*WITH\b", s):
         return _exec_with(g, s)
     if re.match(r"(?is)^\s*CREATE\s+PROC(?:EDURE)?\b", s):

@@ -137,6 +137,10 @@ class ScriptRunner:
         from graphview_spark.matching.query import strip_comments
 
         masked, lits = _mask(strip_comments(script))
+        # sqlcmd-style GO batch separators (a line holding only GO
+        # [count]) act as statement breaks; the repeat count is ignored
+        # (idempotent DDL batches — the common use — don't need it)
+        masked = re.sub(r"(?im)^\s*GO(\s+\d+)?\s*$", ";", masked)
         return self._run_block(masked, lits)
 
     def _run_block(self, masked: str, lits) -> DataFrame | None:

@@ -100,3 +100,38 @@ def test_script_with_string_semicolons(g):
     )
     names = {r["name"] for r in g.execute("SELECT * FROM Node").collect()}
     assert "x;y" in names and "z" in names
+
+
+def test_go_separators_and_tsql_builtins(spark):
+    from graphview_spark.graph import GraphDatabase
+
+    g = GraphDatabase(spark)
+    out = g.execute_script(
+        """
+        CREATE TABLE [T] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Property"] name nvarchar(20) )
+        GO
+        INSERT INTO T(id, name) VALUES(1, N'it''s'), (2, NULL)
+        GO
+        SELECT id,
+               ISNULL(name, N'missing') AS nm,
+               LEN(ISNULL(name, '')) AS l,
+               CHARINDEX('t', ISNULL(name, 'x')) AS pos
+        FROM T
+        """
+    )
+    rows = {r["id"]: (r["nm"], r["l"], r["pos"]) for r in out.collect()}
+    assert rows[1] == ("it's", 4, 2)
+    assert rows[2] == ("missing", 0, 0)
+
+
+def test_dateadd_datediff_mapping(spark):
+    from graphview_spark.graph import GraphDatabase
+
+    g = GraphDatabase(spark)
+    out = g.execute(
+        "SELECT DATEDIFF(day, TIMESTAMP '2024-01-01', "
+        "DATEADD(day, 3, TIMESTAMP '2024-01-01')) AS d"
+    )
+    assert out.collect()[0]["d"] == 3
