@@ -205,10 +205,14 @@ class GraphDatabase:
                 f"cannot drop node table '{t.name}': referenced by edge "
                 f"column(s) {ref}"
             )
+        # GlobalNodeView is implicit (auto-maintained union of ALL
+        # tables, View.cs:2046-2114) — membership there must not block a
+        # drop; it is rebuilt below. User-declared views do block.
         in_views = [
             v.name
             for v in self.catalog.node_views.values()
-            if any(m.lower() == low for m in v.members)
+            if v.name != "GlobalNodeView"
+            and any(m.lower() == low for m in v.members)
         ]
         in_edge_views = [
             v.name
@@ -230,6 +234,17 @@ class GraphDatabase:
         for k in list(self.catalog.tables):
             if k.lower() == low:
                 del self.catalog.tables[k]
+        gv = self.catalog.node_views.get("GlobalNodeView")
+        if gv is not None:
+            if self.catalog.tables:
+                # rebuild the implicit all-tables union without the
+                # dropped member
+                del self.catalog.node_views["GlobalNodeView"]
+                self.create_node_view(
+                    "GlobalNodeView", list(self.catalog.tables)
+                )
+            else:
+                del self.catalog.node_views["GlobalNodeView"]
         try:
             self.spark.catalog.dropTempView(t.name)
         except Exception:

@@ -624,22 +624,31 @@ def execute_statement(g, sql: str) -> DataFrame | None:
 
 
 def _exec_drop_table(g, sql: str) -> None:
-    """DROP [NODE] TABLE name (GraphViewConnection.cs:1496) |
-    DROP PROC[EDURE] name (GraphViewConnection.cs:1699)."""
+    """DROP [NODE] TABLE [IF EXISTS] name (GraphViewConnection.cs:1496) |
+    DROP PROC[EDURE] [IF EXISTS] name (GraphViewConnection.cs:1699)."""
     mp = re.match(
-        r"(?is)^\s*DROP\s+PROC(?:EDURE)?\s+(?P<p>\[[^\]]+\]|[A-Za-z_]\w*)\s*$",
+        r"(?is)^\s*DROP\s+PROC(?:EDURE)?\s+(?P<ife>IF\s+EXISTS\s+)?"
+        r"(?P<p>\[[^\]]+\]|[A-Za-z_]\w*)\s*$",
         sql,
     )
     if mp:
-        g.drop_procedure(mp.group("p").strip("[]"))
+        try:
+            g.drop_procedure(mp.group("p").strip("[]"))
+        except KeyError:
+            if not mp.group("ife"):
+                raise
         return
     m = re.match(
-        r"(?is)^\s*DROP\s+(?:NODE\s+)?TABLE\s+(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s*$",
+        r"(?is)^\s*DROP\s+(?:NODE\s+)?TABLE\s+(?P<ife>IF\s+EXISTS\s+)?"
+        r"(?P<tbl>\[[^\]]+\]|[A-Za-z_]\w*)\s*$",
         sql,
     )
     if not m:
         raise ValueError(f"cannot parse DROP: {sql[:60]!r}")
-    g.drop_node_table(m.group("tbl").strip("[]"))
+    tbl = m.group("tbl").strip("[]")
+    if m.group("ife") and not g.catalog.has_table(tbl):
+        return
+    g.drop_node_table(tbl)
 
 
 def _exec_alter_table(g, sql: str) -> None:

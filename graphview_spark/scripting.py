@@ -123,8 +123,25 @@ class ScriptRunner:
         node tables/views) via a one-row spark.sql SELECT."""
         from graphview_spark.matching.query import _register_views
 
-        _register_views(self.g)
+        # pass the expression: _register_views builds the (expensive,
+        # catalog-persistent) GlobalNodeView only when it is referenced
+        _register_views(self.g, expr)
         sql = _unmask(_subst_vars(expr, self.variables), lits).strip()
+        # OBJECT_ID('T') — the T-SQL existence-check idiom in script
+        # preambles (IF OBJECT_ID('T') IS NOT NULL DROP TABLE T):
+        # resolve against the graph catalog, not SQL Server's sys tables
+        def _object_id(m: re.Match) -> str:
+            name = m.group(1).split(".")[-1].strip().strip("[]")
+            known = self.g.catalog.has_table(name) or name in getattr(
+                self.g, "derived_tables", {}
+            )
+            return "1" if known else "CAST(NULL AS INT)"
+
+        sql = re.sub(
+            r"(?is)\bOBJECT_ID\s*\(\s*N?'([^']*)'\s*(?:,\s*N?'[^']*'\s*)?\)",
+            _object_id,
+            sql,
+        )
         row = self.g.spark.sql(f"SELECT ({sql}) AS v").first()
         return row["v"]
 

@@ -135,3 +135,24 @@ def test_dateadd_datediff_mapping(spark):
         "DATEADD(day, 3, TIMESTAMP '2024-01-01')) AS d"
     )
     assert out.collect()[0]["d"] == 3
+
+
+def test_object_id_preamble_and_drop_if_exists(spark):
+    from graphview_spark.graph import GraphDatabase
+
+    g = GraphDatabase(spark)
+    script = """
+    IF OBJECT_ID(N'T', N'U') IS NOT NULL
+    BEGIN
+        DROP NODE TABLE T;
+    END;
+    CREATE TABLE [T] (
+        [ColumnRole:"NodeId"] id INT );
+    INSERT INTO T(id) VALUES(1);
+    SELECT count(*) AS n FROM T
+    """
+    # runs twice: second pass exercises the conditional drop
+    assert g.execute_script(script).collect()[0]["n"] == 1
+    assert g.execute_script(script).collect()[0]["n"] == 1
+    g.execute("DROP TABLE IF EXISTS NoSuch")
+    g.execute("DROP PROCEDURE IF EXISTS NoProc")
