@@ -112,10 +112,15 @@ def _subst_vars(text: str, variables: dict[str, object]) -> str:
     return re.sub(r"@(\w+)", repl, text)
 
 
+class _ScriptReturn(Exception):
+    """Raised by RETURN to unwind out of nested blocks/loops."""
+
+
 class ScriptRunner:
     def __init__(self, g):
         self.g = g
         self.variables: dict[str, object] = {}
+        self.printed: list[str] = []   # PRINT output, in order
 
     # -- scalar evaluation -------------------------------------------------
     def _eval_scalar(self, expr: str, lits) -> object:
@@ -158,7 +163,10 @@ class ScriptRunner:
         # [count]) act as statement breaks; the repeat count is ignored
         # (idempotent DDL batches — the common use — don't need it)
         masked = re.sub(r"(?im)^\s*GO(\s+\d+)?\s*$", ";", masked)
-        return self._run_block(masked, lits)
+        try:
+            return self._run_block(masked, lits)
+        except _ScriptReturn:
+            return None
 
     def _run_block(self, masked: str, lits) -> DataFrame | None:
         result: DataFrame | None = None
@@ -191,6 +199,14 @@ class ScriptRunner:
                 m.group("expr"), lits
             )
             return None
+        m = re.match(r"(?is)^\s*PRINT\s+(?P<expr>.+)$", stmt)
+        if m:
+            # T-SQL progress messages — evaluated (variables resolve) and
+            # collected on the runner; nothing executes on the cluster
+            self.printed.append(str(self._eval_scalar(m.group("expr"), lits)))
+            return None
+        if re.match(r"(?is)^\s*RETURN\s*$", stmt):
+            raise _ScriptReturn()
         m = re.match(r"(?is)^\s*WHILE\b(?P<rest>.+)$", stmt, re.DOTALL)
         if m:
             return self._run_while(m.group("rest"), lits)

@@ -156,3 +156,25 @@ def test_object_id_preamble_and_drop_if_exists(spark):
     assert g.execute_script(script).collect()[0]["n"] == 1
     g.execute("DROP TABLE IF EXISTS NoSuch")
     g.execute("DROP PROCEDURE IF EXISTS NoProc")
+
+
+def test_print_and_return(spark):
+    from graphview_spark.graph import GraphDatabase
+    from graphview_spark.scripting import ScriptRunner
+
+    g = GraphDatabase(spark)
+    r = ScriptRunner(g)
+    out = r.run(
+        """
+        DECLARE @i INT = 2;
+        PRINT concat('i=', @i);
+        IF @i > 1
+        BEGIN
+            RETURN;
+        END;
+        SET @i = 99;
+        """
+    )
+    assert out is None
+    assert r.printed == ["i=2"]
+    assert r.variables["i"] == 2  # RETURN skipped the SET
