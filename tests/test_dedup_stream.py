@@ -1,0 +1,79 @@
+"""Streaming near-dup rejection at ingest (MinHash-LSH vs the
+accumulating accepted-signature store)."""
+
+from __future__ import annotations
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = BASE.replace("today", "tonight")          # high-Jaccard variant
+OTHER = "completely different words about spark shuffles joins and plans"
+
+
+def _drain(stream_df, fn):
+    q = (
+        stream_df.writeStream.foreachBatch(fn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_streaming_dedup_rejects_near_dups_across_batches(spark, tmp_path):
+    from graphview_spark.streaming.dedup_stream import StreamingDeduper
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], ["doc_id", "text"]
+    ).coalesce(1).write.json(str(src / "b0"))
+    # batch 2: a near-dup of doc 1 (reject), a fresh doc (accept),
+    # and a short doc (accept unconditionally)
+    spark.createDataFrame(
+        [(3, NEAR), (4, OTHER + " with several extra unrelated tokens here"),
+         (5, "too short")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.json(str(src / "b1"))
+
+    accepted_ids = []
+
+    def sink(df):
+        accepted_ids.extend(r["doc_id"] for r in df.select("doc_id").collect())
+
+    d = StreamingDeduper(spark, sink=sink, compact_every=2)
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src) + "/*")
+    )
+    _drain(stream, d)
+
+    assert d.batches == 2
+    assert d.rejected_rows == 1                      # doc 3 only
+    assert d.accepted_rows == 4
+    assert sorted(accepted_ids) == [1, 2, 4, 5]
+    assert sorted(
+        r["doc_id"] for r in d.accepted_df().collect()
+    ) == [1, 2, 4]                                   # 5 has no signature
+
+
+def test_streaming_dedup_batch_internal(spark, tmp_path):
+    from graphview_spark.streaming.dedup_stream import StreamingDeduper
+
+    src = tmp_path / "docs_in2"
+    src.mkdir()
+    # near-dups within ONE batch: smallest doc_id wins
+    spark.createDataFrame(
+        [(10, BASE), (11, NEAR), (12, OTHER)], ["doc_id", "text"]
+    ).coalesce(1).write.json(str(src / "b0"))
+
+    d = StreamingDeduper(spark)
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(
+        str(src) + "/*"
+    )
+    _drain(stream, d)
+
+    assert sorted(
+        r["doc_id"] for r in d.accepted_df().collect()
+    ) == [10, 12]
+    assert d.rejected_rows == 1
