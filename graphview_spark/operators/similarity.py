@@ -70,9 +70,16 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("nv", norm_col(F.col("v")))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("nv").alias("nq"),
+    # query side re-reads unspread: it is broadcast anyway, and routing
+    # 20 rows through a repartition exchange is a wasted stage
+    q = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .withColumn("nq", norm_col(F.col("qv")))
     )
     # norms are per-row columns on both join inputs — evaluated once per
     # vector (the join boundary stops projection collapse), not per pair
