@@ -11,15 +11,17 @@ answers it per micro-batch with the same signature math:
      (new, old) pairs, verified by exact Jaccard on the hashed shingles;
   3. batch-internal duplicates resolve within the batch the same way
      (self band-join, keep the smallest doc_id of each near-dup group);
-  4. survivors append to the store — a lazy tagged union like the edge
-     ingester, compacted with localCheckpoint every ``compact_every``
-     batches so lineage stays bounded.
+  4. survivors append to the store — a lazy union, compacted every
+     ``compact_every`` batches.
 
-Scale posture: the store never rescans (band join hits only colliding
-signatures), per-batch cost is O(batch · sig) + collisions, and the
-store itself is exactly the materialize-once signature artifact the
-batch pipeline uses — a deployment would persist it as a bucketed table
-keyed by band for an exchange-free probe.
+Scale posture: the store lives PRE-EXPLODED by band key — one row per
+(doc, band) — and compaction repartitions it on ``bkey`` before the
+checkpoint (localCheckpoint preserves the partitioning), so the
+per-batch probe join shuffles only the BATCH side against the settled
+store; only the small un-compacted tail repartitions with it. A
+deployment persists the same layout as a bucketed table keyed by band
+for a fully exchange-free probe. Per-batch cost is O(batch · sig) +
+band collisions — never a store rescan.
 """
 
 from __future__ import annotations
@@ -58,25 +60,28 @@ class StreamingDeduper:
         self.rows = N_PERM // n_bands
         self.compact_every = compact_every
         self.sink = sink
-        self.store: DataFrame | None = None   # (doc_id, hs, sigs, bands)
+        # pre-exploded band layout: one (doc_id, hs, bkey) row per band,
+        # repartitioned on bkey at compaction (see module docstring)
+        self.store: DataFrame | None = None
         self.batches = 0
         self.accepted_rows = 0
         self.rejected_rows = 0
 
-    def _with_bands(self, sigs: DataFrame) -> DataFrame:
-        return sigs.withColumn(
-            "bands", band_keys_col(self.n_bands, self.rows)
+    def _exploded(self, sigs: DataFrame) -> DataFrame:
+        """(doc_id, hs, bkey) — one row per band of each signature."""
+        return sigs.select(
+            "doc_id", "hs",
+            F.explode(band_keys_col(self.n_bands, self.rows)).alias("bkey"),
         )
 
     def _near_dup_pairs(self, left: DataFrame, right: DataFrame) -> DataFrame:
-        """(l_doc, r_doc) pairs band-colliding AND Jaccard-verified."""
+        """(l_doc, r_doc) pairs band-colliding AND Jaccard-verified; both
+        inputs in the exploded (doc_id, hs, bkey) layout."""
         lb = left.select(
-            F.col("doc_id").alias("l_doc"), F.col("hs").alias("l_hs"),
-            F.explode("bands").alias("bkey"),
+            F.col("doc_id").alias("l_doc"), F.col("hs").alias("l_hs"), "bkey"
         )
         rb = right.select(
-            F.col("doc_id").alias("r_doc"), F.col("hs").alias("r_hs"),
-            F.explode("bands").alias("bkey"),
+            F.col("doc_id").alias("r_doc"), F.col("hs").alias("r_hs"), "bkey"
         )
         return (
             lb.join(rb, "bkey")
@@ -89,7 +94,7 @@ class StreamingDeduper:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         n_in = batch_df.count()
-        sigs = self._with_bands(
+        sigs = self._exploded(
             minhash_signatures(batch_df.select("doc_id", "text"))
         ).localCheckpoint(eager=True)
 
@@ -121,7 +126,7 @@ class StreamingDeduper:
         ).select("doc_id")
         n_short = short.count()
 
-        n_ok = sigs.count() + n_short
+        n_ok = sigs.select("doc_id").distinct().count() + n_short
         self.accepted_rows += n_ok
         self.rejected_rows += n_in - n_ok
         self.store = (
@@ -129,12 +134,17 @@ class StreamingDeduper:
         )
         self.batches += 1
         if self.batches % self.compact_every == 0:
-            self.store = self.store.localCheckpoint(eager=True)
+            # settle the store on the probe key: subsequent batch joins
+            # shuffle only the batch side against this partitioning
+            n_part = self.spark.sparkContext.defaultParallelism
+            self.store = self.store.repartition(
+                n_part, F.col("bkey")
+            ).localCheckpoint(eager=True)
         if self.sink is not None:
-            keep = sigs.select("doc_id").unionByName(short)
+            keep = sigs.select("doc_id").distinct().unionByName(short)
             self.sink(batch_df.join(keep, "doc_id", "left_semi"))
 
     def accepted_df(self) -> DataFrame:
         if self.store is None:
             raise ValueError("no batches processed yet")
-        return self.store.select("doc_id")
+        return self.store.select("doc_id").distinct()
