@@ -1035,12 +1035,25 @@ def _exec_create_function(g, sql: str) -> None:
     RETURNS INT RETURN x * 2`` — usable from every later dialect
     statement. Multi-statement bodies raise (procedures cover those)."""
     masked, lits = _mask_strings(sql)
-    m = re.match(
-        r"(?is)^\s*CREATE\s+FUNCTION\s+(?P<name>\[[^\]]+\]|[A-Za-z_]\w*)\s*"
-        r"\((?P<params>[^)]*)\)\s*RETURNS\s+(?P<ret>[\w()]+)\s+AS\s+"
-        r"BEGIN\s+RETURN\s+(?P<expr>.+?)\s*;?\s*END\s*$",
+    head = re.match(
+        r"(?is)^\s*CREATE\s+FUNCTION\s+(?P<name>\[[^\]]+\]|[A-Za-z_]\w*)\s*(?=\()",
         masked,
     )
+    m = None
+    if head:
+        pend = _match_paren(masked, head.end())
+        tail = re.match(
+            r"(?is)^\s*RETURNS\s+(?P<ret>[\w(), ]+?)\s+AS\s+"
+            r"BEGIN\s+RETURN\s+(?P<expr>.+?)\s*;?\s*END\s*$",
+            masked[pend + 1 :],
+        )
+        if tail:
+            m = {
+                "name": head.group("name"),
+                "params": masked[head.end() + 1 : pend],
+                "ret": tail.group("ret"),
+                "expr": tail.group("expr"),
+            }
     if not m:
         raise ValueError(
             "CREATE FUNCTION supports the scalar single-RETURN form "
@@ -1049,18 +1062,18 @@ def _exec_create_function(g, sql: str) -> None:
     from graphview_spark.catalog import normalize_sql_type
 
     params = []
-    for p in m.group("params").split(","):
+    for p in _split_depth0(m["params"], ","):
         p = p.strip()
         if not p:
             continue
-        pm = re.match(r"@(?P<n>\w+)\s+(?P<t>[\w()]+)$", p)
+        pm = re.match(r"@(?P<n>\w+)\s+(?P<t>[\w(), ]+)$", p)
         if not pm:
             raise ValueError(f"cannot parse function parameter: {p!r}")
         params.append((pm.group("n"), normalize_sql_type(pm.group("t"))))
-    expr = re.sub(r"@(\w+)", r"\1", m.group("expr"))
-    name = m.group("name").strip("[]")
+    expr = re.sub(r"@(\w+)", r"\1", m["expr"])
+    name = m["name"].strip("[]")
     sig = ", ".join(f"{n} {t}" for n, t in params)
-    ret = normalize_sql_type(m.group("ret"))
+    ret = normalize_sql_type(m["ret"])
     g.spark.sql(
         _unmask(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "

@@ -141,3 +141,16 @@ def test_create_function_dialect(spark):
             "CREATE FUNCTION Bad(@x INT) RETURNS INT AS "
             "BEGIN DECLARE @y INT = 1; RETURN @x + @y END"
         )
+
+
+def test_create_function_decimal_params(spark):
+    from graphview_spark.graph import GraphDatabase
+
+    g = GraphDatabase(spark)
+    g.execute(
+        "CREATE FUNCTION Pct(@x DECIMAL(10,2), @p DECIMAL(5,2)) "
+        "RETURNS DECIMAL(12,4) AS BEGIN RETURN @x * @p / 100 END"
+    )
+    v = g.execute("SELECT Pct(CAST(200 AS DECIMAL(10,2)), "
+                  "CAST(12.5 AS DECIMAL(5,2))) AS v").collect()[0]["v"]
+    assert float(v) == 25.0
