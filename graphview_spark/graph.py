@@ -78,6 +78,9 @@ def _spark_type(sql_type: str) -> T.DataType:
 
 
 def _sql_lit(v) -> str:
+    import datetime
+    import decimal
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -86,6 +89,12 @@ def _sql_lit(v) -> str:
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, (int, float)):
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
     raise TypeError(f"unsupported literal type {type(v).__name__}")
 
 

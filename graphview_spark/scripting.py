@@ -180,7 +180,7 @@ class ScriptRunner:
         from graphview_spark.matching.query import execute_statement
 
         m = re.match(
-            r"(?is)^\s*DECLARE\s+@(?P<name>\w+)\s+(?P<type>[\w()]+)"
+            r"(?is)^\s*DECLARE\s+@(?P<name>\w+)\s+(?P<type>\w+(?:\s*\([\d, ]*\))?)"
             r"(?:\s*=\s*(?P<init>.+))?$",
             stmt,
         )

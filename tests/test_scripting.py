@@ -178,3 +178,13 @@ def test_print_and_return(spark):
     assert out is None
     assert r.printed == ["i=2"]
     assert r.variables["i"] == 2  # RETURN skipped the SET
+
+
+def test_declare_decimal_type(spark):
+    from graphview_spark.graph import GraphDatabase
+
+    g = GraphDatabase(spark)
+    out = g.execute_script(
+        "DECLARE @r DECIMAL(10,2) = 3.5; SELECT @r * 2 AS v"
+    )
+    assert float(out.collect()[0]["v"]) == 7.0
