@@ -69,6 +69,40 @@ def test_asof_join_matches_bruteforce(spark, left, right):
             assert got[i] == (v, _ts(rt))
 
 
+@given(left=rows_strategy, right=rows_strategy)
+@prop_settings
+def test_asof_join_forward_matches_bruteforce(spark, left, right):
+    from graphview_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, _ts(t), i) for i, (k, t, _) in enumerate(left)],
+        ["k", "ts", "lid"],
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(t), v, i) for i, (k, t, v) in enumerate(right)],
+        ["k", "ts", "val", "rid"],
+    )
+    got = {
+        r["lid"]: (r["val_r"], r["ts_r"])
+        for r in asof_join(
+            ldf, rdf, on="ts", by=["k"], right_cols=["val"],
+            tiebreak="rid", direction="forward",
+        ).collect()
+    }
+    for i, (k, t, _) in enumerate(left):
+        cands = [
+            (rt, v, j)
+            for j, (rk, rt, v) in enumerate(right)
+            if rk == k and rt >= t
+        ]
+        if not cands:
+            assert got[i] == (None, None)
+        else:
+            # least timestamp; ties resolved to the least rid
+            rt, v, _ = min(cands, key=lambda c: (c[0], c[2]))
+            assert got[i] == (v, _ts(rt))
+
+
 @given(left=rows_strategy, right=rows_strategy,
        window=st.integers(min_value=1, max_value=90))
 @prop_settings
