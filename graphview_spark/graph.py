@@ -149,6 +149,8 @@ class GraphDatabase:
         # CREATE INDEX records: index name -> (table, columns). Indexes
         # are physical-layout advice on Spark (see create_index)
         self.indexes: dict[str, tuple[str, list[str]]] = {}
+        # transaction snapshots (begin_transaction/commit/rollback)
+        self._txn_stack: list[tuple] = []
 
     # ------------------------------------------------------------------
     # DDL
@@ -398,6 +400,51 @@ class GraphDatabase:
             self._edge_counts[e.qualified] = 0
         # GlobalNodeId sequence intentionally NOT reset: ids are never
         # reused (same policy as drop/re-create's fresh table id range)
+
+    # ------------------------------------------------------------------
+    # Transactions (reference: GraphViewConnection.BeginTransaction,
+    # GraphViewConnection.cs:242-273 — SQL Server transactions spanning
+    # nodes, edges and graphs, README.md 'Transactions' feature)
+    # ------------------------------------------------------------------
+    def begin_transaction(self) -> None:
+        """Open a transaction scope. DataFrames are immutable and every
+        mutation is a versioned rebind, so a snapshot of the binding
+        dicts (+ catalog) IS the transaction log: COMMIT discards it,
+        ROLLBACK rebinds it. Nesting follows T-SQL: inner COMMITs only
+        pop the stack; ROLLBACK undoes to the OUTERMOST begin."""
+        import copy
+
+        self._txn_stack.append(
+            (
+                dict(self.nodes),
+                dict(self.edges),
+                copy.deepcopy(self.catalog),
+                dict(self._seq),
+                dict(self._edge_batch),
+                dict(self.derived_tables),
+                dict(self.indexes),
+            )
+        )
+
+    def commit(self) -> None:
+        if not self._txn_stack:
+            raise GraphViewError("COMMIT without BEGIN TRANSACTION")
+        self._txn_stack.pop()
+
+    def rollback(self) -> None:
+        if not self._txn_stack:
+            raise GraphViewError("ROLLBACK without BEGIN TRANSACTION")
+        nodes, edges, catalog, seq, batch, derived, indexes = self._txn_stack[0]
+        self._txn_stack.clear()
+        self.nodes = nodes
+        self.edges = edges
+        self.catalog = catalog
+        self._seq = seq
+        self._edge_batch = batch
+        self.derived_tables = derived
+        self.indexes = indexes
+        self._edge_counts.clear()
+        self._node_counts.clear()
 
     def clear(self) -> None:
         """Drop everything — the reference's ClearData /

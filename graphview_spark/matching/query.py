@@ -550,6 +550,15 @@ def execute_statement(g, sql: str) -> DataFrame | None:
         return None
     if re.match(r"(?is)^\s*EXEC(?:UTE)?\b", s):
         return _exec_exec(g, s)
+    if re.match(r"(?is)^\s*BEGIN\s+TRAN(?:SACTION)?\b", s):
+        g.begin_transaction()
+        return None
+    if re.match(r"(?is)^\s*COMMIT(\s+TRAN(?:SACTION)?)?\s*(\w+)?\s*$", s):
+        g.commit()
+        return None
+    if re.match(r"(?is)^\s*ROLLBACK(\s+TRAN(?:SACTION)?)?\s*(\w+)?\s*$", s):
+        g.rollback()
+        return None
     if re.match(r"(?is)^\s*MERGE\b", s):
         _exec_merge(g, s)
         return None

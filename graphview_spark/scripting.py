@@ -66,7 +66,12 @@ def split_statements(masked: str) -> list[str]:
             depth += 1
         elif ch in ")]}":
             depth -= 1
-        elif upper.startswith("BEGIN", i) and _is_kw_at(masked, i, i + 5):
+        elif (
+            upper.startswith("BEGIN", i)
+            and _is_kw_at(masked, i, i + 5)
+            # BEGIN TRAN[SACTION] is a statement, not a block opener
+            and not re.match(r"\s+TRAN(SACTION)?\b", upper[i + 5 :])
+        ):
             depth += 1
         elif upper.startswith("END", i) and _is_kw_at(masked, i, i + 3):
             depth -= 1
@@ -86,7 +91,11 @@ def _find_matching_end(masked: str, begin_at: int) -> int:
     depth = 0
     i = begin_at
     while i < len(masked):
-        if upper.startswith("BEGIN", i) and _is_kw_at(masked, i, i + 5):
+        if (
+            upper.startswith("BEGIN", i)
+            and _is_kw_at(masked, i, i + 5)
+            and not re.match(r"\s+TRAN(SACTION)?\b", upper[i + 5 :])
+        ):
             depth += 1
             i += 5
             continue
