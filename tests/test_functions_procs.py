@@ -154,3 +154,18 @@ def test_create_function_decimal_params(spark):
     v = g.execute("SELECT Pct(CAST(200 AS DECIMAL(10,2)), "
                   "CAST(12.5 AS DECIMAL(5,2))) AS v").collect()[0]["v"]
     assert float(v) == 25.0
+
+
+def test_save_load_preserves_procs_and_views(people, spark, tmp_path):
+    people.execute(
+        "CREATE PROCEDURE Hello @n INT AS BEGIN SELECT @n * 2 AS v END"
+    )
+    people.create_node_view("Everyone", ["People"])
+    path = os.path.join(str(tmp_path), "gdb2")
+    people.save(path)
+    g2 = GraphDatabase.load(spark, path)
+    assert g2.execute_procedure("Hello", n=21).collect()[0]["v"] == 42
+    got = g2.execute(
+        "SELECT x.name AS n FROM Everyone x, People y MATCH x-[Knows]->y"
+    ).collect()
+    assert [r["n"] for r in got] == ["Alice"]
