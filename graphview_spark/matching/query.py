@@ -781,7 +781,17 @@ def _exec_select_body(g, masked: str, lits: list[str]) -> DataFrame:
             parts.append(_prefixed_star(g, alias, bindings[alias]))
         select_list = ", ".join(parts)
     else:
-        select_list = _rewrite_refs(g, select_list, bindings, pattern)
+        # a bare `A.name` select item outputs column `name` in T-SQL;
+        # restore that after the A_name rewrite (explicit AS, star, and
+        # expression items are untouched)
+        items = []
+        for item in _split_depth0(select_list, ","):
+            bare = re.fullmatch(r"\s*([A-Za-z_]\w*)\s*\.\s*(\w+)\s*", item)
+            rewritten = _rewrite_refs(g, item, bindings, pattern)
+            if bare and bare.group(1) in bindings:
+                rewritten = f"{rewritten.strip()} AS {bare.group(2)}"
+            items.append(rewritten)
+        select_list = ", ".join(items)
 
     from_sql = "__match_result"
     for tail in join_tails:

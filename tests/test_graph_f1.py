@@ -193,3 +193,12 @@ def test_global_node_id_scheme(people):
     base = t.table_id << 48
     assert all(gid > base for gid in gids)
     assert len(set(gids)) == 4
+
+
+def test_bare_qualified_select_outputs_bare_name(people):
+    # T-SQL: SELECT C.name outputs column `name`, not a prefixed name
+    res = people.execute(
+        "SELECT B.name FROM People A, People B MATCH A-[Knows]->B "
+        "WHERE A.name = 'Alice'"
+    )
+    assert res.columns == ["name"]
