@@ -85,13 +85,14 @@ def main() -> None:
     i = names.index("dedup_exact") if "dedup_exact" in names else len(names)
     names.insert(i, "dedup_signatures")
 
-    # Each query runs twice; we report the steady-state (min) time so the
-    # number reflects the plan, not one-off codegen/file-listing/JIT noise.
+    # Each query runs three times; we report the steady-state (min) time
+    # so the number reflects the plan, not one-off codegen/file-listing/
+    # JIT noise or this host's multi-second scheduling spikes.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
         n = 0
-        for _ in range(2):
+        for _ in range(3):
             if name in pre_run:
                 pre_run[name](spark, sf_dir)
             t0 = time.time()
