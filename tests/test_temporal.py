@@ -116,13 +116,13 @@ def test_temporal_plan_shape(spark, sf_dir):
     assert range_facts.n_python_evals == 0
 
 
-def test_gate_queries_match_oracle(spark, duck):
+def test_gate_queries_match_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_df_matches_oracle
     from graphview_spark.operators import temporal
 
     for name, fn in temporal.QUERIES.items():
         assert_df_matches_oracle(
-            fn(spark, "/root/testdata/sf0.001"), duck, temporal.ORACLES[name]
+            fn(spark, sf_dir), duck, temporal.ORACLES[name]
         )
 
 
