@@ -300,11 +300,92 @@ FROM t WHERE b < rate * {MIX_BUCKETS}
 """
 
 
+CHUNK_WORDS = 10   # words per dedup chunk
+
+
+def q_pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication at chunk granularity (the
+    boilerplate-removal pass real corpora run after document-level
+    dedup): each document splits into consecutive CHUNK_WORDS-word
+    chunks; a chunk survives only at its FIRST corpus occurrence
+    (ordered by doc_id, then position), and documents reassemble from
+    their surviving chunks.
+
+    Plan shape: explode → one hash-shuffle on the chunk hash (window
+    rank picks the first occurrence — the same single shuffle a groupBy
+    would cost) → one shuffle back on doc_id to reassemble in position
+    order. Both shuffles are on short keys; chunk text itself never
+    joins. Returns (doc_id, n_chunks, n_kept, clean_text)."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS)
+        ),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(chunks).alias("idx", "chunk")
+    ).withColumn("h", F.md5("chunk"))
+    w = W.partitionBy("h").orderBy("doc_id", "idx")
+    kept = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .withColumn("keep", F.col("__rn") == 1)
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("idx"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+
+
+ORACLE_CHUNK_DEDUP = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, cast(ceil(len(w) / {CHUNK_WORDS}.0) AS INT) - 1),
+               i -> struct_pack(idx := i,
+                 chunk := array_to_string(
+                   w[i * {CHUNK_WORDS} + 1 : i * {CHUNK_WORDS} + {CHUNK_WORDS}],
+                   ' ')))) AS u
+      FROM w),
+e AS (SELECT doc_id, u.idx AS idx, u.chunk AS chunk, md5(u.chunk) AS h FROM c),
+r AS (SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+      FROM e)
+SELECT doc_id, count(*) AS n_chunks,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                           ORDER BY idx), '') AS clean_text
+FROM r GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "pipeline_decontam": q_pipeline_decontam,
     "pipeline_pack": q_pipeline_pack,
     "pipeline_quality_quantile": q_pipeline_quality_quantile,
     "pipeline_mix": q_pipeline_mix,
+    "pipeline_chunk_dedup": q_pipeline_chunk_dedup,
 }
 
 ORACLES = {
@@ -312,4 +393,5 @@ ORACLES = {
     "pipeline_pack": _oracle_pack(),
     "pipeline_quality_quantile": _oracle_quality_quantile(),
     "pipeline_mix": _oracle_mix(),
+    "pipeline_chunk_dedup": ORACLE_CHUNK_DEDUP,
 }

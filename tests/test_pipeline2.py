@@ -135,3 +135,26 @@ def test_pipeline_composes_end_to_end(spark, sf_dir):
     n_docs = clean.count()
     assert packed.count() == n_docs
     assert plan_facts(packed).n_python_evals == 0
+
+
+def test_chunk_dedup_drops_repeated_chunks(spark, sf_dir, monkeypatch, tmp_path):
+    from graphview_spark.operators import pipeline
+
+    # two docs sharing their first 10-word chunk: the later doc loses it
+    c1 = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, c1 + " unique tail one two three four five six seven eight"),
+         (2, c1 + " different continuation here with more words to fill up"),
+         (3, "totally fresh words that appear nowhere else at all right")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_text"])
+        for r in pipeline.q_pipeline_chunk_dedup(spark, str(tmp_path)).collect()
+    }
+    assert out[1][0] == 2 and out[1][1] == 2          # first owner keeps all
+    assert out[2][0] == 2 and out[2][1] == 1          # shared chunk dropped
+    assert not out[2][2].startswith("a b c")
+    assert out[3] == (1, 1, docs.filter("doc_id=3").first()["text"])
