@@ -311,13 +311,13 @@ def q_pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ordered by doc_id, then position), and documents reassemble from
     their surviving chunks.
 
-    Plan shape: explode → one hash-shuffle on the chunk hash (window
-    rank picks the first occurrence — the same single shuffle a groupBy
-    would cost) → one shuffle back on doc_id to reassemble in position
-    order. Both shuffles are on short keys; chunk text itself never
-    joins. Returns (doc_id, n_chunks, n_kept, clean_text)."""
-    from pyspark.sql import Window as W
-
+    Plan shape: explode → first occurrence per hash via a min-struct
+    AGGREGATION (map-side combinable — a window rank would sort every
+    hash's rows on one reducer, a skew hazard when one boilerplate chunk
+    appears millions of times; the min-struct partial collapses that hot
+    key before the shuffle) → join the winners back on the hash → one
+    shuffle on doc_id to reassemble in position order. Returns
+    (doc_id, n_chunks, n_kept, clean_text)."""
     docs = read_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
@@ -330,10 +330,13 @@ def q_pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = docs.select(
         "doc_id", F.posexplode(chunks).alias("idx", "chunk")
     ).withColumn("h", F.md5("chunk"))
-    w = W.partitionBy("h").orderBy("doc_id", "idx")
-    kept = (
-        exploded.withColumn("__rn", F.row_number().over(w))
-        .withColumn("keep", F.col("__rn") == 1)
+    winners = exploded.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("__w")
+    )
+    kept = exploded.join(winners, "h").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("__w.doc_id"))
+        & (F.col("idx") == F.col("__w.idx")),
     )
     return (
         kept.groupBy("doc_id")
