@@ -111,24 +111,23 @@ _SQL_JACCARD = (
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate grouping by content hash. Each doc maps to the
     canonical (min doc_id) member of its md5(text) group; ``is_dup``
-    marks rows a dedup pass would drop. One shuffle, map-side combined."""
-    from pyspark.sql import Window as W
+    marks rows a dedup pass would drop.
 
+    Min/count come from a map-side-combinable AGGREGATION joined back on
+    the hash — not an unordered window over the hash partition, which
+    lands every copy of a viral duplicate on one reducer. The join's
+    group side is one row per distinct hash."""
     docs = read_table(spark, sf_dir, "documents")
-    w = W.partitionBy("h")
-    return (
-        docs.select("doc_id", F.md5("text").alias("h"))
-        .select(
-            "doc_id",
-            F.min("doc_id").over(w).alias("canonical_id"),
-            F.count(F.lit(1)).over(w).alias("group_size"),
-        )
-        .select(
-            "doc_id",
-            "canonical_id",
-            "group_size",
-            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
-        )
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    groups = hashed.groupBy("h").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return hashed.join(groups, "h").select(
+        "doc_id",
+        "canonical_id",
+        "group_size",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
     )
 
 

@@ -238,7 +238,11 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Group size via a window over ``fp``: ONE evaluation of the shingle
     transform and ONE shuffle — the groupBy+self-join form evaluated the
     md5-shingle plan twice and shuffled twice (at 100 TB the second
-    full-row shuffle is the bottleneck)."""
+    full-row shuffle is the bottleneck). Skew bound: the window has no
+    ordering, so a viral fingerprint costs one reducer a buffered count
+    over short (doc_id, fp) rows — linear, no sort; if a single
+    fingerprint's copy count approaches reducer memory, switch to
+    checkpoint + the combiner-safe groupBy-join (dedup_exact's shape)."""
     from graphview_spark.operators.dedup import read_spread, shingles_col
     from pyspark.sql import Window as W
 
