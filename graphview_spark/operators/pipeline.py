@@ -214,15 +214,25 @@ def q_pipeline_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", "lang", quality_milli_col(F.col("text")).alias("milli")
     )
+    # the milli score has ≤ 1001 distinct values, so the EXACT cumulative
+    # count comes from a tiny histogram: one map-side-combinable groupBy,
+    # a window over ≤ 1001 rows per language, and a broadcast join back.
+    # No corpus-wide sort — a cume_dist window over (lang) would sort
+    # each whole language's documents on a handful of reducers at 100 TB.
+    hist = scored.groupBy("lang", "milli").agg(F.count(F.lit(1)).alias("__c"))
     wc = (
         W.partitionBy("lang")
         .orderBy("milli")
-        .rangeBetween(W.unboundedPreceding, W.currentRow)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    wn = W.partitionBy("lang")
-    c = F.count(F.lit(1)).over(wc)
-    n = F.count(F.lit(1)).over(wn)
-    return scored.select(
+    cum = hist.select(
+        "lang",
+        "milli",
+        F.sum("__c").over(wc).alias("__cum"),
+        F.sum("__c").over(W.partitionBy("lang")).alias("__n"),
+    )
+    c, n = F.col("__cum"), F.col("__n")
+    return scored.join(F.broadcast(cum), ["lang", "milli"]).select(
         "doc_id",
         "lang",
         (F.col("milli") / F.lit(1000.0)).alias("quality_score"),
