@@ -100,7 +100,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     as CHECKS_LOCAL.md) and pytest-covered — kept out of ``queries()``
     only so the capped driver gate keeps recording the core surface."""
     from graphview_spark import algorithms, relational
-    from graphview_spark.operators import pipeline, skew, temporal
+    from graphview_spark.operators import clustering, pipeline, skew, temporal
 
     return {
         **relational.EXTRA_QUERIES,
@@ -108,13 +108,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **algorithms.EXTRA_QUERIES,
         **temporal.EXTRA_QUERIES,
         **skew.EXTRA_QUERIES,
+        **clustering.EXTRA_QUERIES,
     }
 
 
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for ``extra_queries()``."""
     from graphview_spark import algorithms, relational
-    from graphview_spark.operators import pipeline, skew, temporal
+    from graphview_spark.operators import clustering, pipeline, skew, temporal
 
     return {
         **relational.EXTRA_ORACLES,
@@ -122,4 +123,5 @@ def extra_oracle_sql() -> dict[str, str]:
         **algorithms.EXTRA_ORACLES,
         **temporal.EXTRA_ORACLES,
         **skew.EXTRA_ORACLES,
+        **clustering.EXTRA_ORACLES,
     }

@@ -148,6 +148,107 @@ FROM afinal GROUP BY cluster"""
     )
 
 
+QUANT_DIM = 64      # embedding dimensionality of the synthetic table
+QUANT_LEVELS = 255  # int8 code range
+
+
+def q_ml_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dimension min/max) int8 quantization of the embedding
+    column — the storage-compression pass a 100 TB vector corpus runs
+    before indexing (4 bytes → 1 byte per dimension).
+
+    Plan: per-dimension min/max are 2·DIM map-side-combinable aggregates
+    (no explode, no shuffle of vectors) broadcast back as array
+    literals-via-crossJoin; codes and reconstruction error are per-row
+    HOF math. ``floor`` (not round) maps values to codes so there is no
+    halfway-rounding hazard against the oracle. Returns per-vector
+    (vec_id, mean_code, mean_abs_err)."""
+    emb = read_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    stats = emb.agg(
+        F.array(
+            *[F.min(F.element_at("v", i + 1)) for i in range(QUANT_DIM)]
+        ).alias("lo"),
+        F.array(
+            *[F.max(F.element_at("v", i + 1)) for i in range(QUANT_DIM)]
+        ).alias("hi"),
+    )
+    # code_i = floor((v_i - lo_i) / (hi_i - lo_i) * LEVELS), capped at
+    # LEVELS; dequant_i = lo_i + (code_i + 0.5) * (hi_i - lo_i) / (LEVELS+1)
+    codes = F.zip_with(
+        F.col("v"),
+        F.zip_with(
+            F.col("lo"), F.col("hi"),
+            lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi")),
+        ),
+        lambda x, s: F.least(
+            F.lit(QUANT_LEVELS).cast("double"),
+            F.floor((x - s["lo"]) / (s["hi"] - s["lo"]) * QUANT_LEVELS).cast(
+                "double"
+            ),
+        ),
+    )
+    err = F.zip_with(
+        F.col("v"),
+        F.zip_with(
+            F.col("codes"),
+            F.zip_with(
+                F.col("lo"), F.col("hi"),
+                lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi")),
+            ),
+            lambda c, s: s["lo"]
+            + (c + 0.5) * (s["hi"] - s["lo"]) / (QUANT_LEVELS + 1),
+        ),
+        lambda x, d: F.abs(x - d),
+    )
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .withColumn("codes", codes)
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    "codes", F.lit(0.0), lambda a, c: a + c
+                )
+                / QUANT_DIM,
+                3,
+            ).alias("mean_code"),
+            F.round(
+                F.aggregate(err, F.lit(0.0), lambda a, e: a + e) / QUANT_DIM,
+                4,
+            ).alias("mean_abs_err"),
+        )
+    )
+
+
+def _oracle_quantize() -> str:
+    lo = ", ".join(f"min(v[{i + 1}])" for i in range(QUANT_DIM))
+    hi = ", ".join(f"max(v[{i + 1}])" for i in range(QUANT_DIM))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT [{lo}] AS lo, [{hi}] AS hi FROM e),
+q AS (SELECT vec_id,
+        list_transform(generate_series(1, {QUANT_DIM}), i ->
+          least({QUANT_LEVELS}::DOUBLE,
+                floor((v[i] - s.lo[i]) / (s.hi[i] - s.lo[i])
+                      * {QUANT_LEVELS}))) AS codes,
+        v, s.lo AS lo, s.hi AS hi
+      FROM e, s)
+SELECT vec_id,
+       round(list_sum(codes) / {QUANT_DIM}, 3) AS mean_code,
+       round(list_sum(list_transform(generate_series(1, {QUANT_DIM}), i ->
+         abs(v[i] - (lo[i] + (codes[i] + 0.5) * (hi[i] - lo[i])
+                     / {QUANT_LEVELS + 1})))) / {QUANT_DIM}, 4)
+         AS mean_abs_err
+FROM q
+"""
+
+
+EXTRA_QUERIES = {"ml_quantize": q_ml_quantize}
+EXTRA_ORACLES = {"ml_quantize": _oracle_quantize()}
+
+
 QUERIES = {
     "ml_kmeans": q_ml_kmeans,
 }
