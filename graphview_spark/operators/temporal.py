@@ -13,7 +13,11 @@ Scale design:
   window carries the most recent right row forward onto each left row.
   No Python, no per-key loop, no range condition the optimizer can't
   use — the cost is exactly one shuffle + sort, the same as any
-  groupBy on ``by``. (A cogrouped ``applyInPandas`` + ``merge_asof``
+  groupBy on ``by``. Skew bound: a hot ``by`` key sorts on one
+  reducer — inherent to per-key ordered semantics; pre-split hot
+  keys by coarse time range (process each range independently and
+  carry the last match across boundaries) if one key's rows exceed
+  reducer memory. (A cogrouped ``applyInPandas`` + ``merge_asof``
   would give the same semantics through Arrow but leaves the JVM; this
   stays in whole-stage codegen.)
 
