@@ -372,6 +372,78 @@ ORACLES = {
     "events_range_count": ORACLE_EVENTS_RANGE_COUNT,
 }
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel(events: DataFrame, steps: list[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time step 1
+    occurred, then the earliest step 2 STRICTLY AFTER that, and so on —
+    the standard event-analytics conversion funnel.
+
+    Plan: one conditional-min aggregation per step over the SAME
+    per-user grouping — k map-side-combinable groupBys joined on
+    user_id (AQE collapses the joins onto one partitioning; no sort, no
+    window over a user's whole history, no per-user Python). Returns
+    (user, t_1..t_k) with nulls where the funnel broke."""
+    step_times = None
+    prev_t = None
+    for i, step in enumerate(steps, start=1):
+        ev = events.filter(F.col(type_col) == step)
+        if step_times is None:
+            cur = ev.groupBy(F.col(user_col).alias("u")).agg(
+                F.min(ts_col).alias(f"t_{i}")
+            )
+            step_times = cur
+        else:
+            joined = ev.join(
+                step_times.select("u", F.col(prev_t).alias("__prev")),
+                ev[user_col] == F.col("u"),
+            ).filter(F.col(ts_col) > F.col("__prev"))
+            cur = joined.groupBy("u").agg(F.min(ts_col).alias(f"t_{i}"))
+            step_times = step_times.join(cur, "u", "left")
+        prev_t = f"t_{i}"
+    return step_times
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion counts (per-step user counts,
+    the funnel report shape)."""
+    from graphview_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    f = funnel(ev, FUNNEL_STEPS)
+    return f.agg(
+        F.count("t_1").alias("n_step1"),
+        F.count("t_2").alias("n_step2"),
+        F.count("t_3").alias("n_step3"),
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t_1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t_2
+  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t_1
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t_3
+  FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t_2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT count(t_1) AS n_step1, count(t_2) AS n_step2, count(t_3) AS n_step3
+FROM s1 LEFT JOIN s2 USING (u) LEFT JOIN s3 USING (u)
+"""
+
+
 # outside the driver gate's ~50-entry cap — checked via extra_queries()
-EXTRA_QUERIES = {"events_rollup": q_events_rollup}
-EXTRA_ORACLES = {"events_rollup": ORACLE_EVENTS_ROLLUP}
+EXTRA_QUERIES = {
+    "events_rollup": q_events_rollup,
+    "events_funnel": q_events_funnel,
+}
+EXTRA_ORACLES = {
+    "events_rollup": ORACLE_EVENTS_ROLLUP,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
+}

@@ -157,3 +157,26 @@ def test_rollup_levels_merge_exactly(spark, sf_dir):
     }
     assert rolled == direct
     assert levels["day"].count() <= levels["hour"].count()
+
+
+def test_funnel_strict_ordering(spark):
+    from datetime import datetime as dt
+
+    from graphview_spark.operators.temporal import funnel
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: full funnel in order
+            (1, "view", dt(2024, 1, 1, 0)), (1, "click", dt(2024, 1, 1, 1)),
+            (1, "purchase", dt(2024, 1, 1, 2)),
+            # user 2: click BEFORE view — funnel must not count it
+            (2, "click", dt(2024, 1, 1, 0)), (2, "view", dt(2024, 1, 1, 1)),
+            # user 3: view only
+            (3, "view", dt(2024, 1, 1, 0)),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = {r["u"]: r for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out[1]["t_3"] == dt(2024, 1, 1, 2)
+    assert out[2]["t_1"] is not None and out[2]["t_2"] is None
+    assert out[3]["t_2"] is None
