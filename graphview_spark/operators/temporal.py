@@ -438,12 +438,51 @@ FROM s1 LEFT JOIN s2 USING (u) LEFT JOIN s3 USING (u)
 """
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week
+    (the cohort), counted distinct per week offset since their cohort —
+    the classic retention triangle.
+
+    Plan: first-activity week is one map-side-combinable min per user;
+    joining it back (broadcast-friendly: one short row per user) tags
+    every event with its offset, and the triangle is a distinct-count
+    groupBy on (cohort, offset). No window over per-user history."""
+    from graphview_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            F.datediff(F.col("wk"), F.col("cohort")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .withColumn("week_offset", (F.col("week_offset") / 7).cast("int"))
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id)
+SELECT cohort::DATE AS cohort_week,
+       cast(date_diff('day', cohort, wk) / 7 AS INT) AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # outside the driver gate's ~50-entry cap — checked via extra_queries()
 EXTRA_QUERIES = {
     "events_rollup": q_events_rollup,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
 }
 EXTRA_ORACLES = {
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
+    "events_retention": ORACLE_EVENTS_RETENTION,
 }
