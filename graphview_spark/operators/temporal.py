@@ -475,14 +475,85 @@ GROUP BY 1, 2
 """
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-grid gap-fill with last-observation-carried-forward: every
+    (event_type, hour) cell between the global min and max hour exists
+    in the output; hours with no events get n=0 and carry the most
+    recent earlier hour's avg value forward (the dashboard/time-series
+    regularization pass).
+
+    Plan: the dense hour grid generates from ONE 1-row min/max
+    aggregate (sequence + explode — no driver loop), cross-joins the
+    (tiny) type list, left-joins the hourly aggregate, and LOCF is a
+    last(ignorenulls) window per type ordered by hour — the window's
+    partition is the (small) grid, never raw events."""
+    from pyspark.sql import Window as W
+
+    from graphview_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr"), "value"
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    )
+    span = ev.agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.crossJoin(types)
+        .join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum"),
+        )
+    )
+
+
+ORACLE_EVENTS_GAPFILL = """
+WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr, value FROM events),
+hourly AS (SELECT event_type, hr, count(*) AS n,
+                  round(sum(value), 3) AS sum_value
+           FROM e GROUP BY 1, 2),
+span AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+         FROM span),
+types AS (SELECT DISTINCT event_type FROM e),
+dense AS (SELECT t.event_type, g.hr, coalesce(h.n, 0) AS n, h.sum_value
+          FROM grid g CROSS JOIN types t
+          LEFT JOIN hourly h ON h.event_type = t.event_type AND h.hr = g.hr)
+SELECT event_type, hr, n,
+       last_value(sum_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hr
+         ROWS UNBOUNDED PRECEDING) AS locf_sum
+FROM dense
+"""
+
+
 # outside the driver gate's ~50-entry cap — checked via extra_queries()
 EXTRA_QUERIES = {
     "events_rollup": q_events_rollup,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_gapfill": q_events_gapfill,
 }
 EXTRA_ORACLES = {
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_retention": ORACLE_EVENTS_RETENTION,
+    "events_gapfill": ORACLE_EVENTS_GAPFILL,
 }
