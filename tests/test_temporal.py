@@ -180,3 +180,46 @@ def test_funnel_strict_ordering(spark):
     assert out[1]["t_3"] == dt(2024, 1, 1, 2)
     assert out[2]["t_1"] is not None and out[2]["t_2"] is None
     assert out[3]["t_2"] is None
+
+
+def test_retention_offsets(spark, sf_dir):
+    from graphview_spark.operators.temporal import q_events_retention
+
+    rows = q_events_retention(spark, sf_dir).collect()
+    assert rows
+    # offset 0 of each cohort counts every user of that cohort exactly once
+    week0 = {r["cohort_week"]: r["n_users"] for r in rows if r["week_offset"] == 0}
+    assert week0 and all(n > 0 for n in week0.values())
+    # retention never exceeds the cohort's size
+    for r in rows:
+        assert r["n_users"] <= week0[r["cohort_week"]]
+    assert all(r["week_offset"] >= 0 for r in rows)
+
+
+def test_gapfill_dense_and_locf(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from graphview_spark.operators.temporal import q_events_gapfill
+
+    out = q_events_gapfill(spark, sf_dir)
+    per_type = out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("hr").alias("lo"),
+        F.max("hr").alias("hi"),
+    ).collect()
+    # every type covers the same dense hour grid
+    cells = {r["n_cells"] for r in per_type}
+    assert len(cells) == 1
+    lo, hi = per_type[0]["lo"], per_type[0]["hi"]
+    expected = int((hi - lo).total_seconds() // 3600) + 1
+    assert cells == {expected}
+    # after the first observed hour, locf_sum is never null
+    first_obs = out.filter("n > 0").groupBy("event_type").agg(
+        F.min("hr").alias("f")
+    )
+    holes = (
+        out.join(first_obs, "event_type")
+        .filter((F.col("hr") >= F.col("f")) & F.col("locf_sum").isNull())
+        .count()
+    )
+    assert holes == 0
