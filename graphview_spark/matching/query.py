@@ -241,7 +241,7 @@ def _rewrite_refs(g, text: str, bindings: dict[str, str], pattern) -> str:
     edge_aliases = {e.alias: e for e in pattern.edges} if pattern else {}
 
     def repl(m: re.Match) -> str:
-        alias, col = m.group(1), m.group(2)
+        alias, col = m.group(1), m.group(2).strip("[]")
         if alias in bindings:
             if col == "*":
                 return _expand_node_star(g, alias, bindings[alias])
@@ -257,7 +257,8 @@ def _rewrite_refs(g, text: str, bindings: dict[str, str], pattern) -> str:
             return f"{alias}_{col}"
         return m.group(0)
 
-    return re.sub(r"\b([A-Za-z_]\w*)\s*\.\s*(\w+|\*)", repl, text)
+    # member may be a plain identifier, a [bracketed] one, or *
+    return re.sub(r"\b([A-Za-z_]\w*)\s*\.\s*(\[\w+\]|\w+|\*)", repl, text)
 
 
 def _expand_node_star(g, alias: str, name: str) -> str:

@@ -1,0 +1,77 @@
+"""Parser robustness: the same statements in the formatting variants
+real T-SQL scripts contain — mixed case, odd whitespace, comments in
+awkward places, bracketed identifiers, trailing semicolons."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphview_spark.graph import GraphDatabase
+
+
+@pytest.fixture()
+def g(spark):
+    g = GraphDatabase(spark)
+    g.execute(
+        """create   table [People](
+            [ColumnRole:"NodeId"]id INT,
+            [ColumnRole : "Property"] name varchar(20),
+            [ColumnRole:"Edge",Reference:"People"]Knows VARBINARY(max))"""
+    )
+    g.execute("insert into People(id,name) values(1,'A'),(2,'B'),(3,'C');")
+    g.execute(
+        "INSERT\tEDGE INTO People.Knows\nSELECT x,y FROM People x,People y "
+        "WHERE x.id=1 AND y.id=2"
+    )
+    return g
+
+
+VARIANTS = [
+    # mixed case keywords, no spaces around operators
+    "select B.name from People A,People B match A-[Knows]->B where A.id=1",
+    # newlines everywhere + trailing semicolon
+    "SELECT\n  B.name\nFROM People A , People B\nMATCH A-[Knows]->B\n;",
+    # comments interleaved (line and block)
+    """SELECT B.name -- projection
+       FROM People A, /* the source */ People B
+       MATCH A-[Knows]->B /* one hop */ WHERE A.id = 1""",
+    # bracketed identifiers in FROM and WHERE
+    "SELECT B.name FROM [People] A, [People] B MATCH A-[Knows]->B "
+    "WHERE A.[id] = 1",
+    # DISTINCT + TOP together, parenthesized TOP
+    "SELECT DISTINCT TOP (5) B.name FROM People A, People B "
+    "MATCH A-[Knows]->B",
+]
+
+
+@pytest.mark.parametrize("sql", VARIANTS)
+def test_select_variants(g, sql):
+    rows = g.execute(sql).collect()
+    assert [r["name"] for r in rows] == ["B"]
+
+
+def test_whitespace_heavy_dml(g):
+    g.execute("  update   People  set name='Z'   where id = 3 ;")
+    assert {r["name"] for r in g.execute("SELECT name FROM People").collect()} == {
+        "A", "B", "Z",
+    }
+    g.execute("DELETE\nNODE FROM People\nWHERE People.id = 3")
+    assert g.node_count("People") == 2
+
+
+def test_string_literals_protect_keywords(g):
+    # keywords and '--' inside string literals must not confuse parsing
+    g.execute("UPDATE People SET name = 'FROM -- WHERE /* x */' WHERE id = 1")
+    got = g.execute("SELECT name FROM People WHERE id = 1").collect()[0]["name"]
+    assert got == "FROM -- WHERE /* x */"
+    # escaped quotes
+    g.execute("UPDATE People SET name = 'it''s ok' WHERE id = 2")
+    got = g.execute("SELECT name FROM People WHERE id = 2").collect()[0]["name"]
+    assert got == "it's ok"
+
+
+def test_case_insensitive_table_and_edge_names(g):
+    rows = g.execute(
+        "SELECT b.name FROM people a, PEOPLE b MATCH a-[knows]->b"
+    ).collect()
+    assert [r["name"] for r in rows] == ["B"]
