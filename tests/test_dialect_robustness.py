@@ -75,3 +75,57 @@ def test_case_insensitive_table_and_edge_names(g):
         "SELECT b.name FROM people a, PEOPLE b MATCH a-[knows]->b"
     ).collect()
     assert [r["name"] for r in rows] == ["B"]
+
+
+def test_proc_with_comments_and_nested_if(g):
+    g.execute(
+        """CREATE PROCEDURE Tag @pid INT, @tag varchar(10) AS
+           BEGIN
+             -- update the name when the person exists
+             UPDATE People SET name = @tag WHERE id = @pid;
+           END"""
+    )
+    g.execute_procedure("Tag", pid=2, tag="tagged")
+    assert g.execute(
+        "SELECT name FROM People WHERE id = 2"
+    ).collect()[0]["name"] == "tagged"
+    out = g.execute_script(
+        """
+        DECLARE @n INT = 0;
+        WHILE @n < 3
+        BEGIN
+            IF @n = 1
+            BEGIN
+                EXEC Tag @pid = 1, @tag = 'looped';
+            END;
+            SET @n = @n + 1;
+        END;
+        SELECT name FROM People WHERE id = 1
+        """
+    )
+    assert out.collect()[0]["name"] == "looped"
+
+
+def test_insert_negative_and_null_values(g):
+    g.execute(
+        """CREATE TABLE [Nums] (
+            [ColumnRole:"NodeId"] k INT,
+            [ColumnRole:"Property"] x FLOAT,
+            [ColumnRole:"Property"] note varchar(10) )"""
+    )
+    g.execute("INSERT INTO Nums(k, x, note) VALUES(-5, -2.5, NULL)")
+    r = g.execute("SELECT k, x, note FROM Nums").collect()[0]
+    assert (r["k"], r["x"], r["note"]) == (-5, -2.5, None)
+
+
+def test_merge_bracketed_target(g, spark):
+    spark.createDataFrame([(9, "nine")], ["id", "nm"]).createOrReplaceTempView(
+        "m_src"
+    )
+    g.execute(
+        """MERGE INTO [People] t USING m_src s ON t.id = s.id
+           WHEN NOT MATCHED THEN INSERT ([id], [name]) VALUES (s.id, s.nm)"""
+    )
+    assert g.execute(
+        "SELECT name FROM People WHERE id = 9"
+    ).collect()[0]["name"] == "nine"
