@@ -131,8 +131,15 @@ def _values_df(spark: SparkSession, schema: T.StructType, rows: list[dict]) -> D
 class GraphDatabase:
     """One property-graph database over Spark DataFrames."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, case_insensitive: bool = False):
         self.spark = spark
+        # SQL Server's default collation is case-insensitive; Spark's is
+        # binary. case_insensitive=True declares every string property
+        # (and string edge attribute) as `string collate UTF8_LCASE`, so
+        # =, LIKE, IN and joins against plain literals behave exactly
+        # like the reference's default collation (collation precedence:
+        # the column's explicit collation wins over implicit literals).
+        self.case_insensitive = case_insensitive
         self.catalog = GraphCatalog()
         self.nodes: dict[str, DataFrame] = {}          # table name -> node DF
         self.edges: dict[str, DataFrame] = {}          # "Table.Edge" -> edge DF
@@ -155,12 +162,25 @@ class GraphDatabase:
     # ------------------------------------------------------------------
     # DDL
     # ------------------------------------------------------------------
+    def _prop_type(self, t: str) -> str:
+        """Apply the session collation policy to a property/attr type."""
+        if self.case_insensitive and (
+            t == "string" or t.startswith("varchar") or t.startswith("char")
+        ):
+            # varchar(n) has no collated spelling in Spark's parser —
+            # the unbounded collated string is the faithful mapping
+            return "string collate UTF8_LCASE"
+        return t
+
     def create_node_table(self, ddl: str) -> NodeTable:
         """Parse the annotated CREATE TABLE dialect and register empty
         node/edge DataFrames (reference: GraphViewConnection.CreateNodeTable,
         GraphViewConnection.cs:823-992 — minus the CLR codegen, reversed
         columns and sampling tables, all obsolete on Spark)."""
         parsed = parse_create_node_table(ddl)
+        for c in parsed.columns:
+            c.sql_type = self._prop_type(c.sql_type)
+            c.attributes = [(a, self._prop_type(t)) for a, t in c.attributes]
         node_id_col = None
         props: list[tuple[str, str]] = []
         edge_defs: list[EdgeType] = []
@@ -322,6 +342,8 @@ class GraphDatabase:
 
         t = self.catalog.table(table_name)
         c = parse_column_def(coldef_sql)
+        c.sql_type = self._prop_type(c.sql_type)
+        c.attributes = [(a, self._prop_type(ty)) for a, ty in c.attributes]
         if c.role == "nodeid":
             raise GraphViewError(
                 f"cannot add a NodeId column to existing table '{t.name}'"

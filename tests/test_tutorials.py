@@ -194,3 +194,30 @@ def test_delete_node_connected_raises_like_reference(spark):
     )
     with pytest.raises(GraphViewError, match="edge"):
         g.execute("DELETE NODE FROM People")
+
+
+def test_ins_and_del_tutorial_ci_collation(spark):
+    """The tutorial's lowercase 'caven' literal (InsAndDelTutorial.cs:48)
+    matches 'Caven' under case_insensitive=True — SQL Server's default
+    collation behavior, closing the one documented deviation."""
+    g = GraphDatabase(spark, case_insensitive=True)
+    g.execute(
+        """CREATE TABLE [People] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Property"] name varchar(20),
+            [ColumnRole:"Edge",Reference:"People"] Knows VARBINARY(max) )"""
+    )
+    for i, n in [(1, "Alice"), (2, "Bob"), (3, "Caven"), (4, "David")]:
+        g.execute(f"INSERT INTO [People](id,name) VALUES({i},'{n}')")
+    # the tutorial's literal, verbatim: lowercase 'caven'
+    g.execute(
+        """INSERT EDGE INTO People.Knows
+           SELECT x,y FROM People x , People y
+               WHERE x.name = 'Bob' AND y.name = 'caven' """
+    )
+    assert g.edge_count("People.Knows") == 1
+    got = g.execute(
+        "SELECT y.name FROM People x, People y MATCH x-[Knows]->y "
+        "WHERE x.name = 'BOB'"
+    ).collect()
+    assert [r["name"] for r in got] == ["Caven"]
