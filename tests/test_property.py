@@ -157,3 +157,50 @@ def test_pack_sequences_stream_invariants(spark, docs, budget):
         assert r["seq_offset"] == pos % budget
         stream_pos[r["shard"]] = pos + r["n_tokens"]
     assert sum(stream_pos.values()) == sum(docs)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # user
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=50),  # t
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@prop_settings
+def test_funnel_matches_bruteforce(spark, events):
+    from graphview_spark.operators.temporal import funnel
+
+    df = spark.createDataFrame(
+        [(u, s, _ts(t)) for u, s, t in events],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r["u"]: (r["t_1"], r["t_2"], r["t_3"])
+        for r in funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    # brute force: strictly-increasing earliest step times per user
+    users = {u for u, _, _ in events}
+    for u in users:
+        mine = sorted((t, s) for uu, s, t in events if uu == u)
+        t1 = min((t for t, s in mine if s == "view"), default=None)
+        t2 = (
+            min((t for t, s in mine if s == "click" and t > t1), default=None)
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            min((t for t, s in mine if s == "purchase" and t > t2), default=None)
+            if t2 is not None
+            else None
+        )
+        if t1 is None:
+            assert u not in got
+        else:
+            g1, g2, g3 = got[u]
+            assert g1 == _ts(t1)
+            assert g2 == (_ts(t2) if t2 is not None else None)
+            assert g3 == (_ts(t3) if t3 is not None else None)
