@@ -148,3 +148,24 @@ class StreamingDeduper:
         if self.store is None:
             raise ValueError("no batches processed yet")
         return self.store.select("doc_id").distinct()
+
+    # -- restart persistence -------------------------------------------
+    # Structured Streaming checkpoints recover the SOURCE offsets, but
+    # foreachBatch state is ours to keep: persist the signature store as
+    # parquet partitioned-by-write on the probe key so a restarted
+    # stream resumes rejecting against everything accepted before.
+    def save_store(self, path: str) -> None:
+        if self.store is None:
+            raise ValueError("no batches processed yet")
+        (
+            self.store.repartition(
+                self.spark.sparkContext.defaultParallelism, F.col("bkey")
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    def load_store(self, path: str) -> None:
+        """Adopt a previously saved store (call before starting the
+        stream). Counters continue from zero — they are per-run stats."""
+        self.store = self.spark.read.parquet(path)

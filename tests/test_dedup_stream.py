@@ -77,3 +77,37 @@ def test_streaming_dedup_batch_internal(spark, tmp_path):
         r["doc_id"] for r in d.accepted_df().collect()
     ) == [10, 12]
     assert d.rejected_rows == 1
+
+
+def test_store_save_load_survives_restart(spark, tmp_path):
+    from graphview_spark.streaming.dedup_stream import StreamingDeduper
+
+    src = tmp_path / "docs_in3"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], ["doc_id", "text"]
+    ).coalesce(1).write.json(str(src / "b0"))
+
+    d1 = StreamingDeduper(spark)
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(
+        str(src) + "/*"
+    )
+    _drain(stream, d1)
+    store_path = str(tmp_path / "sig_store")
+    d1.save_store(store_path)
+
+    # "restarted" deduper adopts the store; a near-dup of doc 1 arriving
+    # in the new run is rejected against the PREVIOUS run's acceptances
+    src2 = tmp_path / "docs_in4"
+    src2.mkdir()
+    spark.createDataFrame(
+        [(3, NEAR)], ["doc_id", "text"]
+    ).coalesce(1).write.json(str(src2 / "b0"))
+    d2 = StreamingDeduper(spark)
+    d2.load_store(store_path)
+    stream2 = spark.readStream.schema("doc_id LONG, text STRING").json(
+        str(src2) + "/*"
+    )
+    _drain(stream2, d2)
+    assert d2.rejected_rows == 1
+    assert sorted(r["doc_id"] for r in d2.accepted_df().collect()) == [1, 2]
