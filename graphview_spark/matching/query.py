@@ -748,7 +748,91 @@ def _exec_select(g, sql: str) -> DataFrame | None:
     return df
 
 
+_SETOP_RE = re.compile(r"(?i)^(UNION\s+ALL|UNION|EXCEPT|INTERSECT)\b")
+
+
+def _split_setops(masked: str) -> list[tuple[str | None, str]]:
+    """Split a statement on depth-0 set operators:
+    ``[(None, q1), ('UNION', q2), ('UNION ALL', q3), ...]``."""
+    parts: list[tuple[str | None, str]] = []
+    depth = 0
+    start = 0
+    op: str | None = None
+    i = 0
+    while i < len(masked):
+        ch = masked[i]
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif depth == 0:
+            m = _SETOP_RE.match(masked[i:])
+            if m and _is_kw(masked, i, m.end()):
+                parts.append((op, masked[start:i]))
+                op = re.sub(r"\s+", " ", m.group(1).upper())
+                i += m.end()
+                start = i
+                continue
+        i += 1
+    parts.append((op, masked[start:]))
+    return parts
+
+
+def _exec_select_setops(g, parts, lits) -> DataFrame:
+    """Plan each set-op branch through the full MATCH machinery and
+    combine with SQL semantics (UNION = distinct, left-associative;
+    columns align by position, first branch names win — the reference
+    passes set ops through as plain T-SQL, WSelectQuery.cs). A trailing
+    depth-0 ORDER BY/LIMIT on the LAST branch applies to the combined
+    result (T-SQL's rule)."""
+    last_op, last_text = parts[-1]
+    tail_order = None
+    mo = None
+    depth = 0
+    for j, ch in enumerate(last_text):
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif depth == 0 and re.match(r"(?i)ORDER\s+BY\b", last_text[j:]):
+            if _is_kw(last_text, j, 5):
+                mo = j
+                break
+    if mo is not None:
+        tail_order = last_text[mo:]
+        parts = parts[:-1] + [(last_op, last_text[:mo])]
+
+    acc = None
+    cols = None
+    for op, text in parts:
+        df = _exec_select_body(g, text.strip(), lits)
+        if acc is None:
+            acc, cols = df, df.columns
+            continue
+        df = df.toDF(*cols)          # positional alignment, SQL-style
+        if op == "UNION ALL":
+            acc = acc.unionByName(df)
+        elif op == "UNION":
+            acc = acc.unionByName(df).distinct()
+        elif op == "EXCEPT":
+            acc = acc.subtract(df)   # Spark subtract == EXCEPT DISTINCT
+        else:                        # INTERSECT
+            acc = acc.intersect(df)
+    if tail_order:
+        acc.createOrReplaceTempView("__setop_result")
+        acc = g.spark.sql(
+            _unmask(f"SELECT * FROM __setop_result {tail_order}", lits)
+        )
+    return acc
+
+
 def _exec_select_body(g, masked: str, lits: list[str]) -> DataFrame:
+    # set operations between MATCH statements split here; without MATCH
+    # the whole statement passes through Spark SQL untouched below
+    if re.search(r"(?i)\bMATCH\b", masked):
+        parts = _split_setops(masked)
+        if len(parts) > 1:
+            return _exec_select_setops(g, parts, lits)
     clauses = _split_select(masked)
 
     if "match" not in clauses:

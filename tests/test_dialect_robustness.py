@@ -129,3 +129,34 @@ def test_merge_bracketed_target(g, spark):
     assert g.execute(
         "SELECT name FROM People WHERE id = 9"
     ).collect()[0]["name"] == "nine"
+
+
+def test_setops_between_match_queries(g):
+    g.execute(
+        "INSERT EDGE INTO People.Knows SELECT x,y FROM People x, People y "
+        "WHERE x.id = 2 AND y.id = 3"
+    )
+    # UNION (distinct) across two MATCH queries
+    out = g.execute(
+        "SELECT b.id AS i FROM People a, People b MATCH a-[Knows]->b "
+        "WHERE a.id = 1 "
+        "UNION "
+        "SELECT b.id AS i FROM People a, People b MATCH a-[Knows]->b "
+        "WHERE a.id = 2"
+    )
+    assert sorted(r["i"] for r in out.collect()) == [2, 3]
+    # EXCEPT with a trailing ORDER BY applying to the combined result
+    out = g.execute(
+        "SELECT a.id AS i FROM People a, People b MATCH a-[Knows]->b "
+        "EXCEPT "
+        "SELECT b.id AS i FROM People a, People b MATCH a-[Knows]->b "
+        "ORDER BY i DESC"
+    )
+    assert [r["i"] for r in out.collect()] == [1]
+    # MATCH branch unioned with a plain-SQL branch
+    out = g.execute(
+        "SELECT b.id AS i FROM People a, People b MATCH a-[Knows]->b "
+        "WHERE a.id = 1 "
+        "UNION ALL SELECT 99 AS i"
+    )
+    assert sorted(r["i"] for r in out.collect()) == [2, 99]
