@@ -826,6 +826,49 @@ def _exec_select_setops(g, parts, lits) -> DataFrame:
     return acc
 
 
+def _has_depth0_match(text: str) -> bool:
+    depth = 0
+    for i, ch in enumerate(text):
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif depth == 0 and re.match(r"(?i)MATCH\b", text[i:]) and _is_kw(
+            text, i, 5
+        ):
+            return True
+    return False
+
+
+_SUBQ_SEQ = [0]
+
+
+def _plan_match_subqueries(g, masked: str, lits: list[str]) -> str:
+    """Rewrite parenthesized SELECT...MATCH subqueries (derived tables,
+    IN/EXISTS bodies) into temp-view references, planning each through
+    the full MATCH machinery — so MATCH composes inside any statement,
+    like the reference's arbitrary T-SQL nesting (GraphViewParser.cs:
+    1605-1640). Recurses naturally: the planned body re-enters
+    _exec_select_body, which applies this transformation again."""
+    i = 0
+    while i < len(masked):
+        if masked[i] == "(":
+            end = _match_paren(masked, i)
+            body = masked[i + 1 : end]
+            if re.match(r"(?is)\s*SELECT\b", body) and _has_depth0_match(body):
+                df = _exec_select_body(g, body.strip(), lits)
+                _SUBQ_SEQ[0] += 1
+                name = f"__match_subq_{_SUBQ_SEQ[0]}"
+                df.createOrReplaceTempView(name)
+                rep = f"(SELECT * FROM {name})"
+                masked = masked[:i] + rep + masked[end + 1 :]
+                i += len(rep)
+                continue
+            # descend normally; inner parens handled by the loop
+        i += 1
+    return masked
+
+
 def _exec_select_body(g, masked: str, lits: list[str]) -> DataFrame:
     # set operations between MATCH statements split here; without MATCH
     # the whole statement passes through Spark SQL untouched below
@@ -833,6 +876,8 @@ def _exec_select_body(g, masked: str, lits: list[str]) -> DataFrame:
         parts = _split_setops(masked)
         if len(parts) > 1:
             return _exec_select_setops(g, parts, lits)
+        # nested MATCH subqueries plan first, wherever they appear
+        masked = _plan_match_subqueries(g, masked, lits)
     clauses = _split_select(masked)
 
     if "match" not in clauses:

@@ -160,3 +160,25 @@ def test_setops_between_match_queries(g):
         "UNION ALL SELECT 99 AS i"
     )
     assert sorted(r["i"] for r in out.collect()) == [2, 99]
+
+
+def test_match_inside_subqueries(g):
+    # derived table wrapping a MATCH query
+    out = g.execute(
+        "SELECT t.i + 10 AS j FROM "
+        "(SELECT b.id AS i FROM People a, People b MATCH a-[Knows]->b) t"
+    )
+    assert [r["j"] for r in out.collect()] == [12]
+    # IN-subquery over a MATCH query inside a plain statement
+    out = g.execute(
+        "SELECT id FROM People WHERE id IN "
+        "(SELECT b.id FROM People a, People b MATCH a-[Knows]->b)"
+    )
+    assert [r["id"] for r in out.collect()] == [2]
+    # MATCH statement whose WHERE nests another MATCH subquery
+    out = g.execute(
+        "SELECT b.id AS i FROM People a, People b MATCH a-[Knows]->b "
+        "WHERE b.id IN (SELECT b2.id FROM People a2, People b2 "
+        "MATCH a2-[Knows]->b2)"
+    )
+    assert [r["i"] for r in out.collect()] == [2]
