@@ -1113,9 +1113,17 @@ def _exec_insert_edge(g, sql: str) -> None:
     sel = [f"{src_a}.GlobalNodeId AS src", f"{sink_a}.GlobalNodeId AS sink"]
     for expr, (aname, atype) in zip(attr_exprs, et.attributes):
         sel.append(f"CAST({expr} AS {atype}) AS {aname}")
-    _register_views(g, masked)
-    q = f"SELECT {', '.join(sel)} FROM {_strip_ident_brackets(m.group('rest'))}"
-    pairs = g.spark.sql(_unmask(q, lits))
+    rest = m.group("rest")
+    if _has_depth0_match(rest):
+        # the edge source is itself a MATCH query (e.g. materializing
+        # 2-hop paths as new edges) — plan through the MATCH machinery
+        pairs = _exec_select_body(
+            g, f"SELECT {', '.join(sel)} FROM {rest}", lits
+        )
+    else:
+        _register_views(g, masked)
+        q = f"SELECT {', '.join(sel)} FROM {_strip_ident_brackets(rest)}"
+        pairs = g.spark.sql(_unmask(q, lits))
     g.insert_edges_df(tbl, edge, pairs)
 
 

@@ -182,3 +182,23 @@ def test_match_inside_subqueries(g):
         "MATCH a2-[Knows]->b2)"
     )
     assert [r["i"] for r in out.collect()] == [2]
+
+
+def test_insert_edge_from_match_source(g):
+    # materialize friend-of-friend as a new edge type via a MATCH source
+    g.execute(
+        'ALTER TABLE People ADD '
+        '[ColumnRole:"Edge",Reference:"People"] Fof VARBINARY(max)'
+    )
+    g.execute(
+        "INSERT EDGE INTO People.Knows SELECT x,y FROM People x, People y "
+        "WHERE x.id = 2 AND y.id = 3"
+    )
+    g.execute(
+        "INSERT EDGE INTO People.Fof SELECT a, c FROM People a, People b, "
+        "People c MATCH a-[Knows]->b-[Knows]->c"
+    )
+    got = g.execute(
+        "SELECT a.id AS s, c.id AS t FROM People a, People c MATCH a-[Fof]->c"
+    ).collect()
+    assert [(r["s"], r["t"]) for r in got] == [(1, 3)]
