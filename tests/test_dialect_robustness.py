@@ -202,3 +202,14 @@ def test_insert_edge_from_match_source(g):
         "SELECT a.id AS s, c.id AS t FROM People a, People c MATCH a-[Fof]->c"
     ).collect()
     assert [(r["s"], r["t"]) for r in got] == [(1, 3)]
+
+
+def test_update_from_match_source(g):
+    g.execute(
+        'ALTER TABLE People ADD [ColumnRole:"Property"] tag varchar(10)'
+    )
+    g.execute("UPDATE B SET tag = 'reached' FROM People A, People B "
+              "MATCH A-[Knows]->B")
+    got = {r["id"]: r["tag"] for r in g.execute(
+        "SELECT id, tag FROM People").collect()}
+    assert got[2] == "reached" and got[1] is None
