@@ -213,3 +213,14 @@ def test_update_from_match_source(g):
     got = {r["id"]: r["tag"] for r in g.execute(
         "SELECT id, tag FROM People").collect()}
     assert got[2] == "reached" and got[1] is None
+
+
+def test_select_into_with_union_and_match(g):
+    g.execute(
+        "SELECT b.id AS i INTO Reached FROM People a, People b "
+        "MATCH a-[Knows]->b UNION SELECT 42 AS i"
+    )
+    got = sorted(
+        r["i"] for r in g.execute("SELECT i FROM Reached").collect()
+    )
+    assert got == [2, 42]
