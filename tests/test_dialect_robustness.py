@@ -224,3 +224,15 @@ def test_select_into_with_union_and_match(g):
         r["i"] for r in g.execute("SELECT i FROM Reached").collect()
     )
     assert got == [2, 42]
+
+
+def test_varlen_path_in_subquery(g):
+    g.execute(
+        "INSERT EDGE INTO People.Knows SELECT x,y FROM People x, People y "
+        "WHERE x.id = 2 AND y.id = 3"
+    )
+    out = g.execute(
+        "SELECT max(t.h) AS mx FROM (SELECT p.hops AS h FROM People a, "
+        "People b MATCH a-[Knows*1..3 AS p]->b WHERE a.id = 1) t"
+    ).collect()
+    assert out[0]["mx"] == 2
