@@ -522,7 +522,7 @@ WITH nat_counts AS (
   SELECT n_nationkey AS nkey, r_name AS region
   FROM nation JOIN region ON n_regionkey = r_regionkey
 )
-SELECT nr.region AS region, sum(nc.n_cust) AS n_cust,
+SELECT nr.region AS region, sum(nc.n_cust)::BIGINT AS n_cust,
        count(*) AS n_nations
 FROM nat_counts nc JOIN nat_region nr ON nc.nkey = nr.nkey
 GROUP BY nr.region

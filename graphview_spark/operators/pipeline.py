@@ -386,7 +386,7 @@ r AS (SELECT doc_id, idx, chunk,
              row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
       FROM e)
 SELECT doc_id, count(*) AS n_chunks,
-       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
        coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
                            ORDER BY idx), '') AS clean_text
 FROM r GROUP BY doc_id

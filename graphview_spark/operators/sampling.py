@@ -101,7 +101,7 @@ WITH b AS (SELECT source, n_chars, {_sql_bucket('doc_id')} AS bucket
 SELECT source,
        CASE {cases} END AS split,
        count(*) AS n_docs,
-       sum(n_chars) AS sum_chars
+       sum(n_chars)::BIGINT AS sum_chars
 FROM b
 GROUP BY source, split
 """

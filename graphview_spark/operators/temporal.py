@@ -355,7 +355,7 @@ day AS (
          sum(n) AS n, sum(sum_value) AS sum_value,
          min(min_value) AS min_value, max(max_value) AS max_value
   FROM hour GROUP BY 1, 2)
-SELECT event_type, bucket::DATE AS day, n,
+SELECT event_type, bucket::DATE AS day, n::BIGINT AS n,
        round(sum_value, 3) AS sum_value,
        round(min_value, 3) AS min_value,
        round(max_value, 3) AS max_value

@@ -24,6 +24,65 @@ TABLES = [
 ]
 
 
+def _duck_canon(t: str) -> str:
+    """Canonical value-rendering class for a DuckDB type.
+
+    The driver's hasher renders values through a type-sensitive path
+    (HUGEINT → float64, DECIMAL → Decimal), so types that change the
+    rendered value must match the Spark side exactly. Int widths within
+    int64 all render identically, so they share one class."""
+    t = str(t).upper().strip()
+    if t.endswith("[]"):
+        return "list<" + _duck_canon(t[:-2]) + ">"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "int"
+    if t in ("HUGEINT", "UBIGINT", "UHUGEINT"):
+        return "hugeint"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    if t == "VARCHAR":
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    return t.lower()
+
+
+def _spark_canon(t: str) -> str:
+    t = t.lower().strip()
+    if t.startswith("array<") and t.endswith(">"):
+        return "list<" + _spark_canon(t[6:-1]) + ">"
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if t in ("double", "float"):
+        return "float"
+    if t.startswith("decimal"):
+        return t.replace(" ", "")
+    if t == "string":
+        return "str"
+    if t == "boolean":
+        return "bool"
+    if t.startswith("timestamp"):
+        return "ts"
+    return t
+
+
+def type_mismatches(spark_dtypes, duck_cols, duck_types):
+    """Per-column canonical-type comparison; returns list of problem strs."""
+    duck = {c: _duck_canon(t) for c, t in zip(duck_cols, duck_types)}
+    out = []
+    for col, st in spark_dtypes:
+        sc = _spark_canon(st)
+        dc = duck.get(col)
+        if dc is not None and sc != dc:
+            out.append(f"type[{col}] spark={st}({sc}) duck≠({dc})")
+    return out
+
+
 def _norm_cell(v):
     import datetime
 
@@ -95,9 +154,10 @@ def main():
             weak += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            duck_cols = list(rel.columns)
+            duck_types = [str(t) for t in rel.types]
+            duck_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             bad += 1
@@ -105,6 +165,7 @@ def main():
         problems = []
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        problems += type_mismatches(df.dtypes, duck_cols, duck_types)
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rows spark={len(spark_rows)} duck={len(duck_rows)}")
         if not problems:
