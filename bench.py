@@ -34,24 +34,32 @@ def main() -> None:
     from graphview_spark.session import get_spark
 
     spark = get_spark("bench")
-    qs = entry.queries()
+    # The bench roster is rotation-proof: gate + extended registries are
+    # merged, then the roster is the fixed rel_* HEADLINE set plus every
+    # operator-family query, regardless of which registry it currently
+    # sits in (the driver-gate rotation must not change what we bench).
+    # rel_* outside HEADLINE are single-operator forms whose work already
+    # runs inside the merged headline queries (no double counting).
+    # Excluded from the timed roster (still oracle-checked by
+    # tools/check.py) to keep wall-clock inside the driver's budget and
+    # totals comparable round-over-round — none were in the r2/r3
+    # headline set: multimodal is the sanctioned Arrow/Python path,
+    # sample_split is a trivial map-only bucketing, ml_kmeans and the
+    # four base graph algorithms are multi-iteration driver loops whose
+    # plans are audited in PLANS.md.
+    exclude = (
+        "mm_", "sample_", "ml_kmeans", "graph_pagerank",
+        "graph_components", "graph_shortest_paths", "graph_triangles",
+    )
+    qs = dict(entry.queries())
+    if hasattr(entry, "extra_queries"):
+        qs.update(entry.extra_queries())
     names = [n for n in HEADLINE if n in qs]
-    # include any operator-suite headliners registered later
     for n in qs:
-        if n not in names and any(
-            n.startswith(p)
-            for p in ("dedup_", "sim_", "text_", "match_", "stream_", "events_")
+        if n not in names and not n.startswith("rel_") and not any(
+            n.startswith(p) for p in exclude
         ):
             names.append(n)
-    # extended-registry operators (outside the driver gate cap) bench
-    # too — except the rel_* single-operator forms, whose work already
-    # runs inside the merged gate queries above (no double counting)
-    if hasattr(entry, "extra_queries"):
-        extra = entry.extra_queries()
-        qs = {**qs, **extra}
-        for n in extra:
-            if n not in names and not n.startswith("rel_"):
-                names.append(n)
     # warmup: spin up the JVM + parquet footer reads (not timed)
     qs[names[0]](spark, sf_dir).limit(1).collect()
 

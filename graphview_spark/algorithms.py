@@ -600,12 +600,14 @@ ORACLES = {
     "graph_triangles": _oracle_triangles(),
 }
 
-# outside the driver gate's ~50-entry cap — checked via extra_queries()
-EXTRA_QUERIES = {
+# rotated into the driver gate in round 4
+QUERIES.update({
     "graph_communities": q_graph_communities,
     "graph_weighted_paths": q_graph_weighted_paths,
-}
-EXTRA_ORACLES = {
+})
+ORACLES.update({
     "graph_communities": _oracle_communities(),
     "graph_weighted_paths": _oracle_weighted_paths(),
-}
+})
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict = {}

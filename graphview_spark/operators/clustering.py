@@ -245,14 +245,18 @@ FROM q
 """
 
 
-EXTRA_QUERIES = {"ml_quantize": q_ml_quantize}
-EXTRA_ORACLES = {"ml_quantize": _oracle_quantize()}
+# ml_quantize rotated into the driver gate in round 4 (appended to
+# QUERIES below)
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict = {}
 
 
 QUERIES = {
     "ml_kmeans": q_ml_kmeans,
+    "ml_quantize": q_ml_quantize,
 }
 
 ORACLES = {
     "ml_kmeans": _oracle_kmeans(),
+    "ml_quantize": _oracle_quantize(),
 }

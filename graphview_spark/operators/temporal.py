@@ -371,6 +371,9 @@ ORACLES = {
     "events_asof": ORACLE_EVENTS_ASOF,
     "events_range_count": ORACLE_EVENTS_RANGE_COUNT,
 }
+# rollup/funnel/retention/gapfill are appended to QUERIES at module end
+# (they are defined below this point); rotated into the driver gate in
+# round 4.
 
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
@@ -545,15 +548,17 @@ FROM dense
 
 
 # outside the driver gate's ~50-entry cap — checked via extra_queries()
-EXTRA_QUERIES = {
+QUERIES.update({
     "events_rollup": q_events_rollup,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_gapfill": q_events_gapfill,
-}
-EXTRA_ORACLES = {
+})
+ORACLES.update({
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_retention": ORACLE_EVENTS_RETENTION,
     "events_gapfill": ORACLE_EVENTS_GAPFILL,
-}
+})
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict = {}

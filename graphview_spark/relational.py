@@ -770,36 +770,18 @@ GROUP BY CAST(ts AS DATE), event_type
 # (rel_semi_anti, rel_subqueries, rel_rollup_distinct, rel_window_topn
 # each cover two SURVEY rows); the unmerged forms stay pytest-covered
 # (tests/test_relational.py) and runnable here.
+# Round-4 rotation: the driver gate records only the first ~50
+# ``queries()`` entries, so stable relational basics (green in rounds
+# 2-3, still oracle-checked locally via extra_queries()) rotate out to
+# make room for previously-extended operator families to accumulate a
+# driver-verified row. rel_pricing_summary stays as the relational
+# representative (projection/filter/groupBy/agg/order in one query).
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
-    "rel_shipping_priority": q_shipping_priority,
-    "rel_local_supplier_volume": q_local_supplier_volume,
-    "rel_scalar_surface": q_scalar_surface,
-    "rel_semi_anti": q_semi_anti,
-    "rel_subqueries": q_subqueries,
-    "rel_having": q_having,
-    "rel_rollup_distinct": q_rollup_distinct,
-    "rel_set_ops": q_set_ops,
-    "rel_window_topn": q_window_topn,
-    "rel_outer_cross": q_outer_cross,
-    "rel_cte_derived": q_cte_derived,
-    "rel_events_daily": q_events_daily,
 }
 
 ORACLES = {
     "rel_pricing_summary": ORACLE_PRICING_SUMMARY,
-    "rel_shipping_priority": ORACLE_SHIPPING_PRIORITY,
-    "rel_local_supplier_volume": ORACLE_LOCAL_SUPPLIER,
-    "rel_scalar_surface": ORACLE_SCALAR_SURFACE,
-    "rel_semi_anti": ORACLE_SEMI_ANTI,
-    "rel_subqueries": ORACLE_SUBQUERIES,
-    "rel_having": ORACLE_HAVING,
-    "rel_rollup_distinct": ORACLE_ROLLUP_DISTINCT,
-    "rel_set_ops": ORACLE_SET_OPS,
-    "rel_window_topn": ORACLE_WINDOW_TOPN,
-    "rel_outer_cross": ORACLE_OUTER_CROSS,
-    "rel_cte_derived": ORACLE_CTE_DERIVED,
-    "rel_events_daily": ORACLE_EVENTS_DAILY,
 }
 
 def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,6 +821,18 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 # Single-operator forms kept runnable for tests and ad-hoc checks (not
 # registered with the driver gate — see the cap note above).
 EXTRA_QUERIES = {
+    "rel_shipping_priority": q_shipping_priority,
+    "rel_local_supplier_volume": q_local_supplier_volume,
+    "rel_scalar_surface": q_scalar_surface,
+    "rel_semi_anti": q_semi_anti,
+    "rel_subqueries": q_subqueries,
+    "rel_having": q_having,
+    "rel_rollup_distinct": q_rollup_distinct,
+    "rel_set_ops": q_set_ops,
+    "rel_window_topn": q_window_topn,
+    "rel_outer_cross": q_outer_cross,
+    "rel_cte_derived": q_cte_derived,
+    "rel_events_daily": q_events_daily,
     "rel_window_lead_lag": q_window_lead_lag,
     "rel_exists_semi": q_exists_semi,
     "rel_not_exists_anti": q_not_exists_anti,
@@ -851,6 +845,18 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES = {
+    "rel_shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "rel_local_supplier_volume": ORACLE_LOCAL_SUPPLIER,
+    "rel_scalar_surface": ORACLE_SCALAR_SURFACE,
+    "rel_semi_anti": ORACLE_SEMI_ANTI,
+    "rel_subqueries": ORACLE_SUBQUERIES,
+    "rel_having": ORACLE_HAVING,
+    "rel_rollup_distinct": ORACLE_ROLLUP_DISTINCT,
+    "rel_set_ops": ORACLE_SET_OPS,
+    "rel_window_topn": ORACLE_WINDOW_TOPN,
+    "rel_outer_cross": ORACLE_OUTER_CROSS,
+    "rel_cte_derived": ORACLE_CTE_DERIVED,
+    "rel_events_daily": ORACLE_EVENTS_DAILY,
     "rel_window_lead_lag": ORACLE_WINDOW_LEAD_LAG,
     "rel_exists_semi": ORACLE_EXISTS_SEMI,
     "rel_not_exists_anti": ORACLE_NOT_EXISTS_ANTI,
