@@ -802,22 +802,36 @@ def _exec_select_setops(g, parts, lits) -> DataFrame:
         tail_order = last_text[mo:]
         parts = parts[:-1] + [(last_op, last_text[:mo])]
 
+    # T-SQL gives INTERSECT higher precedence than UNION/EXCEPT
+    # (A UNION B INTERSECT C == A UNION (B INTERSECT C)), so fold
+    # runs of INTERSECT into sub-results first, then apply
+    # UNION/EXCEPT left-to-right across the folded groups.
+    groups: list[tuple[str | None, list[str]]] = []
+    for op, text in parts:
+        if op == "INTERSECT" and groups:
+            groups[-1][1].append(text)
+        else:
+            groups.append((op, [text]))
+
     acc = None
     cols = None
-    for op, text in parts:
-        df = _exec_select_body(g, text.strip(), lits)
+    for op, texts in groups:
+        sub = None
+        for text in texts:
+            df = _exec_select_body(g, text.strip(), lits)
+            if cols is None:
+                cols = df.columns
+            else:
+                df = df.toDF(*cols)  # positional alignment, SQL-style
+            sub = df if sub is None else sub.intersect(df)
         if acc is None:
-            acc, cols = df, df.columns
-            continue
-        df = df.toDF(*cols)          # positional alignment, SQL-style
-        if op == "UNION ALL":
-            acc = acc.unionByName(df)
+            acc = sub
+        elif op == "UNION ALL":
+            acc = acc.unionByName(sub)
         elif op == "UNION":
-            acc = acc.unionByName(df).distinct()
-        elif op == "EXCEPT":
-            acc = acc.subtract(df)   # Spark subtract == EXCEPT DISTINCT
-        else:                        # INTERSECT
-            acc = acc.intersect(df)
+            acc = acc.unionByName(sub).distinct()
+        else:                        # EXCEPT
+            acc = acc.subtract(sub)  # Spark subtract == EXCEPT DISTINCT
     if tail_order:
         acc.createOrReplaceTempView("__setop_result")
         acc = g.spark.sql(
@@ -1620,19 +1634,32 @@ def _exec_merge(g, sql: str) -> None:
         src_ref = src.strip("[]")
     src_clause = f"{src_ref} {salias}" if salias else src_ref
 
-    if upd:
-        from_text = f"{tbl} {talias if talias != tbl else ''} ".strip()
-        from_text += f" JOIN {src_clause} ON {on_text}"
-        _exec_update_from(g, talias, upd.group("set"), from_text, None, lits)
+    # T-SQL MERGE evaluates every WHEN branch against the PRE-statement
+    # snapshot: an UPDATE that rewrites an ON-key column must not change
+    # which source rows the INSERT branch sees. So the NOT MATCHED
+    # anti-join is computed (and materialized — localCheckpoint pins the
+    # rows, the lazy plan would otherwise re-read the updated target)
+    # BEFORE the matched-branch update runs.
+    ins_df = None
     if ins:
-        cols = [c.strip().strip("[]") for c in ins["cols"].split(",")]
         anti = (
             f"SELECT {ins['vals']} FROM {src_clause} "
             f"WHERE NOT EXISTS (SELECT 1 FROM {tbl} "
             f"{talias if talias != tbl else ''} WHERE {on_text})"
         )
-        stmt = f"INSERT INTO {tbl} ({', '.join(cols)}) {anti}"
-        _exec_insert_node(g, _unmask(stmt, lits))
+        ins_df = _exec_select(g, _unmask(anti, lits))
+        if ins_df is None:
+            raise ValueError("MERGE: NOT MATCHED branch produced no result")
+        ins_df = ins_df.localCheckpoint(eager=True)
+    if upd:
+        from_text = f"{tbl} {talias if talias != tbl else ''} ".strip()
+        from_text += f" JOIN {src_clause} ON {on_text}"
+        _exec_update_from(g, talias, upd.group("set"), from_text, None, lits)
+    if ins_df is not None:
+        cols = [c.strip().strip("[]") for c in ins["cols"].split(",")]
+        ins_df.createOrReplaceTempView("__merge_ins")
+        stmt = f"INSERT INTO {tbl} ({', '.join(cols)}) SELECT * FROM __merge_ins"
+        _exec_insert_node(g, stmt)
 
 
 def _exec_delete_node(g, sql: str) -> None:

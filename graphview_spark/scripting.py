@@ -130,6 +130,7 @@ class ScriptRunner:
         self.g = g
         self.variables: dict[str, object] = {}
         self.printed: list[str] = []   # PRINT output, in order
+        self.result: DataFrame | None = None  # last delivered result set
 
     # -- scalar evaluation -------------------------------------------------
     def _eval_scalar(self, expr: str, lits) -> object:
@@ -172,10 +173,14 @@ class ScriptRunner:
         # [count]) act as statement breaks; the repeat count is ignored
         # (idempotent DDL batches — the common use — don't need it)
         masked = re.sub(r"(?im)^\s*GO(\s+\d+)?\s*$", ";", masked)
+        self.result = None
         try:
             return self._run_block(masked, lits)
         except _ScriptReturn:
-            return None
+            # T-SQL RETURN ends the batch but result sets already
+            # produced are still delivered to the client — hand back the
+            # last SELECT executed before the unwind.
+            return self.result
 
     def _run_block(self, masked: str, lits) -> DataFrame | None:
         result: DataFrame | None = None
@@ -183,6 +188,7 @@ class ScriptRunner:
             r = self._run_statement(stmt, lits)
             if r is not None:
                 result = r
+                self.result = r
         return result
 
     def _run_statement(self, stmt: str, lits) -> DataFrame | None:

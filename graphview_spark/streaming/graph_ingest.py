@@ -55,8 +55,17 @@ class GraphStreamWriter:
         self.batches = 0
         self.ingested_rows = 0
         self.skipped_rows = 0
+        self.last_batch_id = -1
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: after a failure the engine
+        # replays the last micro-batch with the SAME batch_id. Edges have
+        # no natural key to anti-join on (parallel edges are legal), so
+        # replay protection is the standard batch_id high-water mark —
+        # a replayed batch would otherwise double-insert every edge.
+        if batch_id <= self.last_batch_id:
+            return
+        self.last_batch_id = batch_id
         g = self.g
         e = g.catalog.resolve_edge(self.source_table, self.edge_name)
         src_t = g.catalog.table(e.source_table)
@@ -103,8 +112,16 @@ class NodeStreamWriter:
         self.table = table
         self.compact_every = compact_every
         self.batches = 0
+        self.last_batch_id = -1
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # same batch_id high-water mark as GraphStreamWriter — the
+        # NodeId anti-join below already makes replays a no-op, but the
+        # guard keeps both writers on one idempotence invariant and
+        # skips the join work on a replay.
+        if batch_id <= self.last_batch_id:
+            return
+        self.last_batch_id = batch_id
         g = self.g
         t = g.catalog.table(self.table)
         nid = t.node_id_column

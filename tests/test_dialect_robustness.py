@@ -162,6 +162,33 @@ def test_setops_between_match_queries(g):
     assert sorted(r["i"] for r in out.collect()) == [2, 99]
 
 
+def test_intersect_precedence(g):
+    # T-SQL: INTERSECT binds tighter than UNION/EXCEPT, so
+    # A UNION B INTERSECT C == A UNION (B INTERSECT C). With
+    # left-to-right evaluation ({1}∪{5})∩{7} would be empty.
+    out = g.execute(
+        "SELECT a.id AS i FROM People a, People b MATCH a-[Knows]->b "
+        "UNION SELECT 5 AS i "
+        "INTERSECT SELECT 7 AS i"
+    )
+    assert sorted(r["i"] for r in out.collect()) == [1]
+    # a run of INTERSECTs folds into one group
+    out = g.execute(
+        "SELECT a.id AS i FROM People a, People b MATCH a-[Knows]->b "
+        "UNION SELECT 5 AS i "
+        "INTERSECT SELECT 5 AS i "
+        "INTERSECT SELECT 5 AS i"
+    )
+    assert sorted(r["i"] for r in out.collect()) == [1, 5]
+    # leading INTERSECT group then UNION
+    out = g.execute(
+        "SELECT a.id AS i FROM People a, People b MATCH a-[Knows]->b "
+        "INTERSECT SELECT 1 AS i "
+        "UNION SELECT 9 AS i"
+    )
+    assert sorted(r["i"] for r in out.collect()) == [1, 9]
+
+
 def test_match_inside_subqueries(g):
     # derived table wrapping a MATCH query
     out = g.execute(

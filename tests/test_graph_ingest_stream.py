@@ -71,6 +71,21 @@ def test_edge_stream_ingest_and_match(g, spark, tmp_path):
     assert {(r["a"], r["b"]) for r in got} == {("a", "b"), ("b", "c"), ("c", "d")}
 
 
+def test_edge_stream_replayed_batch_is_noop(g, spark):
+    # at-least-once foreachBatch: after a failure the SAME batch_id is
+    # redelivered — the writer's batch_id high-water mark must make the
+    # replay a no-op instead of double-inserting every edge
+    w = GraphStreamWriter(g, "Person", "Knows", "src_id", "dst_id")
+    batch = spark.createDataFrame([(1, 2), (2, 3)], ["src_id", "dst_id"])
+    w(batch, 0)
+    assert g.edge_count("Person.Knows") == 2
+    w(batch, 0)  # replay
+    assert g.edge_count("Person.Knows") == 2
+    assert w.ingested_rows == 2
+    w(batch.where("src_id = 1"), 1)  # a genuinely new batch still lands
+    assert g.edge_count("Person.Knows") == 3
+
+
 def test_node_stream_ingest_idempotent(g, spark, tmp_path):
     src = tmp_path / "nodes_in"
     src.mkdir()

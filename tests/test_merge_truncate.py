@@ -52,6 +52,28 @@ def test_merge_update_and_insert(g, spark):
     }
 
 
+def test_merge_branches_see_pre_statement_snapshot(g, spark):
+    # T-SQL MERGE evaluates WHEN branches against the pre-statement
+    # target: the matched-branch UPDATE rewrites the ON key (eid 1 → 9),
+    # which must NOT unmatch source row id=9 — it was unmatched before
+    # the statement, so it still inserts (sequential evaluation would
+    # see eid=9 already present and skip it).
+    spark.createDataFrame(
+        [(1, "upd", 99.0), (9, "new", 9.0)], ["id", "nm", "sal"]
+    ).createOrReplaceTempView("snap_src")
+    g.execute(
+        """MERGE INTO Emp AS t USING snap_src AS s ON t.eid = s.id
+           WHEN MATCHED THEN UPDATE SET eid = 9, name = s.nm
+           WHEN NOT MATCHED THEN INSERT (eid, name, salary)
+                VALUES (s.id, s.nm, s.sal)"""
+    )
+    got = sorted(
+        (r["eid"], r["name"])
+        for r in g.execute("SELECT eid, name FROM Emp").collect()
+    )
+    assert got == [(2, "bob"), (9, "new"), (9, "upd")]
+
+
 def test_merge_subquery_source_update_only(g):
     g.execute(
         """MERGE INTO Emp USING (

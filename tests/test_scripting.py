@@ -180,6 +180,29 @@ def test_print_and_return(spark):
     assert r.variables["i"] == 2  # RETURN skipped the SET
 
 
+def test_return_delivers_prior_result_set(spark):
+    # T-SQL RETURN ends the batch, but result sets produced before it
+    # are still delivered to the client — a SELECT before RETURN must
+    # not be discarded by the unwind.
+    from graphview_spark.graph import GraphDatabase
+    from graphview_spark.scripting import ScriptRunner
+
+    g = GraphDatabase(spark)
+    r = ScriptRunner(g)
+    out = r.run(
+        """
+        DECLARE @i INT = 7;
+        SELECT @i AS v;
+        IF @i > 1
+        BEGIN
+            RETURN;
+        END;
+        SELECT 99 AS v;
+        """
+    )
+    assert out is not None and out.collect()[0]["v"] == 7
+
+
 def test_declare_decimal_type(spark):
     from graphview_spark.graph import GraphDatabase
 
