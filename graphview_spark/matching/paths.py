@@ -7,8 +7,11 @@ NodeTableGraphViewCodeTemplate.cs:475-587); ``min=0`` contributes the
 source itself as an empty path; per-hop attribute predicates apply at
 every expansion; the ``bfsPath_DifferNodes`` variant
 (DeployScriptTemplate.cs:355-468) enforces **node**-uniqueness instead.
-Path display reproduces PathMessageDecoder's
-``nodeId-[edge]->nodeId`` strings (TranslateMatchClauseVisitor.cs:519-618).
+Path display reproduces PathMessageDecoder's per-hop messages
+(TranslateMatchClauseVisitor.cs:519-618): ``nodeId-[edge]->nodeId`` for
+plain edges, ``nodeId-[edge {attr:value, ...}]->nodeId`` for attributed
+ones (the encoder/decoder pair serializes typed edge-attribute values
+per hop, NodeTableGraphViewCodeTemplate.cs:1000-1260).
 
 Spark realization: a driver-side fixpoint loop over DataFrames. Each
 iteration joins the frontier's ``end`` against the edge DF's ``src`` and
@@ -62,9 +65,11 @@ def var_length_paths(
     edges = _edge_df(g, e, src_name, sink_name, raw=True)
     ekey = F.concat_ws(":", F.col("_etype"), F.col("src"), F.col("edge_id"))
     # materialize once: every hop joins this set, and deriving it repeats
-    # the edge_id window otherwise (one recompute per hop)
+    # the edge_id window otherwise (one recompute per hop). _emsg is the
+    # per-edge display message (edge name + attribute values for
+    # attributed edges — the PathMessageDecoder parity, see _one_edge_df).
     edges = edges.select(
-        "src", "sink", "_etype", ekey.alias("_ekey")
+        "src", "sink", "_etype", ekey.alias("_ekey"), "_emsg"
     ).localCheckpoint(eager=True)
 
     seed = edges
@@ -94,7 +99,9 @@ def var_length_paths(
         F.concat_ws(
             "",
             F.col("src").cast("string"),
-            F.lit(f"-[{e.edge_name}]->"),
+            F.lit("-["),
+            F.col("_emsg"),
+            F.lit("]->"),
             F.col("sink").cast("string"),
         ).alias("path_str"),
     )
@@ -124,7 +131,9 @@ def var_length_paths(
             F.concat_ws(
                 "",
                 F.col("path_str"),
-                F.lit(f"-[{e.edge_name}]->"),
+                F.lit("-["),
+                F.col("_emsg"),
+                F.lit("]->"),
                 F.col("sink").cast("string"),
             ).alias("path_str"),
         ).localCheckpoint(eager=True)

@@ -180,9 +180,34 @@ def _one_edge_df(g, et: EdgeType, e: PatternEdge, raw: bool = False) -> DataFram
     if raw:
         # raw form for the BFS path loop: unprefixed join keys + a
         # physical-edge discriminator (the reference's 16-byte
-        # (nodeId, edgeColumnId, edgeId) triple becomes a string key)
+        # (nodeId, edgeColumnId, edgeId) triple becomes a string key),
+        # plus the per-hop display message. The reference's
+        # PathMessageEncoder/Decoder pair
+        # (NodeTableGraphViewCodeTemplate.cs:1000-1260, deployed via
+        # DeployScriptTemplate.cs:469-798) renders each traversed edge
+        # with its typed attribute values; here that is a plain string
+        # column built from the edge scan — attributed edges show
+        # "Name {attr:value, ...}", null attributes render as null.
+        if et.attributes:
+            attr_parts = [
+                F.concat_ws(
+                    ":",
+                    F.lit(a),
+                    F.coalesce(F.col(a).cast("string"), F.lit("null")),
+                )
+                for a, _ in et.attributes
+            ]
+            msg = F.concat(
+                F.lit(f"{et.name} {{"),
+                F.concat_ws(", ", *attr_parts),
+                F.lit("}"),
+            )
+        else:
+            msg = F.lit(et.name)
         return df.select(
-            "src", "edge_id", "sink", F.lit(et.qualified).alias("_etype")
+            "src", "edge_id", "sink",
+            F.lit(et.qualified).alias("_etype"),
+            msg.alias("_emsg"),
         )
     prefix = e.alias
     cols = [

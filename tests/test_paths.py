@@ -127,3 +127,39 @@ def test_path_display_string(diamond):
     strs = {r["p_path_str"] for r in rows}
     want = f"{base+1}-[E]->{base+2}-[E]->{base+3}"
     assert want in strs
+
+
+def test_path_display_with_edge_attribute_messages(spark):
+    """Attributed edges render their per-hop attribute values into the
+    path string — PathMessageEncoder/Decoder parity (the tutorial's
+    ``Placed {prio}`` shape, NodeTableGraphViewCodeTemplate.cs:1000-1260).
+    Null attribute values render as ``null``."""
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [P] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Edge", Reference:"P",
+             Attributes:{prio:"string", w:"int"}] Placed VARBINARY(max) )"""
+    )
+    g.execute("INSERT INTO P(id) VALUES(1),(2),(3)")
+    base = g.catalog.table("P").gid_base()
+    pairs = spark.createDataFrame(
+        [(1, 2, "urgent", 5), (2, 3, None, 7)],
+        "a int, b int, prio string, w int",
+    )
+    g.insert_edges_df(
+        "P", "Placed",
+        pairs.select(
+            (F.lit(base) + F.col("a")).cast("long").alias("src"),
+            (F.lit(base) + F.col("b")).cast("long").alias("sink"),
+            "prio", "w",
+        ),
+    )
+    e = parse_match_paths("x-[Placed*2..2 AS p]->y").edges[0]
+    rows = var_length_paths(g, e, "P", "P").collect()
+    strs = {r["p_path_str"] for r in rows}
+    want = (
+        f"{base+1}-[Placed {{prio:urgent, w:5}}]->{base+2}"
+        f"-[Placed {{prio:null, w:7}}]->{base+3}"
+    )
+    assert strs == {want}
