@@ -14,12 +14,16 @@ Scale design:
   No Python, no per-key loop, no range condition the optimizer can't
   use — the cost is exactly one shuffle + sort, the same as any
   groupBy on ``by``. Skew bound: a hot ``by`` key sorts on one
-  reducer — inherent to per-key ordered semantics; pre-split hot
-  keys by coarse time range (process each range independently and
-  carry the last match across boundaries) if one key's rows exceed
-  reducer memory. (A cogrouped ``applyInPandas`` + ``merge_asof``
-  would give the same semantics through Arrow but leaves the JVM; this
-  stays in whole-stage codegen.)
+  reducer — inherent to per-key ordered semantics. ``split_seconds``
+  lifts that bound: the partition key becomes (by, time-range), each
+  range sorts independently on its own reducer, and the last right row
+  of every preceding range is injected as one boundary "carry" row per
+  (key, range) — computed from a tiny per-range summary (#keys ×
+  #ranges rows), so results are identical to the unsplit path while no
+  partition ever holds more than one range of the hot key's history.
+  (A cogrouped ``applyInPandas`` + ``merge_asof`` would give the same
+  semantics through Arrow but leaves the JVM; this stays in
+  whole-stage codegen.)
 
 - ``banded_range_join`` is the bucketed band join: a join condition
   ``r.ts BETWEEN l.ts - W AND l.ts`` is not an equi-join, and Spark
@@ -57,6 +61,7 @@ def asof_join(
     suffix: str = "_r",
     direction: str = "backward",
     tolerance_seconds: float | None = None,
+    split_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach ``right_cols`` from the most recent right
     row with ``right.on <= left.on`` (direction='backward', inclusive;
@@ -70,6 +75,13 @@ def asof_join(
 
     ``tolerance_seconds`` nulls the match when the matched timestamp is
     further than the tolerance from the left row's timestamp.
+
+    ``split_seconds`` is the hot-key mitigation: rows are additionally
+    partitioned by a coarse time range of that width, so a skewed ``by``
+    key (one user producing months of events) never sorts its full
+    history on a single reducer. The last qualifying right row of every
+    preceding range is carried across the boundary, so the result is
+    row-for-row identical to the unsplit path.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join direction must be backward/forward: {direction}")
@@ -102,12 +114,71 @@ def asof_join(
         rstruct.alias("_match"),
     )
     u = l.unionByName(r)
+    part: list[str] = list(by)
+    if split_seconds is not None:
+        # Hot-key range split: each (by, range) sorts independently; the
+        # best right row of all preceding (backward) / following
+        # (forward) ranges is injected as ONE boundary carry row per
+        # (key, range). The carry keeps its true timestamp, which is
+        # outside the target range by construction, so it sorts
+        # before/after every in-range row with no extra sort column.
+        S = float(split_seconds)
+        u = u.withColumn(
+            "_rid", F.floor(F.col("_t").cast("double") / F.lit(S))
+        )
+        rr = u.filter(F.col("_is_left") == 0).select(
+            *by, "_rid", "_t", "_tb", "_match"
+        )
+        pick = F.struct("_t", "_tb", "_match")
+        key = F.struct(F.col("_t"), F.col("_tb"))
+        if direction == "backward":
+            best = rr.groupBy(*by, "_rid").agg(
+                F.max_by(pick, key).alias("_b")
+            )
+            wc = (
+                W.partitionBy(*by).orderBy("_rid")
+                .rowsBetween(W.unboundedPreceding, -1)
+            )
+            carry = F.last("_b", ignorenulls=True).over(wc)
+        else:
+            best = rr.groupBy(*by, "_rid").agg(
+                F.min_by(pick, key).alias("_b")
+            )
+            wc = (
+                W.partitionBy(*by).orderBy("_rid")
+                .rowsBetween(1, W.unboundedFollowing)
+            )
+            carry = F.first("_b", ignorenulls=True).over(wc)
+        # every (key, range) that has ANY row needs a carry — ranges
+        # with left rows but no right rows still inherit earlier matches
+        rids = u.select(*by, "_rid").distinct()
+        carries = (
+            rids.join(best, [*by, "_rid"], "left")
+            .withColumn("_c", carry)
+            .filter(F.col("_c").isNotNull())
+            .select(
+                *by,
+                F.col("_c._t").alias("_t"),
+                F.lit(0).alias("_is_left"),
+                F.col("_c._tb").alias("_tb"),
+                *[
+                    F.lit(None)
+                    .cast(dict(left.dtypes).get(c, "string"))
+                    .alias(c)
+                    for c in lpayload
+                ],
+                F.col("_c._match").alias("_match"),
+                "_rid",
+            )
+        )
+        u = u.unionByName(carries)
+        part = [*by, "_rid"]
     if direction == "backward":
         # at equal _t the right row sorts first (inclusive >=); among tied
         # right rows the greatest tiebreak sorts last and last() wins
         order = [F.col("_t").asc(), F.col("_is_left").asc(), F.col("_tb").asc()]
         w = (
-            W.partitionBy(*by)
+            W.partitionBy(*part)
             .orderBy(*order)
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
@@ -115,7 +186,7 @@ def asof_join(
     else:
         order = [F.col("_t").asc(), F.col("_is_left").desc(), F.col("_tb").asc()]
         w = (
-            W.partitionBy(*by)
+            W.partitionBy(*part)
             .orderBy(*order)
             .rowsBetween(W.currentRow, W.unboundedFollowing)
         )

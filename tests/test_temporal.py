@@ -80,6 +80,76 @@ def test_asof_forward_and_tolerance(spark):
     assert trows[2]["ts_r"] is None
 
 
+def _skewed_frames(spark):
+    """One hot user (90% of rows) + a sparse user whose matches must
+    carry across many range boundaries."""
+    import random
+
+    rnd = random.Random(7)
+    base = int(_ts("2024-01-01 00:00:00").timestamp())
+    lrows = [
+        (i, 10, datetime.fromtimestamp(base + rnd.randrange(0, 36000)))
+        for i in range(200)
+    ] + [
+        (1000 + i, 20, datetime.fromtimestamp(base + 3600 * 9 + i))
+        for i in range(5)
+    ]
+    rrows = [
+        (10, datetime.fromtimestamp(base + rnd.randrange(0, 36000)),
+         float(i), i)
+        for i in range(300)
+    ] + [
+        # user 20's only right row sits hours before its left rows —
+        # the match must carry across every intermediate time range
+        (20, datetime.fromtimestamp(base + 30), 99.0, 9000),
+    ]
+    left = spark.createDataFrame(
+        lrows, "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        rrows, "user_id long, ts timestamp, value double, _id long"
+    )
+    return left, right
+
+
+def test_asof_split_equals_unsplit(spark):
+    left, right = _skewed_frames(spark)
+    kw = dict(on="ts", by=["user_id"], right_cols=["value"], tiebreak="_id")
+    for direction in ("backward", "forward"):
+        plain = asof_join(left, right, direction=direction, **kw)
+        split = asof_join(
+            left, right, direction=direction, split_seconds=600, **kw
+        )
+        assert sorted(map(tuple, split.collect()), key=lambda t: t[:2]) == \
+            sorted(map(tuple, plain.collect()), key=lambda t: t[:2])
+    # tolerance composes with the split the same way
+    plain = asof_join(left, right, tolerance_seconds=120, **kw)
+    split = asof_join(
+        left, right, tolerance_seconds=120, split_seconds=600, **kw
+    )
+    assert sorted(map(tuple, split.collect()), key=lambda t: t[:2]) == \
+        sorted(map(tuple, plain.collect()), key=lambda t: t[:2])
+
+
+def test_asof_split_partitions_by_time_range(spark):
+    # the sort partition key must include the range id — that is the
+    # guarantee that no single partition holds a hot key's full history
+    left, right = _skewed_frames(spark)
+    split = asof_join(
+        left, right, on="ts", by=["user_id"], right_cols=["value"],
+        tiebreak="_id", split_seconds=600,
+    )
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    main_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "_match" in ln
+    ]
+    assert main_windows, plan
+    assert all("_rid" in ln for ln in main_windows), main_windows
+
+
 def test_banded_range_join_boundaries(spark):
     # window 300s; pairs that straddle a bucket boundary must still match
     left = spark.createDataFrame(
