@@ -1192,48 +1192,129 @@ def _split_union_all_depth0(text: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _compile_fn_body(body: str, env: dict[str, str]) -> str | None:
+    """Compile a T-SQL scalar-function statement body (DECLARE / SET /
+    IF...ELSE / RETURN) into ONE SQL expression, continuation-passing
+    style: an IF inlines the remaining statements into both branches, so
+    an early RETURN in one branch and fall-through in the other compile
+    exactly. ``env`` maps @variable names to their current SQL
+    expression (parameters map to the UDF argument names). Returns None
+    when control falls off the end (T-SQL raises at runtime; we yield
+    NULL). WHILE and side-effecting statements raise — those belong in
+    CREATE PROCEDURE."""
+    from graphview_spark.catalog import normalize_sql_type
+    from graphview_spark.scripting import split_cond_block, split_statements
+
+    def subst(expr: str, e: dict[str, str]) -> str:
+        return re.sub(
+            r"@(\w+)",
+            lambda mm: f"({e[mm.group(1)]})" if mm.group(1) in e
+            else mm.group(0),
+            expr,
+        )
+
+    stmts = split_statements(body)
+    for i, st in enumerate(stmts):
+        st = st.strip()
+        if not st:
+            continue
+        m = re.match(r"(?is)^RETURN\s+(?P<e>.+)$", st, re.DOTALL)
+        if m:
+            return subst(m.group("e").strip(), env)
+        m = re.match(
+            r"(?is)^DECLARE\s+@(?P<n>\w+)\s+(?P<t>[\w(), ]+?)"
+            r"(?:\s*=\s*(?P<init>.+))?$",
+            st,
+            re.DOTALL,
+        )
+        if m:
+            env = dict(env)
+            env[m.group("n")] = (
+                subst(m.group("init").strip(), env)
+                if m.group("init")
+                else f"CAST(NULL AS {normalize_sql_type(m.group('t'))})"
+            )
+            continue
+        m = re.match(r"(?is)^SET\s+@(?P<n>\w+)\s*=\s*(?P<e>.+)$", st, re.DOTALL)
+        if m:
+            env = dict(env)
+            env[m.group("n")] = subst(m.group("e").strip(), env)
+            continue
+        m = re.match(r"(?is)^IF\b(?P<rest>.+)$", st, re.DOTALL)
+        if m:
+            cond, then_body, tail = split_cond_block(m.group("rest"))
+            else_body = ""
+            if tail.strip():
+                em = re.match(r"(?is)^\s*ELSE\b(?P<erest>.+)$", tail, re.DOTALL)
+                if not em:
+                    raise ValueError(
+                        f"unexpected text after IF block: {tail[:40]!r}"
+                    )
+                _, else_body, etail = split_cond_block(" TRUE " + em.group("erest"))
+                if etail.strip():
+                    raise ValueError(
+                        f"unexpected text after ELSE block: {etail[:40]!r}"
+                    )
+            rest = ";".join(stmts[i + 1 :])
+            r_then = _compile_fn_body(f"{then_body};{rest}", env)
+            r_else = _compile_fn_body(f"{else_body};{rest}", env)
+            return (
+                f"CASE WHEN ({subst(cond, env)}) "
+                f"THEN {r_then if r_then is not None else 'NULL'} "
+                f"ELSE {r_else if r_else is not None else 'NULL'} END"
+            )
+        raise ValueError(
+            "CREATE FUNCTION bodies support DECLARE / SET / IF...ELSE / "
+            f"RETURN (use CREATE PROCEDURE for {st.split(None, 1)[0].upper()} "
+            f"and side-effecting statements): {st[:60]!r}"
+        )
+    return None
+
+
 def _exec_create_function(g, sql: str) -> None:
-    """T-SQL scalar CREATE FUNCTION (single-RETURN form) → Spark SQL UDF.
+    """T-SQL scalar CREATE FUNCTION → Spark declarative SQL UDF.
 
-    The reference parses CREATE FUNCTION and passes it through to SQL
-    Server (WProcedureStatement.cs:150-250). Spark ≥3.5 has declarative
-    SQL UDFs, so the scalar single-expression form translates directly:
-
-        CREATE FUNCTION Double(@x INT) RETURNS INT AS
-        BEGIN RETURN @x * 2 END
-
-    becomes ``CREATE OR REPLACE TEMPORARY FUNCTION Double(x INT)
-    RETURNS INT RETURN x * 2`` — usable from every later dialect
-    statement. Multi-statement bodies raise (procedures cover those)."""
+    The reference parses CREATE FUNCTION and passes arbitrary function
+    bodies through to SQL Server (WProcedureStatement.cs:150-250). Spark
+    ≥4.0 has declarative SQL UDFs whose body is one expression, so the
+    statement body (DECLARE / SET / IF...ELSE / RETURN, nested
+    arbitrarily) is compiled into a single nested-CASE expression by
+    ``_compile_fn_body`` — deterministic, executed JVM-side inside
+    codegen, no Python UDF. WHILE loops raise with a pointer to CREATE
+    PROCEDURE (driver-side interpretation), matching the split the
+    reference's users see between inlineable and procedural T-SQL."""
     masked, lits = _mask_strings(sql)
     head = re.match(
         r"(?is)^\s*CREATE\s+FUNCTION\s+(?P<name>\[[^\]]+\]|[A-Za-z_]\w*)\s*(?=\()",
         masked,
     )
-    m = None
-    if head:
-        pend = _match_paren(masked, head.end())
-        tail = re.match(
-            r"(?is)^\s*RETURNS\s+(?P<ret>[\w(), ]+?)\s+AS\s+"
-            r"BEGIN\s+RETURN\s+(?P<expr>.+?)\s*;?\s*END\s*$",
-            masked[pend + 1 :],
-        )
-        if tail:
-            m = {
-                "name": head.group("name"),
-                "params": masked[head.end() + 1 : pend],
-                "ret": tail.group("ret"),
-                "expr": tail.group("expr"),
-            }
-    if not m:
+    if not head:
+        raise ValueError(f"cannot parse CREATE FUNCTION: {sql[:60]!r}")
+    pend = _match_paren(masked, head.end())
+    tail = re.match(
+        r"(?is)^\s*RETURNS\s+(?P<ret>[\w(), ]+?)\s+AS\s*(?=BEGIN\b)",
+        masked[pend + 1 :],
+    )
+    if not tail:
         raise ValueError(
-            "CREATE FUNCTION supports the scalar single-RETURN form "
-            f"(use CREATE PROCEDURE for statement bodies): {sql[:60]!r}"
+            "CREATE FUNCTION requires RETURNS <type> AS BEGIN ... END: "
+            f"{sql[:60]!r}"
         )
     from graphview_spark.catalog import normalize_sql_type
+    from graphview_spark.scripting import _find_matching_end
+
+    rest_text = masked[pend + 1 :]
+    bstart = tail.end()
+    bend = _find_matching_end(rest_text, bstart)
+    body = rest_text[bstart + 5 : bend - 3]
+    trailing = rest_text[bend:].strip().rstrip(";").strip()
+    if trailing:
+        raise ValueError(
+            f"unexpected text after function body: {trailing[:40]!r}"
+        )
 
     params = []
-    for p in _split_depth0(m["params"], ","):
+    for p in _split_depth0(masked[head.end() + 1 : pend], ","):
         p = p.strip()
         if not p:
             continue
@@ -1241,10 +1322,12 @@ def _exec_create_function(g, sql: str) -> None:
         if not pm:
             raise ValueError(f"cannot parse function parameter: {p!r}")
         params.append((pm.group("n"), normalize_sql_type(pm.group("t"))))
-    expr = re.sub(r"@(\w+)", r"\1", m["expr"])
-    name = m["name"].strip("[]")
+    expr = _compile_fn_body(body, {n: n for n, _ in params})
+    name = head.group("name").strip("[]")
     sig = ", ".join(f"{n} {t}" for n, t in params)
-    ret = normalize_sql_type(m["ret"])
+    ret = normalize_sql_type(tail.group("ret"))
+    if expr is None:
+        expr = f"CAST(NULL AS {ret})"
     g.spark.sql(
         _unmask(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "

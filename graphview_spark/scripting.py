@@ -121,6 +121,25 @@ def _subst_vars(text: str, variables: dict[str, object]) -> str:
     return re.sub(r"@(\w+)", repl, text)
 
 
+def split_cond_block(rest: str) -> tuple[str, str, str]:
+    """``<cond> BEGIN <body> END <tail>`` → (cond, body, tail)."""
+    upper = rest.upper()
+    depth = 0
+    for i, ch in enumerate(rest):
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif (
+            depth == 0
+            and upper.startswith("BEGIN", i)
+            and _is_kw_at(rest, i, i + 5)
+        ):
+            end = _find_matching_end(rest, i)
+            return rest[:i].strip(), rest[i + 5 : end - 3].strip(), rest[end:]
+    raise ScriptError("WHILE/IF requires a BEGIN ... END block")
+
+
 class _ScriptReturn(Exception):
     """Raised by RETURN to unwind out of nested blocks/loops."""
 
@@ -233,22 +252,7 @@ class ScriptRunner:
         return execute_statement(self.g, sql)
 
     def _split_cond_block(self, rest: str) -> tuple[str, str, str]:
-        """``<cond> BEGIN <body> END <tail>`` → (cond, body, tail)."""
-        upper = rest.upper()
-        depth = 0
-        for i, ch in enumerate(rest):
-            if ch in "([{":
-                depth += 1
-            elif ch in ")]}":
-                depth -= 1
-            elif (
-                depth == 0
-                and upper.startswith("BEGIN", i)
-                and _is_kw_at(rest, i, i + 5)
-            ):
-                end = _find_matching_end(rest, i)
-                return rest[:i].strip(), rest[i + 5 : end - 3].strip(), rest[end:]
-        raise ScriptError("WHILE/IF requires a BEGIN ... END block")
+        return split_cond_block(rest)
 
     def _run_while(self, rest: str, lits) -> DataFrame | None:
         cond, body, tail = self._split_cond_block(rest)

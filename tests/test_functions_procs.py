@@ -136,10 +136,65 @@ def test_create_function_dialect(spark):
         for r in g.execute("SELECT id, WithTax(price) AS t FROM N").collect()
     }
     assert got == {1: 11.0, 2: pytest.approx(22.0)}
-    with pytest.raises(ValueError, match="single-RETURN"):
+    # multi-statement body: DECLARE + RETURN compile to one expression
+    g.execute(
+        "CREATE FUNCTION PlusOne(@x INT) RETURNS INT AS "
+        "BEGIN DECLARE @y INT = 1; RETURN @x + @y END"
+    )
+    assert g.execute("SELECT PlusOne(41) AS v").collect()[0]["v"] == 42
+
+
+def test_create_function_multi_statement_bodies(spark):
+    from graphview_spark.graph import GraphDatabase
+
+    g = GraphDatabase(spark)
+    # IF/ELSE with SET and a trailing shared RETURN
+    g.execute(
+        """CREATE FUNCTION Grade(@s INT) RETURNS VARCHAR(2) AS
+           BEGIN
+             DECLARE @g VARCHAR(2);
+             IF @s >= 90 BEGIN SET @g = 'A' END
+             ELSE BEGIN
+               IF @s >= 80 BEGIN SET @g = 'B' END
+               ELSE BEGIN SET @g = 'C' END;
+             END;
+             RETURN @g
+           END"""
+    )
+    got = g.execute(
+        "SELECT Grade(95) AS a, Grade(85) AS b, Grade(42) AS c"
+    ).collect()[0]
+    assert (got["a"], got["b"], got["c"]) == ("A", "B", "C")
+    # early RETURN in one branch, fall-through in the other
+    g.execute(
+        """CREATE FUNCTION Clip(@x INT, @hi INT) RETURNS INT AS
+           BEGIN
+             IF @x > @hi BEGIN RETURN @hi END;
+             SET @x = @x + 0;
+             RETURN @x
+           END"""
+    )
+    r = g.execute("SELECT Clip(15, 10) AS a, Clip(5, 10) AS b").collect()[0]
+    assert (r["a"], r["b"]) == (10, 5)
+    # sequential SET reassignments fold left-to-right
+    g.execute(
+        """CREATE FUNCTION Poly(@x INT) RETURNS INT AS
+           BEGIN
+             DECLARE @acc INT = @x;
+             SET @acc = @acc * 2;
+             SET @acc = @acc + 3;
+             RETURN @acc
+           END"""
+    )
+    assert g.execute("SELECT Poly(4) AS v").collect()[0]["v"] == 11
+    # WHILE is procedural — clear refusal naming the supported subset
+    with pytest.raises(ValueError, match="CREATE PROCEDURE"):
         g.execute(
-            "CREATE FUNCTION Bad(@x INT) RETURNS INT AS "
-            "BEGIN DECLARE @y INT = 1; RETURN @x + @y END"
+            """CREATE FUNCTION Loops(@x INT) RETURNS INT AS
+               BEGIN
+                 WHILE @x < 10 BEGIN SET @x = @x + 1 END;
+                 RETURN @x
+               END"""
         )
 
 
