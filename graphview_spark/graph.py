@@ -150,6 +150,13 @@ class GraphDatabase:
         # MatchGraphInterface.cs:47-189); invalidated by DML
         self._edge_counts: dict[str, int] = {}
         self._node_counts: dict[str, int] = {}
+        # materialized degree aggregates (the reference keeps degrees as
+        # STORED columns, GraphViewParser.cs:1041-1056; we materialize on
+        # first use). Keyed by the identity of the contributing edge
+        # DataFrames: DML rebinds self.edges entries to new objects, so
+        # a stale cache entry can never be returned — no invalidation
+        # hooks needed.
+        self._degree_cache: dict[tuple, tuple[tuple, tuple, DataFrame]] = {}
         # SELECT INTO targets (reference: plain SQL tables created by
         # SELECT INTO passthrough) — queryable in later statements
         self.derived_tables: dict[str, DataFrame] = {}
@@ -784,28 +791,40 @@ class GraphDatabase:
         table (or of every member table when given a node view). Reference
         stores <Edge>OutDegree per row (GraphViewParser.cs:1113-1131); we
         aggregate on demand."""
-        parts = []
+        srcs = []
         for member in self._degree_member_tables(table_name):
             t = self.catalog.table(member)
             names = [edge_name] if edge_name else list(t.edges)
-            parts.extend(
-                self.edges[t.edges[n.lower()].qualified].select("src")
-                for n in names
+            srcs.extend(
+                self.edges[t.edges[n.lower()].qualified] for n in names
             )
-        if not parts:
+        if not srcs:
             return self.spark.createDataFrame(
                 [], "src long, out_degree long"
             ).withColumnRenamed("src", "GlobalNodeId")
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        key = ("out", table_name.lower(), (edge_name or "").lower())
+        ids = tuple(id(df) for df in srcs)
+        hit = self._degree_cache.get(key)
+        if hit is not None and hit[0] == ids:
+            return hit[2]
+        out = srcs[0].select("src")
+        for p in srcs[1:]:
+            out = out.unionByName(p.select("src"))
         # union BEFORE aggregating: one map-side-combined shuffle total,
-        # instead of one per edge type plus a re-aggregation
-        return (
+        # instead of one per edge type plus a re-aggregation; the
+        # materialized result is what every later query's degree join
+        # scans (bench: the view-degree union was recomputing this per
+        # query)
+        agg = (
             out.groupBy("src")
             .agg(F.count(F.lit(1)).alias("out_degree"))
             .withColumnRenamed("src", "GlobalNodeId")
+            .localCheckpoint(eager=True)
         )
+        # the contributing DFs are pinned in the entry so their id()s
+        # can't be recycled by GC into a false cache hit
+        self._degree_cache[key] = (ids, tuple(srcs), agg)
+        return agg
 
     def in_degree(self, table_name: str) -> DataFrame:
         """(GlobalNodeId, in_degree) across ALL edge types that reference
@@ -813,21 +832,31 @@ class GraphDatabase:
         maintains InDegree transactionally on the sink table,
         TranslateDataModificationVisitor.cs:2085-2137)."""
         sinks = {m.lower() for m in self._degree_member_tables(table_name)}
-        parts = []
+        srcs = []
         for nt in self.catalog.tables.values():
             for e in nt.edges.values():
                 if e.sink_table.lower() in sinks:
-                    parts.append(self.edges[e.qualified].select("sink"))
-        if not parts:
+                    srcs.append(self.edges[e.qualified])
+        if not srcs:
             return self.spark.createDataFrame([], "GlobalNodeId long, in_degree long")
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return (
+        key = ("in", table_name.lower(), "")
+        ids = tuple(id(df) for df in srcs)
+        hit = self._degree_cache.get(key)
+        if hit is not None and hit[0] == ids:
+            return hit[2]
+        out = srcs[0].select("sink")
+        for p in srcs[1:]:
+            out = out.unionByName(p.select("sink"))
+        agg = (
             out.groupBy("sink")
             .agg(F.count(F.lit(1)).alias("in_degree"))
             .withColumnRenamed("sink", "GlobalNodeId")
+            .localCheckpoint(eager=True)
         )
+        # the contributing DFs are pinned in the entry so their id()s
+        # can't be recycled by GC into a false cache hit
+        self._degree_cache[key] = (ids, tuple(srcs), agg)
+        return agg
 
     # ------------------------------------------------------------------
     # Graph DML (SURVEY §2.6)

@@ -159,6 +159,29 @@ def test_degree_columns_in_dialect(people):
     assert [row["n"] for row in r.collect()] == ["Bob"]
 
 
+def test_degree_cache_invalidates_on_dml(people):
+    # degrees are materialized on first use (the reference stores them
+    # as columns); a DML rebind of the edge DF must be a cache miss
+    before = {
+        r["GlobalNodeId"]: r["out_degree"]
+        for r in people.out_degree("People").collect()
+    }
+    # cache hit: identical object back for the same graph state
+    assert people.out_degree("People") is people.out_degree("People")
+    people.execute(
+        "INSERT EDGE INTO People.Knows SELECT a, b FROM People a, People b "
+        "WHERE a.name = 'Alice' AND b.name = 'Alice'"
+    )
+    after = {
+        r["GlobalNodeId"]: r["out_degree"]
+        for r in people.out_degree("People").collect()
+    }
+    nodes = {
+        r["name"]: r["GlobalNodeId"] for r in people.nodes["People"].collect()
+    }
+    assert after[nodes["Alice"]] == before[nodes["Alice"]] + 1
+
+
 def test_degree_columns_in_plain_sql(people):
     # the reference stores degrees as physical columns, so a plain SELECT
     # (no MATCH) can read them (GraphViewParser.cs:1041-1131)
