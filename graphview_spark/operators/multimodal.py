@@ -72,16 +72,64 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decode / feature-extract over mapInPandas (Arrow batches)
 # --------------------------------------------------------------------------
 
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+        T.StructField("error", T.StringType(), True),  # null = decoded ok
+    ]
+)
+
+
 def decode_media(df: DataFrame, decoder: Callable | None = None) -> DataFrame:
-    """Decode payloads via an injected codec. No codec libraries ship in
-    this environment → without ``decoder`` this raises at plan-build
-    time, by design (STUB, clearly marked)."""
+    """Decode payloads via an injected codec — the injection seam for a
+    real PIL/opencv/ffmpeg-backed ``decoder(payload: bytes, kind: str)
+    -> list[float]``. No codec libraries ship in this environment, so
+    without ``decoder`` this raises at plan-build time, by design
+    (STUB, clearly marked; ``fake_feature_extractor`` is the
+    deterministic stand-in).
+
+    Codec contract: at corpus scale corrupt payloads are a certainty,
+    so a decoder exception must not fail the job — the row is captured
+    with ``feature = null`` and ``error`` holding the exception text
+    (dead-letter shape: ``.filter("error IS NOT NULL")`` routes the
+    failures, ``.filter("error IS NULL")`` the clean rows). Runs per
+    Arrow batch via ``mapInPandas``, same as ``extract_features``."""
     if decoder is None:
         raise NotImplementedError(
             "no media codec available in this environment; inject "
-            "decoder=fn(payload: bytes, kind: str) -> features"
+            "decoder=fn(payload: bytes, kind: str) -> features "
+            "(see examples/media_features.py)"
         )
-    return extract_features(df, decoder)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats: list = []
+            errs: list = []
+            for p, k in zip(pdf["payload"], pdf["kind"]):
+                try:
+                    feats.append(decoder(bytes(p) if p is not None else b"", k))
+                    errs.append(None)
+                except Exception as exc:  # dead-letter, not job failure
+                    feats.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "feature": feats,
+                    "error": errs,
+                }
+            )
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
 
 
 def fake_feature_extractor(payload: bytes, kind: str) -> list[float]:

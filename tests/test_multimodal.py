@@ -34,6 +34,41 @@ def test_decode_without_codec_raises(media):
         decode_media(media)
 
 
+def test_decode_media_injected_codec_with_dead_letters(spark):
+    # the documented decoder= seam with a codec that has real failure
+    # modes: corrupt rows become dead-letter rows (error column), clean
+    # rows carry features — a decoder exception never fails the job
+    from examples.media_features import PNG_MAGIC, strict_png_decoder
+
+    rows = [
+        (1, "image", PNG_MAGIC + b"ok-bytes"),
+        (2, "image", b"not-a-png"),
+        (3, "audio", b"RIFF"),
+        (4, "image", None),  # null payload -> bad magic -> dead letter
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r["media_id"]: r for r in
+           decode_media(media, decoder=strict_png_decoder).collect()}
+    assert out[1]["error"] is None
+    assert out[1]["feature"][0] == float(len(b"ok-bytes"))
+    assert "bad magic" in out[2]["error"] and out[2]["feature"] is None
+    assert "kind='audio'" in out[3]["error"]
+    assert out[4]["error"] is not None and out[4]["n_bytes"] == 0
+
+
+def test_decode_media_fake_extractor_through_seam(media):
+    # the deterministic stand-in flows through the same seam as a real
+    # codec and produces the documented feature shape with zero errors
+    from graphview_spark.operators.multimodal import fake_feature_extractor
+
+    out = decode_media(media.limit(50), decoder=fake_feature_extractor)
+    assert out.filter("error IS NOT NULL").count() == 0
+    r = out.filter("feature IS NOT NULL").first()
+    assert len(r["feature"]) == 4 and r["feature"][0] == r["n_bytes"]
+
+
 def test_extract_features_matches_python(media):
     feats = extract_features(media)
     assert feats.schema == FEATURE_SCHEMA
