@@ -107,7 +107,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     as CHECKS_LOCAL.md) and pytest-covered — kept out of ``queries()``
     only so the capped driver gate keeps recording the core surface."""
     from graphview_spark import algorithms, relational
-    from graphview_spark.operators import clustering, skew, temporal
+    from graphview_spark.operators import (
+        clustering,
+        pipeline,
+        sampling,
+        skew,
+        temporal,
+        text,
+    )
 
     return {
         **relational.EXTRA_QUERIES,
@@ -115,13 +122,23 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **temporal.EXTRA_QUERIES,
         **skew.EXTRA_QUERIES,
         **clustering.EXTRA_QUERIES,
+        **text.EXTRA_QUERIES,
+        **sampling.EXTRA_QUERIES,
+        **pipeline.EXTRA_QUERIES,
     }
 
 
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for ``extra_queries()``."""
     from graphview_spark import algorithms, relational
-    from graphview_spark.operators import clustering, skew, temporal
+    from graphview_spark.operators import (
+        clustering,
+        pipeline,
+        sampling,
+        skew,
+        temporal,
+        text,
+    )
 
     return {
         **relational.EXTRA_ORACLES,
@@ -129,4 +146,7 @@ def extra_oracle_sql() -> dict[str, str]:
         **temporal.EXTRA_ORACLES,
         **skew.EXTRA_ORACLES,
         **clustering.EXTRA_ORACLES,
+        **text.EXTRA_ORACLES,
+        **sampling.EXTRA_ORACLES,
+        **pipeline.EXTRA_ORACLES,
     }

@@ -393,6 +393,81 @@ FROM r GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# temperature-based domain mixing — the UL2/Gopher-style resampler:
+# source s with share c_s gets sampling weight c_s^alpha (alpha<1
+# flattens the distribution toward small domains), normalized to a
+# global row budget. Two tiny aggregates (per-source counts, one
+# weight-sum) broadcast back onto a map-only hash-acceptance pass —
+# the corpus itself never shuffles.
+# --------------------------------------------------------------------------
+
+TEMP_ALPHA = 0.5
+TEMP_BUDGET = 300          # target accepted rows at sf0.01 scale
+
+
+def temperature_mix(
+    docs: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = TEMP_ALPHA,
+    budget: int = TEMP_BUDGET,
+) -> DataFrame:
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("c"))
+    w = counts.withColumn("w", F.pow(F.col("c"), F.lit(float(alpha))))
+    tw = w.agg(F.sum("w").alias("tw"))
+    # p_keep rounds to 6dp on BOTH engines so the acceptance boundary is
+    # identical regardless of float-sum ordering
+    probs = w.crossJoin(F.broadcast(tw)).select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(budget)) * F.col("w") / F.col("tw")) / F.col("c"),
+            ),
+            6,
+        ).alias("p_keep"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("tmix|"), F.col(key_col).cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % MIX_BUCKETS
+    )
+    return (
+        docs.join(F.broadcast(probs), group_col)
+        .withColumn("_b", bucket)
+        .filter(F.col("_b") < F.col("p_keep") * MIX_BUCKETS)
+        .select(key_col, group_col)
+    )
+
+
+def q_pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_mix(read_table(spark, sf_dir, "documents"))
+
+
+def _oracle_temperature_mix() -> str:
+    from graphview_spark.operators.dedup import _sql_hex15_to_int
+
+    salted = "'tmix|' || doc_id::VARCHAR"
+    bucket = f"({_sql_hex15_to_int(salted)} % {MIX_BUCKETS})"
+    return f"""
+WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+w AS (SELECT source, c, pow(c, {TEMP_ALPHA}) AS w FROM c),
+t AS (SELECT sum(w) AS tw FROM w),
+p AS (SELECT source, round(least(1.0, ({TEMP_BUDGET}.0 * w / tw) / c), 6) AS p_keep
+      FROM w, t),
+b AS (SELECT doc_id, source, {bucket} AS b FROM documents)
+SELECT b.doc_id AS doc_id, b.source AS source
+FROM b JOIN p USING (source)
+WHERE b.b < p.p_keep * {MIX_BUCKETS}
+"""
+
+
 QUERIES = {
     "pipeline_decontam": q_pipeline_decontam,
     "pipeline_pack": q_pipeline_pack,
@@ -408,3 +483,7 @@ ORACLES = {
     "pipeline_mix": _oracle_mix(),
     "pipeline_chunk_dedup": ORACLE_CHUNK_DEDUP,
 }
+
+# outside the 50-entry driver gate — oracle-checked via extra_queries()
+EXTRA_QUERIES = {"pipeline_temperature_mix": q_pipeline_temperature_mix}
+EXTRA_ORACLES = {"pipeline_temperature_mix": _oracle_temperature_mix()}

@@ -107,6 +107,51 @@ GROUP BY source, split
 """
 
 
+# --------------------------------------------------------------------------
+# deterministic per-group sampling — the distributed stand-in for
+# reservoir sampling: rank rows inside each group by a hash of their
+# stable id and keep the first k. Same sample every run, every engine,
+# any partitioning; one shuffle on the group key. (At extreme scale the
+# full sort inside each group can be replaced by a bounded top-k
+# aggregate; the rank-window form is exchange-compatible with every
+# other per-group operator here.)
+# --------------------------------------------------------------------------
+
+GROUP_SAMPLE_K = 5
+
+
+def sample_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int = GROUP_SAMPLE_K
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def q_sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return sample_per_group(docs, "source", "doc_id").select(
+        "doc_id", "source", "rk"
+    )
+
+
+def _oracle_group_topk() -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, source, rk::INT AS rk FROM r WHERE rk <= {GROUP_SAMPLE_K}
+"""
+
+
 QUERIES = {
     "sample_split": q_sample_split,
 }
@@ -114,3 +159,7 @@ QUERIES = {
 ORACLES = {
     "sample_split": _oracle_sample_split(),
 }
+
+# outside the 50-entry driver gate — oracle-checked via extra_queries()
+EXTRA_QUERIES = {"sample_group_topk": q_sample_group_topk}
+EXTRA_ORACLES = {"sample_group_topk": _oracle_group_topk()}

@@ -525,6 +525,72 @@ FROM ({ORACLE_TEXT_VOCAB})
 """
 
 
+# --------------------------------------------------------------------------
+# PII scrubbing — map-only regex redaction (email / phone / IP), the
+# standard pre-training hygiene pass. Patterns use only constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB), so the
+# redaction is oracle-checkable byte-for-byte.
+# --------------------------------------------------------------------------
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}", "[PHONE]"),
+    ("ip", r"\b10\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def scrub_pii(df: DataFrame, col: str = "text") -> DataFrame:
+    """Redact PII patterns in ``col`` → ``clean_text`` + ``n_pii`` match
+    count. Pure column expressions (regexp_count/regexp_replace), fully
+    codegen-resident, no shuffle — scales as a map pass. Each pattern
+    counts against the already-redacted text of the previous pattern so
+    overlapping matches never double-count."""
+    clean = F.col(col)
+    n: Column = F.lit(0)
+    for _, pat, repl in PII_PATTERNS:
+        n = n + F.regexp_count(clean, F.lit(pat))
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.withColumn("n_pii", n.cast("int")).withColumn(
+        "clean_text", clean
+    )
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus carries no PII, so the query deterministically
+    plants one email + phone + IP per document (derived from doc_id) and
+    then proves the scrub removes all three."""
+    docs = read_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+        ).alias("text"),
+    )
+    return scrub_pii(salted).select("doc_id", "n_pii", "clean_text")
+
+
+def _oracle_pii_scrub() -> str:
+    salt = (
+        "text || ' contact user' || doc_id::VARCHAR || "
+        "'@example.com or +1-555-' || "
+        "lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+        "' from 10.0.' || (doc_id % 256)::VARCHAR || '.1'"
+    )
+    sql = f"SELECT doc_id, 0 AS n, {salt} AS t FROM documents"
+    for _, pat, repl in PII_PATTERNS:
+        sql = (
+            f"SELECT doc_id, n + len(regexp_extract_all(t, '{pat}')) AS n, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t "
+            f"FROM ({sql})"
+        )
+    return f"SELECT doc_id, n::INT AS n_pii, t AS clean_text FROM ({sql})"
+
+
 QUERIES = {
     "text_stats_quality": q_text_stats_quality,
     "text_langid": q_text_langid,
@@ -542,3 +608,7 @@ ORACLES = {
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "text_repetition": ORACLE_TEXT_REPETITION,
 }
+
+# outside the 50-entry driver gate — oracle-checked via extra_queries()
+EXTRA_QUERIES = {"text_pii_scrub": q_text_pii_scrub}
+EXTRA_ORACLES = {"text_pii_scrub": _oracle_pii_scrub()}
