@@ -164,6 +164,43 @@ def triangle_count(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     return nodes.crossJoin(n_edges).crossJoin(tri)
 
 
+def k_core(
+    pairs: DataFrame, k: int, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """The k-core of an undirected simple graph (canonical a<b pairs):
+    iteratively peel nodes of degree < k until fixpoint. Returns the
+    surviving nodes with their in-core degree ``(node, core_degree)``.
+
+    Driver loop like the other algorithms here: each round is one
+    degree aggregate + two anti-joins on node id (same partitioning
+    every round; checkpointed so lineage stays O(1)). Rounds are
+    bounded by the peeling depth — in practice a handful; each round
+    strictly shrinks the node set, so termination is guaranteed."""
+    und = (
+        pairs.select(F.col(a).alias("s"), F.col(b).alias("t"))
+        .union(pairs.select(F.col(b).alias("s"), F.col(a).alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    while True:
+        deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        low = deg.filter(F.col("d") < k).select("s").localCheckpoint(eager=True)
+        if low.isEmpty():
+            break
+        cur = (
+            cur.join(low, "s", "left_anti")
+            .join(low.withColumnRenamed("s", "t"), "t", "left_anti")
+            .select("s", "t")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .withColumnRenamed("s", "node")
+    )
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iterations: int = 50
 ) -> DataFrame:
@@ -600,6 +637,58 @@ ORACLES = {
     "graph_triangles": _oracle_triangles(),
 }
 
+KCORE_K = 2
+
+
+def q_graph_kcore(spark, sf_dir: str) -> DataFrame:
+    """2-core of the MinHash near-duplicate pair graph — the dense part
+    of the duplicate structure (nodes on cycles of near-dup relations),
+    peeled iteratively. Oracle: the same peeling unrolled as chained
+    CTEs (fixpoint reached well within the unroll depth on this data;
+    the Spark side runs to true fixpoint)."""
+    from graphview_spark.operators.dedup import (
+        MINHASH_JACCARD_T,
+        N_BANDS,
+        _lsh_verified_pairs,
+    )
+
+    pairs = _lsh_verified_pairs(spark, sf_dir, N_BANDS, MINHASH_JACCARD_T)
+    core = k_core(pairs, KCORE_K, "doc_a", "doc_b")
+    return core.select(F.col("node").alias("doc_id"), "core_degree")
+
+
+def _oracle_kcore(rounds: int = 12) -> str:
+    from graphview_spark.operators.dedup import (
+        MINHASH_JACCARD_T,
+        N_BANDS,
+        _oracle_lsh_verified,
+    )
+
+    pair_sql = _oracle_lsh_verified(N_BANDS, MINHASH_JACCARD_T)
+    # MATERIALIZED: each u{i+1} references u{i} twice (directly and via
+    # r{i}) — inlined CTEs would expand the LSH pair scan exponentially
+    ctes = [
+        f"pairs AS MATERIALIZED ({pair_sql})",
+        "u0 AS MATERIALIZED (SELECT DISTINCT doc_a AS s, doc_b AS t "
+        "FROM pairs UNION SELECT doc_b, doc_a FROM pairs)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT s FROM u{i} GROUP BY s "
+            f"HAVING count(*) < {KCORE_K})"
+        )
+        ctes.append(
+            f"u{i + 1} AS MATERIALIZED (SELECT s, t FROM u{i} "
+            f"WHERE s NOT IN (SELECT s FROM r{i}) "
+            f"AND t NOT IN (SELECT s FROM r{i}))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT s AS doc_id, count(*)::BIGINT AS core_degree "
+        f"FROM u{rounds} GROUP BY s"
+    )
+
+
 # rotated into the driver gate in round 4
 QUERIES.update({
     "graph_communities": q_graph_communities,
@@ -609,5 +698,5 @@ ORACLES.update({
     "graph_communities": _oracle_communities(),
     "graph_weighted_paths": _oracle_weighted_paths(),
 })
-EXTRA_QUERIES: dict = {}
-EXTRA_ORACLES: dict = {}
+EXTRA_QUERIES: dict = {"graph_kcore": q_graph_kcore}
+EXTRA_ORACLES: dict = {"graph_kcore": _oracle_kcore()}

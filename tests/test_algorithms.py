@@ -109,3 +109,51 @@ def test_bellman_ford_small_graph(spark):
     src = spark.createDataFrame([(1,)], ["id"])
     got = {r["id"]: r["dist"] for r in bellman_ford(src, edges, 4).collect()}
     assert got == {1: 0, 2: 2, 3: 1, 4: 12}
+
+
+def test_k_core_matches_bruteforce(spark):
+    """k_core vs brute-force peeling on random graphs — the iterative
+    DataFrame loop must reproduce exact peeling for every k."""
+    import random
+
+    from graphview_spark.algorithms import k_core
+
+    rnd = random.Random(4)
+    for trial in range(3):
+        n = rnd.randrange(5, 12)
+        pairs = sorted(
+            {
+                (a, b)
+                for a in range(n)
+                for b in range(a + 1, n)
+                if rnd.random() < 0.4
+            }
+        )
+        if not pairs:
+            continue
+        for k in (1, 2, 3):
+            # brute force: peel to fixpoint on plain Python sets
+            edges = set(pairs)
+            while True:
+                deg: dict[int, int] = {}
+                for a, b in edges:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+                low = {v for v, d in deg.items() if d < k}
+                if not low:
+                    break
+                edges = {
+                    (a, b) for a, b in edges
+                    if a not in low and b not in low
+                }
+            want = {}
+            for a, b in edges:
+                want[a] = want.get(a, 0) + 1
+                want[b] = want.get(b, 0) + 1
+
+            df = spark.createDataFrame(pairs, "a long, b long")
+            got = {
+                r["node"]: r["core_degree"]
+                for r in k_core(df, k).collect()
+            }
+            assert got == want, (trial, k, pairs)
