@@ -111,6 +111,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         clustering,
         pipeline,
         sampling,
+        search,
         skew,
         temporal,
         text,
@@ -125,6 +126,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **text.EXTRA_QUERIES,
         **sampling.EXTRA_QUERIES,
         **pipeline.EXTRA_QUERIES,
+        **search.EXTRA_QUERIES,
     }
 
 
@@ -135,6 +137,7 @@ def extra_oracle_sql() -> dict[str, str]:
         clustering,
         pipeline,
         sampling,
+        search,
         skew,
         temporal,
         text,
@@ -149,4 +152,5 @@ def extra_oracle_sql() -> dict[str, str]:
         **text.EXTRA_ORACLES,
         **sampling.EXTRA_ORACLES,
         **pipeline.EXTRA_ORACLES,
+        **search.EXTRA_ORACLES,
     }
