@@ -201,6 +201,123 @@ def k_core(
     )
 
 
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) with L1 normalization each
+    half-step (avoids the L2 sqrt while keeping scores bounded; the
+    ranking is identical up to scale). Fixed iteration count →
+    deterministic and oracle-checkable as unrolled CTEs.
+
+    Each round: two shuffles on node id (auth update from hub, hub
+    update from auth) + two broadcast 1-row normalization aggregates
+    computed in the same job — no driver sync beyond the per-round
+    checkpoint."""
+    state = nodes.select("GlobalNodeId").select(
+        "GlobalNodeId", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        auth_raw = (
+            edges.join(state, edges["src"] == state["GlobalNodeId"])
+            .groupBy(F.col("sink").alias("GlobalNodeId"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a_tot = auth_raw.agg(F.sum("a_raw").alias("_t"))
+        with_auth = (
+            state.select("GlobalNodeId", "hub")
+            .join(auth_raw, "GlobalNodeId", "left")
+            .join(F.broadcast(a_tot))
+            .select(
+                "GlobalNodeId",
+                "hub",
+                (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("_t")).alias(
+                    "auth"
+                ),
+            )
+        )
+        hub_raw = (
+            edges.join(
+                with_auth, edges["sink"] == with_auth["GlobalNodeId"]
+            )
+            .groupBy(F.col("src").alias("GlobalNodeId"))
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        h_tot = hub_raw.agg(F.sum("h_raw").alias("_t"))
+        state = (
+            with_auth.select("GlobalNodeId", "auth")
+            .join(hub_raw, "GlobalNodeId", "left")
+            .join(F.broadcast(h_tot))
+            .select(
+                "GlobalNodeId",
+                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("_t")).alias(
+                    "hub"
+                ),
+                "auth",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    sources: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to the ``sources``
+    set (uniformly) instead of to all nodes — the standard seeded
+    relevance ranking. Same loop shape as :func:`pagerank` (one shuffle
+    per round on node id, dangling mass redistributed to the teleport
+    vector, localCheckpoint caps lineage)."""
+    n_src = sources.count()
+    pref = nodes.select("GlobalNodeId").join(
+        sources.select("GlobalNodeId").withColumn("_p", F.lit(1.0 / n_src)),
+        "GlobalNodeId",
+        "left",
+    ).select(
+        "GlobalNodeId", F.coalesce(F.col("_p"), F.lit(0.0)).alias("p")
+    ).localCheckpoint(eager=True)
+    ranks = pref.select("GlobalNodeId", F.col("p").alias("rank"))
+    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["GlobalNodeId"])
+            .join(degrees, "src")
+            .select(
+                F.col("sink").alias("GlobalNodeId"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("GlobalNodeId")
+            .agg(F.sum("c").alias("received"))
+        )
+        dangling = (
+            ranks.join(degrees, ranks["GlobalNodeId"] == degrees["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        ranks = (
+            pref.join(contribs, "GlobalNodeId", "left")
+            .join(F.broadcast(dangling))
+            .select(
+                "GlobalNodeId",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping)
+                    * (
+                        F.col("_dang") * F.col("p")
+                        + F.coalesce(F.col("received"), F.lit(0.0))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iterations: int = 50
 ) -> DataFrame:
@@ -689,6 +806,117 @@ def _oracle_kcore(rounds: int = 12) -> str:
     )
 
 
+HITS_ITERS = 5
+PPR_ITERS = 5
+PPR_DAMPING = 0.85
+PPR_SEED_MAX = 10  # teleport set: customers with c_custkey <= this
+
+
+def q_graph_hits(spark, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the Refers tree, 5 L1-normalized
+    rounds — oracle = the same recurrence unrolled as chained CTEs."""
+    from graphview_spark.graph_queries import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes["Customer"]
+    edges = g.edge_with_id("Customer.Refers")
+    hs = hits(nodes, edges, iterations=HITS_ITERS)
+    return hs.join(nodes, "GlobalNodeId").select(
+        "c_custkey",
+        F.round("hub", 8).alias("hub"),
+        F.round("auth", 8).alias("auth"),
+    )
+
+
+def _oracle_hits(iterations: int = HITS_ITERS) -> str:
+    """HITS unrolled; every CTE MATERIALIZED — each level is referenced
+    twice by the next (raw sum + renormalized state), so inlining would
+    expand the edge scan exponentially (the k-core oracle lesson)."""
+    from graphview_spark.graph_queries import _ORACLE_REFERS
+
+    ctes = [
+        f"refers AS MATERIALIZED ({_ORACLE_REFERS})",
+        "h0 AS MATERIALIZED (SELECT c_custkey AS id, 1.0::DOUBLE AS hub, "
+        "1.0::DOUBLE AS auth FROM customer)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"h{i - 1}"
+        ctes += [
+            f"ar{i} AS MATERIALIZED (SELECT e.sink AS id, sum(p.hub) AS raw "
+            f"FROM {p} p JOIN refers e ON e.src = p.id GROUP BY e.sink)",
+            f"at{i} AS MATERIALIZED (SELECT sum(raw) AS t FROM ar{i})",
+            f"ha{i} AS MATERIALIZED (SELECT n.id, n.hub, "
+            f"coalesce(a.raw, 0) / at.t AS auth "
+            f"FROM {p} n LEFT JOIN ar{i} a ON a.id = n.id CROSS JOIN at{i} at)",
+            f"br{i} AS MATERIALIZED (SELECT e.src AS id, sum(p.auth) AS raw "
+            f"FROM ha{i} p JOIN refers e ON e.sink = p.id GROUP BY e.src)",
+            f"bt{i} AS MATERIALIZED (SELECT sum(raw) AS t FROM br{i})",
+            f"h{i} AS MATERIALIZED (SELECT n.id, "
+            f"coalesce(b.raw, 0) / bt.t AS hub, n.auth "
+            f"FROM ha{i} n LEFT JOIN br{i} b ON b.id = n.id CROSS JOIN bt{i} bt)",
+        ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS c_custkey, round(hub, 8) AS hub, "
+        f"round(auth, 8) AS auth FROM h{iterations}"
+    )
+
+
+def q_graph_ppr(spark, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on customers 1..10 over the Refers
+    tree — seeded relevance ranking, teleport mass back to the seeds."""
+    from graphview_spark.graph_queries import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes["Customer"]
+    edges = g.edge_with_id("Customer.Refers")
+    src = nodes.filter(F.col("c_custkey") <= PPR_SEED_MAX).select("GlobalNodeId")
+    pr = personalized_pagerank(
+        nodes, edges, src, damping=PPR_DAMPING, iterations=PPR_ITERS
+    )
+    return pr.join(nodes, "GlobalNodeId").select(
+        "c_custkey", F.round("rank", 8).alias("rank")
+    )
+
+
+def _oracle_ppr(
+    iterations: int = PPR_ITERS, damping: float = PPR_DAMPING
+) -> str:
+    from graphview_spark.graph_queries import _ORACLE_REFERS
+
+    def step(prev: str) -> str:
+        return f"""
+  SELECT pv.id, {1.0 - damping} * pv.p
+         + {damping} * (dang.s * pv.p + coalesce(ct.contrib, 0)) AS rank
+  FROM pref pv
+  CROSS JOIN (SELECT coalesce(sum(p.rank), 0) AS s
+              FROM {prev} p LEFT JOIN deg ON deg.src = p.id
+              WHERE deg.src IS NULL) dang
+  LEFT JOIN (SELECT e.sink AS id, sum(p.rank / deg.d) AS contrib
+             FROM {prev} p
+             JOIN deg ON deg.src = p.id
+             JOIN refers e ON e.src = p.id
+             GROUP BY e.sink) ct ON ct.id = pv.id"""
+
+    ctes = [
+        f"refers AS MATERIALIZED ({_ORACLE_REFERS})",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM refers GROUP BY src)",
+        f"ns AS (SELECT count(*)::DOUBLE AS n FROM customer "
+        f"WHERE c_custkey <= {PPR_SEED_MAX})",
+        f"pref AS MATERIALIZED (SELECT c_custkey AS id, "
+        f"CASE WHEN c_custkey <= {PPR_SEED_MAX} "
+        f"THEN 1.0 / (SELECT n FROM ns) ELSE 0.0::DOUBLE END AS p "
+        f"FROM customer)",
+        "r0 AS MATERIALIZED (SELECT id, p AS rank FROM pref)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"r{i} AS MATERIALIZED ({step(f'r{i - 1}')})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS c_custkey, round(rank, 8) AS rank FROM r{iterations}"
+    )
+
+
 # rotated into the driver gate in round 4
 QUERIES.update({
     "graph_communities": q_graph_communities,
@@ -698,5 +926,13 @@ ORACLES.update({
     "graph_communities": _oracle_communities(),
     "graph_weighted_paths": _oracle_weighted_paths(),
 })
-EXTRA_QUERIES: dict = {"graph_kcore": q_graph_kcore}
-EXTRA_ORACLES: dict = {"graph_kcore": _oracle_kcore()}
+EXTRA_QUERIES: dict = {
+    "graph_kcore": q_graph_kcore,
+    "graph_hits": q_graph_hits,
+    "graph_ppr": q_graph_ppr,
+}
+EXTRA_ORACLES: dict = {
+    "graph_kcore": _oracle_kcore(),
+    "graph_hits": _oracle_hits(),
+    "graph_ppr": _oracle_ppr(),
+}

@@ -157,3 +157,71 @@ def test_k_core_matches_bruteforce(spark):
                 for r in k_core(df, k).collect()
             }
             assert got == want, (trial, k, pairs)
+
+
+def _python_hits(n_nodes, edges, iters):
+    hub = {i: 1.0 for i in range(1, n_nodes + 1)}
+    auth = dict(hub)
+    for _ in range(iters):
+        a_raw = {i: 0.0 for i in hub}
+        for s, t in edges:
+            a_raw[t] += hub[s]
+        t_sum = sum(a_raw.values())
+        auth = {i: a_raw[i] / t_sum for i in a_raw}
+        h_raw = {i: 0.0 for i in hub}
+        for s, t in edges:
+            h_raw[s] += auth[t]
+        t_sum = sum(h_raw.values())
+        hub = {i: h_raw[i] / t_sum for i in h_raw}
+    return hub, auth
+
+
+def test_hits_exact(spark, tiny):
+    from graphview_spark.algorithms import hits
+
+    nodes, edges = tiny
+    got = {r["GlobalNodeId"]: (r["hub"], r["auth"])
+           for r in hits(nodes, edges, iterations=5).collect()}
+    hub, auth = _python_hits(4, [(1, 2), (1, 3), (2, 3)], 5)
+    for k in hub:
+        assert abs(got[k][0] - hub[k]) < 1e-9, ("hub", k)
+        assert abs(got[k][1] - auth[k]) < 1e-9, ("auth", k)
+    # node 1 is the pure hub, node 3 the pure authority, 4 isolated
+    assert got[1][0] == max(v[0] for v in got.values())
+    assert got[3][1] == max(v[1] for v in got.values())
+    assert got[4] == (0.0, 0.0)
+
+
+def _python_ppr(n_nodes, edges, seeds, damping, iters):
+    p = {i: (1.0 / len(seeds) if i in seeds else 0.0)
+         for i in range(1, n_nodes + 1)}
+    ranks = dict(p)
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    for _ in range(iters):
+        dangling = sum(r for i, r in ranks.items() if i not in out_deg)
+        received = {i: 0.0 for i in ranks}
+        for s, t in edges:
+            received[t] += ranks[s] / out_deg[s]
+        ranks = {i: (1 - damping) * p[i]
+                 + damping * (dangling * p[i] + received[i])
+                 for i in ranks}
+    return ranks
+
+
+def test_personalized_pagerank_exact(spark, tiny):
+    from graphview_spark.algorithms import personalized_pagerank
+
+    nodes, edges = tiny
+    seeds = spark.createDataFrame([(1,)], "GlobalNodeId long")
+    got = {r["GlobalNodeId"]: r["rank"]
+           for r in personalized_pagerank(
+               nodes, edges, seeds, damping=0.85, iterations=10).collect()}
+    want = _python_ppr(4, [(1, 2), (1, 3), (2, 3)], {1}, 0.85, 10)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    # teleporting to seed 1 keeps all mass reachable from it; node 4
+    # (disconnected from the seed) gets none
+    assert got[4] == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
