@@ -818,6 +818,74 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
 
+# --------------------------------------------------------------------------
+# §2.2/§2.4 PIVOT / UNPIVOT (T-SQL passthrough surface on the reference;
+# Spark-native relational pivot with EXPLICIT value list — no extra
+# distinct-values job, the rotation happens map-side in the aggregate)
+# --------------------------------------------------------------------------
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue rotated status→columns per priority (T-SQL PIVOT).
+    The explicit value list keeps the plan a single groupBy aggregate
+    (pivot without one runs a hidden collect-distinct job first —
+    a scan of the fact table wasted at 100 TB)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .select(
+            "o_orderpriority",
+            F.col("O").alias("open_rev"),
+            F.col("F").alias("filled_rev"),
+            F.col("P").alias("partial_rev"),
+        )
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+         AS open_rev,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+         AS filled_rev,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+         AS partial_rev
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-nation metrics melted to (metric, value) rows (T-SQL
+    UNPIVOT / Spark ``unpivot``). Metrics chosen halfway-safe: count and
+    cent-exact sum/max, no divisions."""
+    customer = _t(spark, sf_dir, "customer")
+    base = customer.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+    return base.unpivot(
+        ["c_nationkey"], ["n_cust", "total_bal", "max_bal"], "metric", "value"
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH base AS (
+  SELECT c_nationkey, count(*)::DOUBLE AS n_cust,
+         round(sum(c_acctbal), 2) AS total_bal,
+         round(max(c_acctbal), 2) AS max_bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, 'n_cust' AS metric, n_cust AS value FROM base
+UNION ALL
+SELECT c_nationkey, 'total_bal', total_bal FROM base
+UNION ALL
+SELECT c_nationkey, 'max_bal', max_bal FROM base
+"""
+
+
 # Single-operator forms kept runnable for tests and ad-hoc checks (not
 # registered with the driver gate — see the cap note above).
 EXTRA_QUERIES = {
@@ -842,6 +910,8 @@ EXTRA_QUERIES = {
     "rel_rollup": q_rollup,
     "rel_window_rank": q_window_rank,
     "rel_top_n_per_group": q_top_n_per_group,
+    "rel_pivot": q_pivot,
+    "rel_unpivot": q_unpivot,
 }
 
 EXTRA_ORACLES = {
@@ -866,4 +936,6 @@ EXTRA_ORACLES = {
     "rel_rollup": ORACLE_ROLLUP,
     "rel_window_rank": ORACLE_WINDOW_RANK,
     "rel_top_n_per_group": ORACLE_TOP_N_PER_GROUP,
+    "rel_pivot": ORACLE_PIVOT,
+    "rel_unpivot": ORACLE_UNPIVOT,
 }

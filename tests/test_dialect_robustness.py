@@ -263,3 +263,22 @@ def test_varlen_path_in_subquery(g):
         "People b MATCH a-[Knows*1..3 AS p]->b WHERE a.id = 1) t"
     ).collect()
     assert out[0]["mx"] == 2
+
+
+def test_pivot_unpivot_passthrough(g):
+    """T-SQL PIVOT/UNPIVOT shapes reach Spark SQL untranslated (the
+    reference passes them through to SQL Server the same way)."""
+    rows = g.execute(
+        "SELECT * FROM (SELECT name, id FROM People) "
+        "PIVOT (sum(id) FOR name IN ('A','B'))"
+    ).collect()
+    assert [tuple(rows[0])] == [(1, 2)]
+    melted = g.execute(
+        "SELECT name, metric, v FROM People "
+        "UNPIVOT (v FOR metric IN (id)) ORDER BY name"
+    ).collect()
+    assert [(r["name"], r["metric"], r["v"]) for r in melted] == [
+        ("A", "id", 1),
+        ("B", "id", 2),
+        ("C", "id", 3),
+    ]
