@@ -109,6 +109,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from graphview_spark import algorithms, relational
     from graphview_spark.operators import (
         clustering,
+        dedup,
         pipeline,
         sampling,
         search,
@@ -127,6 +128,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **sampling.EXTRA_QUERIES,
         **pipeline.EXTRA_QUERIES,
         **search.EXTRA_QUERIES,
+        **dedup.EXTRA_QUERIES,
     }
 
 
@@ -135,6 +137,7 @@ def extra_oracle_sql() -> dict[str, str]:
     from graphview_spark import algorithms, relational
     from graphview_spark.operators import (
         clustering,
+        dedup,
         pipeline,
         sampling,
         search,
@@ -153,4 +156,5 @@ def extra_oracle_sql() -> dict[str, str]:
         **sampling.EXTRA_ORACLES,
         **pipeline.EXTRA_ORACLES,
         **search.EXTRA_ORACLES,
+        **dedup.EXTRA_ORACLES,
     }

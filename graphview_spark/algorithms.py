@@ -806,6 +806,110 @@ def _oracle_kcore(rounds: int = 12) -> str:
     )
 
 
+def node_similarity(
+    edges: DataFrame,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor Jaccard similarity between node pairs of an
+    undirected graph given as directed (src, sink) edges.
+
+    Plan: symmetrize → self-join on the shared neighbor → pair-count
+    aggregate → join per-node degrees. Cost is Σ_n C(deg(n), 2), which
+    a hub node makes quadratic — ``max_degree`` drops hubs before the
+    self-join (the standard mitigation; at 100 TB you cap and handle
+    hubs separately, e.g. via sketches). The Jaccard is computed with
+    exact integer arithmetic so the oracle agrees bit-for-bit."""
+    from graphview_spark.operators.text import _ratio_r
+
+    sym = (
+        edges.select("src", "sink")
+        .union(edges.select(F.col("sink").alias("src"), F.col("src").alias("sink")))
+        .distinct()
+    )
+    if max_degree is not None:
+        deg_all = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg_all.filter(F.col("d") <= max_degree).select("src")
+        sym = sym.join(keep, "src").join(
+            keep.withColumnRenamed("src", "sink"), "sink"
+        ).select("src", "sink")
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    a = sym.select(F.col("src").alias("na"), F.col("sink").alias("n"))
+    b = sym.select(F.col("src").alias("nb"), F.col("sink").alias("n"))
+    common = (
+        a.join(b, "n")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(deg.withColumnRenamed("src", "na"), "na")
+        .withColumnRenamed("d", "da")
+        .join(deg.withColumnRenamed("src", "nb"), "nb")
+        .withColumnRenamed("d", "db")
+        .select(
+            "na",
+            "nb",
+            "common",
+            _ratio_r(
+                F.col("common"), F.col("da") + F.col("db") - F.col("common")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_graph_node_sim(spark, sf_dir: str) -> DataFrame:
+    """Common-neighbor Jaccard over the Refers tree (undirected):
+    sibling / parent-grandchild structural similarity."""
+    from graphview_spark.graph_queries import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes["Customer"]
+    edges = g.edge_with_id("Customer.Refers")
+    sim = node_similarity(edges)
+    na = nodes.select(
+        F.col("GlobalNodeId").alias("na"), F.col("c_custkey").alias("cust_a")
+    )
+    nb = nodes.select(
+        F.col("GlobalNodeId").alias("nb"), F.col("c_custkey").alias("cust_b")
+    )
+    # canonicalize on custkey: the Spark-side a<b order is on internal
+    # GlobalNodeIds, whose ordering need not match custkey ordering
+    return (
+        sim.join(na, "na")
+        .join(nb, "nb")
+        .select(
+            F.least("cust_a", "cust_b").alias("cust_a"),
+            F.greatest("cust_a", "cust_b").alias("cust_b"),
+            "common",
+            "jaccard",
+        )
+    )
+
+
+def _oracle_node_sim() -> str:
+    from graphview_spark.graph_queries import _ORACLE_REFERS
+    from graphview_spark.operators.text import _sql_ratio_r
+
+    jac = _sql_ratio_r("common", "da + db - common")
+    return f"""
+WITH refers AS MATERIALIZED ({_ORACLE_REFERS}),
+sym AS MATERIALIZED (
+  SELECT src, sink FROM refers UNION SELECT sink, src FROM refers
+),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM sym GROUP BY src),
+common AS (
+  SELECT a.src AS na, b.src AS nb, count(*)::BIGINT AS common
+  FROM sym a JOIN sym b ON a.sink = b.sink AND a.src < b.src
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT c.na, c.nb, c.common, x.d AS da, y.d AS db
+  FROM common c JOIN deg x ON x.src = c.na JOIN deg y ON y.src = c.nb
+)
+SELECT na AS cust_a, nb AS cust_b, common, {jac} AS jaccard FROM j
+"""
+
+
 HITS_ITERS = 5
 PPR_ITERS = 5
 PPR_DAMPING = 0.85
@@ -930,9 +1034,11 @@ EXTRA_QUERIES: dict = {
     "graph_kcore": q_graph_kcore,
     "graph_hits": q_graph_hits,
     "graph_ppr": q_graph_ppr,
+    "graph_node_sim": q_graph_node_sim,
 }
 EXTRA_ORACLES: dict = {
     "graph_kcore": _oracle_kcore(),
     "graph_hits": _oracle_hits(),
     "graph_ppr": _oracle_ppr(),
+    "graph_node_sim": _oracle_node_sim(),
 }

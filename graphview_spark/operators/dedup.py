@@ -653,6 +653,73 @@ FROM comp JOIN sizes USING (cluster_id)
 """
 
 
+HELDOUT_SOURCES = ("src0", "src1")  # held-out slice for cross-corpus dedup
+
+
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dedup: flag TRAIN documents that near-duplicate
+    (MinHash Jaccard ≥ T) any document in the HELD-OUT sources — the
+    train-vs-eval leak scrub a pipeline runs before packing. Reuses the
+    corpus-wide LSH verified pairs (signatures built once, banded
+    candidates, exact Jaccard only on collisions), then a metadata join
+    splits pairs by source; only pair rows shuffle, never the corpus."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _lsh_verified_pairs(spark, sf_dir, N_BANDS, MINHASH_JACCARD_T)
+    sa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    tagged = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    held = list(HELDOUT_SOURCES)
+    flagged = tagged.filter(
+        ~F.col("src_a").isin(held) & F.col("src_b").isin(held)
+    ).select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("src_a").alias("source"),
+        F.col("doc_b").alias("held_match"),
+    ).union(
+        tagged.filter(
+            F.col("src_a").isin(held) & ~F.col("src_b").isin(held)
+        ).select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("src_b").alias("source"),
+            F.col("doc_a").alias("held_match"),
+        )
+    )
+    return flagged.groupBy("doc_id", "source").agg(
+        F.min("held_match").alias("held_match"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+
+
+def _oracle_cross_corpus() -> str:
+    held = ", ".join(f"'{s}'" for s in HELDOUT_SOURCES)
+    pair_sql = _oracle_lsh_verified(N_BANDS, MINHASH_JACCARD_T)
+    return f"""
+WITH pairs AS MATERIALIZED ({pair_sql}),
+tagged AS (
+  SELECT p.doc_a, p.doc_b, a.source AS src_a, b.source AS src_b
+  FROM pairs p
+  JOIN documents a ON a.doc_id = p.doc_a
+  JOIN documents b ON b.doc_id = p.doc_b
+),
+flagged AS (
+  SELECT doc_a AS doc_id, src_a AS source, doc_b AS held_match
+  FROM tagged
+  WHERE src_a NOT IN ({held}) AND src_b IN ({held})
+  UNION ALL
+  SELECT doc_b, src_b, doc_a FROM tagged
+  WHERE src_a IN ({held}) AND src_b NOT IN ({held})
+)
+SELECT doc_id, source, min(held_match) AS held_match,
+       count(*)::BIGINT AS n_matches
+FROM flagged
+GROUP BY doc_id, source
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -670,3 +737,7 @@ ORACLES = {
     "dedup_embed_cosine": ORACLE_DEDUP_EMBED,
     "dedup_clusters": _oracle_clusters(),
 }
+
+# outside the 50-entry driver gate — oracle-checked via extra_queries()
+EXTRA_QUERIES = {"dedup_cross_corpus": q_dedup_cross_corpus}
+EXTRA_ORACLES = {"dedup_cross_corpus": _oracle_cross_corpus()}

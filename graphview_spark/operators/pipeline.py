@@ -468,6 +468,66 @@ WHERE b.b < p.p_keep * {MIX_BUCKETS}
 """
 
 
+def q_pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: per (source, lang) slice — document count,
+    character/token volume, and mean quality — the summary table a
+    dataset release ships. One map pass + one groupBy; the quality mean
+    is computed in exact integer arithmetic (sum of integer milli-scores
+    + round-half-up division) so the oracle agrees bit-for-bit."""
+    from graphview_spark.operators.text import TOKEN_PATTERN, quality_milli_col
+
+    docs = read_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)")
+        ).cast("long").alias("n_tokens"),
+        quality_milli_col(F.col("text")).cast("long").alias("q_milli"),
+    )
+    agg = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("q_milli").alias("_qsum"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.floor(
+            (2 * F.col("_qsum") + F.col("n_docs")) / (2 * F.col("n_docs"))
+        ).alias("mean_quality_milli"),
+    )
+
+
+def _oracle_data_card() -> str:
+    from graphview_spark.operators.text import SQL_QUALITY_MILLI
+
+    return f"""
+WITH split AS (
+  SELECT source, lang, n_chars, text, string_split(text, ' ') AS w
+  FROM documents
+),
+per_doc AS (
+  SELECT source, lang, n_chars,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+         ({SQL_QUALITY_MILLI})::BIGINT AS q_milli
+  FROM split
+)
+SELECT source, lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       ((2 * sum(q_milli)::BIGINT + count(*)) // (2 * count(*)))::BIGINT
+         AS mean_quality_milli
+FROM per_doc
+GROUP BY source, lang
+"""
+
+
 QUERIES = {
     "pipeline_decontam": q_pipeline_decontam,
     "pipeline_pack": q_pipeline_pack,
@@ -485,5 +545,11 @@ ORACLES = {
 }
 
 # outside the 50-entry driver gate — oracle-checked via extra_queries()
-EXTRA_QUERIES = {"pipeline_temperature_mix": q_pipeline_temperature_mix}
-EXTRA_ORACLES = {"pipeline_temperature_mix": _oracle_temperature_mix()}
+EXTRA_QUERIES = {
+    "pipeline_temperature_mix": q_pipeline_temperature_mix,
+    "pipeline_data_card": q_pipeline_data_card,
+}
+EXTRA_ORACLES = {
+    "pipeline_temperature_mix": _oracle_temperature_mix(),
+    "pipeline_data_card": _oracle_data_card(),
+}

@@ -225,3 +225,30 @@ def test_personalized_pagerank_exact(spark, tiny):
     # (disconnected from the seed) gets none
     assert got[4] == 0.0
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_node_similarity_exact(spark):
+    from graphview_spark.algorithms import node_similarity
+
+    # path 1-2-3-4: undirected; 1&3 share {2}, 2&4 share {3}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, sink long"
+    )
+    got = {(r["na"], r["nb"]): (r["common"], r["jaccard"])
+           for r in node_similarity(edges).collect()}
+    # deg: 1→1, 2→2, 3→2, 4→1
+    assert got == {
+        (1, 3): (1, round(1 / (1 + 2 - 1), 3)),
+        (2, 4): (1, round(1 / (2 + 1 - 1), 3)),
+    }
+
+
+def test_node_similarity_degree_cap_drops_hub(spark):
+    from graphview_spark.algorithms import node_similarity
+
+    # star: hub 1 connects 2,3,4 → all leaf pairs share the hub
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src long, sink long"
+    )
+    assert node_similarity(edges).count() == 3
+    assert node_similarity(edges, max_degree=2).count() == 0

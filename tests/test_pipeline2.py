@@ -158,3 +158,32 @@ def test_chunk_dedup_drops_repeated_chunks(spark, sf_dir, monkeypatch, tmp_path)
     assert out[2][0] == 2 and out[2][1] == 1          # shared chunk dropped
     assert not out[2][2].startswith("a b c")
     assert out[3] == (1, 1, docs.filter("doc_id=3").first()["text"])
+
+
+def test_data_card_totals_match_corpus(spark):
+    from graphview_spark.operators.pipeline import q_pipeline_data_card
+    from graphview_spark.session import read_table
+
+    sf = "/root/testdata/sf0.001"
+    card = q_pipeline_data_card(spark, sf)
+    docs = read_table(spark, sf, "documents")
+    assert card.agg(F.sum("n_docs")).first()[0] == docs.count()
+    assert (
+        card.agg(F.sum("total_chars")).first()[0]
+        == docs.agg(F.sum("n_chars")).first()[0]
+    )
+    # quality milli-scores live on the 0..1000 scale
+    row = card.agg(F.min("mean_quality_milli"), F.max("mean_quality_milli")).first()
+    assert 0 <= row[0] <= row[1] <= 1000
+
+
+def test_cross_corpus_flags_only_train_docs(spark):
+    from graphview_spark.operators.dedup import (
+        HELDOUT_SOURCES,
+        q_dedup_cross_corpus,
+    )
+
+    flagged = q_dedup_cross_corpus(spark, "/root/testdata/sf0.001").collect()
+    for r in flagged:
+        assert r["source"] not in HELDOUT_SOURCES
+        assert r["n_matches"] >= 1
