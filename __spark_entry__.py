@@ -117,6 +117,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         temporal,
         text,
     )
+    from graphview_spark.streaming import events as streaming_events
 
     return {
         **relational.EXTRA_QUERIES,
@@ -129,6 +130,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **pipeline.EXTRA_QUERIES,
         **search.EXTRA_QUERIES,
         **dedup.EXTRA_QUERIES,
+        **streaming_events.EXTRA_QUERIES,
     }
 
 
@@ -145,6 +147,7 @@ def extra_oracle_sql() -> dict[str, str]:
         temporal,
         text,
     )
+    from graphview_spark.streaming import events as streaming_events
 
     return {
         **relational.EXTRA_ORACLES,
@@ -157,4 +160,5 @@ def extra_oracle_sql() -> dict[str, str]:
         **pipeline.EXTRA_ORACLES,
         **search.EXTRA_ORACLES,
         **dedup.EXTRA_ORACLES,
+        **streaming_events.EXTRA_ORACLES,
     }

@@ -23,6 +23,7 @@ cardinality. ``foreachBatch`` sinks reuse the batch writers.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -300,6 +301,59 @@ SELECT *, 'sliding' AS kind FROM ({ORACLE_STREAM_SLIDING})
 """
 
 
+TRENDING_K = 3
+
+
+def build_trending(counts: DataFrame, k: int = TRENDING_K) -> DataFrame:
+    """Top-k event types per window ranked by count, with the
+    window-over-window momentum (delta vs the type's previous window).
+
+    Composes on ``build_windowed_counts`` output. In streaming this
+    ranking runs in the ``foreachBatch`` sink over the watermark-closed
+    windows (per-window ranks are only final once the window closes —
+    the standard trending-dashboard layout); in batch it is the same
+    two window functions. Both windows partition on tiny aggregated
+    keys (#windows × #types rows), so the sorts never see raw events."""
+    w_rank = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    w_hist = W.partitionBy("event_type").orderBy("window_start")
+    return (
+        counts.withColumn(
+            "delta",
+            F.col("n_events")
+            - F.coalesce(F.lag("n_events").over(w_hist), F.lit(0)),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "event_type", "n_events", "delta", "rank")
+    )
+
+
+def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the trending ranking over tumbling 1-hour windows."""
+    from graphview_spark.session import read_table
+
+    counts = build_windowed_counts(read_table(spark, sf_dir, "events"))
+    return build_trending(counts)
+
+
+ORACLE_STREAM_TRENDING = f"""
+WITH counts AS ({ORACLE_STREAM_WINDOWED}),
+hist AS (
+  SELECT window_start, event_type, n_events,
+         n_events - coalesce(lag(n_events) OVER
+           (PARTITION BY event_type ORDER BY window_start), 0) AS delta,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rank
+  FROM counts
+)
+SELECT window_start, event_type, n_events::BIGINT AS n_events,
+       delta::BIGINT AS delta, rank::BIGINT AS rank
+FROM hist WHERE rank <= {TRENDING_K}
+"""
+
+
 QUERIES = {
     "stream_sessions": q_stream_sessions,
     "stream_windows": q_stream_windows,
@@ -308,3 +362,5 @@ ORACLES = {
     "stream_sessions": ORACLE_STREAM_SESSIONS,
     "stream_windows": ORACLE_STREAM_WINDOWS,
 }
+EXTRA_QUERIES = {"stream_trending": q_stream_trending}
+EXTRA_ORACLES = {"stream_trending": ORACLE_STREAM_TRENDING}

@@ -167,3 +167,34 @@ def test_stream_stream_interval_join(spark, events_dir):
     ).collect()
     assert len(want) > 0
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_trending_foreachbatch_equals_batch(spark, events_dir):
+    """Trending ranks computed in a foreachBatch sink over the streamed
+    windowed counts match the batch form — the streaming deployment
+    shape for rank-within-window semantics."""
+    from graphview_spark.streaming.events import build_trending
+
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(build_trending(batch_df).collect())
+
+    stream = events_stream(spark, events_dir)
+    q = (
+        build_windowed_counts(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = build_trending(
+        build_windowed_counts(_batch(spark, events_dir))
+    ).collect()
+    # the final micro-batch's complete-mode snapshot carries every window
+    n = len(want)
+    assert n > 0
+    assert sorted(map(tuple, collected[-n:])) == sorted(map(tuple, want))
+    for r in want:
+        assert 1 <= r["rank"] <= 3
