@@ -48,7 +48,7 @@ def main() -> None:
     # four base graph algorithms are multi-iteration driver loops whose
     # plans are audited in PLANS.md.
     exclude = (
-        "mm_", "sample_", "ml_kmeans", "graph_pagerank",
+        "mm_", "sample_split", "ml_kmeans", "graph_pagerank",
         "graph_components", "graph_shortest_paths", "graph_triangles",
     )
     qs = dict(entry.queries())

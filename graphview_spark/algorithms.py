@@ -232,9 +232,12 @@ def hits(
             .select(
                 "GlobalNodeId",
                 "hub",
-                (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("_t")).alias(
-                    "auth"
-                ),
+                # empty edge set → NULL total; scores degrade to 0.0
+                # instead of propagating NULL through every node
+                F.coalesce(
+                    F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("_t"),
+                    F.lit(0.0),
+                ).alias("auth"),
             )
         )
         hub_raw = (
@@ -251,9 +254,10 @@ def hits(
             .join(F.broadcast(h_tot))
             .select(
                 "GlobalNodeId",
-                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("_t")).alias(
-                    "hub"
-                ),
+                F.coalesce(
+                    F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("_t"),
+                    F.lit(0.0),
+                ).alias("hub"),
                 "auth",
             )
             .localCheckpoint(eager=True)
@@ -274,6 +278,11 @@ def personalized_pagerank(
     per round on node id, dangling mass redistributed to the teleport
     vector, localCheckpoint caps lineage)."""
     n_src = sources.count()
+    if n_src == 0:
+        raise ValueError(
+            "personalized_pagerank: empty teleport set — the sources "
+            "DataFrame matched no rows"
+        )
     pref = nodes.select("GlobalNodeId").join(
         sources.select("GlobalNodeId").withColumn("_p", F.lit(1.0 / n_src)),
         "GlobalNodeId",
@@ -774,7 +783,7 @@ def q_graph_kcore(spark, sf_dir: str) -> DataFrame:
     return core.select(F.col("node").alias("doc_id"), "core_degree")
 
 
-def _oracle_kcore(rounds: int = 12) -> str:
+def _oracle_kcore(rounds: int = 24) -> str:
     from graphview_spark.operators.dedup import (
         MINHASH_JACCARD_T,
         N_BANDS,
@@ -783,7 +792,12 @@ def _oracle_kcore(rounds: int = 12) -> str:
 
     pair_sql = _oracle_lsh_verified(N_BANDS, MINHASH_JACCARD_T)
     # MATERIALIZED: each u{i+1} references u{i} twice (directly and via
-    # r{i}) — inlined CTEs would expand the LSH pair scan exponentially
+    # r{i}) — inlined CTEs would expand the LSH pair scan exponentially.
+    # The unroll depth must cover the data's true peeling depth (the
+    # Spark side peels to fixpoint); near-dup pair graphs peel in a
+    # handful of rounds, and each extra round is cheap on a shrinking
+    # set, so 24 is generous headroom. If check.py ever flags this
+    # query, raise `rounds` before suspecting the operator.
     ctes = [
         f"pairs AS MATERIALIZED ({pair_sql})",
         "u0 AS MATERIALIZED (SELECT DISTINCT doc_a AS s, doc_b AS t "

@@ -1221,19 +1221,28 @@ def _compile_fn_body(body: str, env: dict[str, str]) -> str | None:
         m = re.match(r"(?is)^RETURN\s+(?P<e>.+)$", st, re.DOTALL)
         if m:
             return subst(m.group("e").strip(), env)
-        m = re.match(
-            r"(?is)^DECLARE\s+@(?P<n>\w+)\s+(?P<t>[\w(), ]+?)"
-            r"(?:\s*=\s*(?P<init>.+))?$",
-            st,
-            re.DOTALL,
-        )
+        m = re.match(r"(?is)^DECLARE\s+(?P<rest>.+)$", st, re.DOTALL)
         if m:
             env = dict(env)
-            env[m.group("n")] = (
-                subst(m.group("init").strip(), env)
-                if m.group("init")
-                else f"CAST(NULL AS {normalize_sql_type(m.group('t'))})"
-            )
+            # T-SQL allows several variables per DECLARE; split on
+            # depth-0 commas (type commas like DECIMAL(10,2) and
+            # initializer function calls sit inside parens)
+            for item in _split_depth0(m.group("rest"), ","):
+                im = re.match(
+                    r"(?is)^@(?P<n>\w+)\s+(?P<t>[\w(), ]+?)"
+                    r"(?:\s*=\s*(?P<init>.+))?$",
+                    item.strip(),
+                    re.DOTALL,
+                )
+                if not im:
+                    raise ValueError(
+                        f"cannot parse DECLARE item: {item.strip()[:60]!r}"
+                    )
+                env[im.group("n")] = (
+                    subst(im.group("init").strip(), env)
+                    if im.group("init")
+                    else f"CAST(NULL AS {normalize_sql_type(im.group('t'))})"
+                )
             continue
         m = re.match(r"(?is)^SET\s+@(?P<n>\w+)\s*=\s*(?P<e>.+)$", st, re.DOTALL)
         if m:

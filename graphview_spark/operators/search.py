@@ -36,9 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphview_spark.operators.text import TOKEN_PATTERN
 from graphview_spark.session import read_table
-
-TOKEN_PATTERN = "[a-z0-9]+"
 
 # fixed demo query / vocabulary — operator parameters in a real pipeline
 BM25_QUERY = ["vector", "stream", "merge"]

@@ -65,7 +65,6 @@ class GraphStreamWriter:
         # a replayed batch would otherwise double-insert every edge.
         if batch_id <= self.last_batch_id:
             return
-        self.last_batch_id = batch_id
         g = self.g
         e = g.catalog.resolve_edge(self.source_table, self.edge_name)
         src_t = g.catalog.table(e.source_table)
@@ -89,6 +88,10 @@ class GraphStreamWriter:
         )
         n_ok = resolved.count()
         g.insert_edges_df(src_t.name, e.name, resolved)
+        # advance the high-water mark only AFTER the ingest lands: a
+        # batch that fails mid-ingest is replayed with the same
+        # batch_id, and a pre-advanced mark would skip it (data loss)
+        self.last_batch_id = batch_id
         self.batches += 1
         self.ingested_rows += n_ok
         self.skipped_rows += n_in - n_ok
@@ -121,7 +124,6 @@ class NodeStreamWriter:
         # skips the join work on a replay.
         if batch_id <= self.last_batch_id:
             return
-        self.last_batch_id = batch_id
         g = self.g
         t = g.catalog.table(self.table)
         nid = t.node_id_column
@@ -141,6 +143,10 @@ class NodeStreamWriter:
             for n in prop_names
         ]
         g.insert_nodes_df(t.name, fresh.select(*sel))
+        # after the ingest, for the same replay-safety reason as above
+        # (the anti-join alone would also absorb a replay, but a failed
+        # attempt must not be skippable)
+        self.last_batch_id = batch_id
         self.batches += 1
         if self.batches % self.compact_every == 0:
             g.nodes[t.name] = g.nodes[t.name].localCheckpoint(eager=True)

@@ -224,3 +224,14 @@ def test_save_load_preserves_procs_and_views(people, spark, tmp_path):
         "SELECT x.name AS n FROM Everyone x, People y MATCH x-[Knows]->y"
     ).collect()
     assert [r["n"] for r in got] == ["Alice"]
+
+
+def test_create_function_multi_variable_declare(people, spark):
+    people.execute(
+        """CREATE FUNCTION MultiVarFn(@x INT) RETURNS INT AS BEGIN
+           DECLARE @a INT = 1, @b DECIMAL(10,2) = 2, @c INT;
+           SET @c = @a + @b;
+           RETURN @c + @x
+        END"""
+    )
+    assert spark.sql("SELECT MultiVarFn(10) AS v").first()["v"] == 13

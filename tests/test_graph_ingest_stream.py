@@ -112,3 +112,26 @@ def test_node_stream_ingest_idempotent(g, spark, tmp_path):
     # GlobalNodeIds stay unique after streamed inserts
     ids = [r["GlobalNodeId"] for r in g.nodes["Person"].collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_edge_stream_failed_attempt_is_retried(g, spark, monkeypatch):
+    # the high-water mark must advance only AFTER the ingest lands: a
+    # batch whose first attempt dies mid-ingest is redelivered with the
+    # same batch_id and must NOT be skipped (that would be data loss)
+    w = GraphStreamWriter(g, "Person", "Knows", "src_id", "dst_id")
+    batch = spark.createDataFrame([(1, 2), (2, 3)], ["src_id", "dst_id"])
+    real = g.insert_edges_df
+
+    def boom(*a, **k):
+        raise RuntimeError("transient ingest failure")
+
+    monkeypatch.setattr(g, "insert_edges_df", boom)
+    try:
+        w(batch, 0)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(g, "insert_edges_df", real)
+    w(batch, 0)  # engine retry with the same batch_id
+    assert g.edge_count("Person.Knows") == 2
+    w(batch, 0)  # a successful batch is still replay-protected
+    assert g.edge_count("Person.Knows") == 2
