@@ -246,9 +246,108 @@ FROM q
 
 
 # ml_quantize rotated into the driver gate in round 4 (appended to
+OUTLIER_Z = 2.0     # |z| above this → flagged
+
+
+def q_ml_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier detection: distance to the label's
+    centroid, z-scored within the label — the vector-space cleaning
+    pass that drops mislabeled/corrupt rows before training.
+
+    Plan: the centroid is 64 map-side-combinable ``avg(element_at)``
+    aggregates per label (NO posexplode — vectors never inflate 64×
+    through a shuffle); centroids broadcast back; distance and z-score
+    are per-row fixed-order folds. Centroid components are rounded
+    (6dp) BEFORE the distance so both engines fold identical inputs —
+    the only cross-engine wobble left is the aggregate sums' addition
+    order, ~1e-15 against a 1e-6 rounding grid."""
+    emb = read_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return embedding_outliers(emb, QUANT_DIM)
+
+
+def embedding_outliers(emb: DataFrame, dim: int) -> DataFrame:
+    """Core of :func:`q_ml_outliers` over any (vec_id, label, v) frame."""
+    cent = emb.groupBy("label").agg(
+        F.array(
+            *[
+                F.round(F.avg(F.element_at("v", i + 1)), 6)
+                for i in range(dim)
+            ]
+        ).alias("c")
+    )
+    dist = (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "v", "c", lambda x, c: (x - c) * (x - c)
+                    ),
+                    F.lit(0.0),
+                    lambda a, e: a + e,
+                )
+            ).alias("dist"),
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("dist").alias("mu"),
+        F.stddev_samp("dist").alias("sigma"),
+    )
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round("dist", 6).alias("dist"),
+            F.round((F.col("dist") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "z"
+            ),
+        )
+        .withColumn("is_outlier", F.col("z") > OUTLIER_Z)
+    )
+
+
+def _oracle_outliers() -> str:
+    sq = " + ".join(
+        f"(v[{i + 1}] - c[{i + 1}]) * (v[{i + 1}] - c[{i + 1}])"
+        for i in range(QUANT_DIM)
+    )
+    cent = ", ".join(
+        f"round(avg(v[{i + 1}]), 6)" for i in range(QUANT_DIM)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT label, [{cent}] AS c FROM e GROUP BY label
+),
+dist AS (
+  SELECT e.vec_id, e.label, sqrt({sq}) AS dist
+  FROM e JOIN cent USING (label)
+),
+stats AS (
+  SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sigma
+  FROM dist GROUP BY label
+)
+SELECT d.vec_id, d.label, round(d.dist, 6) AS dist,
+       round((d.dist - s.mu) / s.sigma, 4) AS z,
+       round((d.dist - s.mu) / s.sigma, 4) > {OUTLIER_Z} AS is_outlier
+FROM dist d JOIN stats s USING (label)
+"""
+
+
 # QUERIES below)
-EXTRA_QUERIES: dict = {}
-EXTRA_ORACLES: dict = {}
+EXTRA_QUERIES: dict = {
+    "ml_outliers": q_ml_outliers,
+}
+EXTRA_ORACLES: dict = {
+    "ml_outliers": _oracle_outliers(),
+}
 
 
 QUERIES = {

@@ -159,3 +159,18 @@ def test_kmeans_separates_obvious_clusters(spark):
     assert all(r["d2"] == pytest.approx(0.25) for r in rows.values())
     cents = sorted(tuple(r["c"]) for r in cent.collect())
     assert cents == [(0.0, 0.5), (10.0, 10.5)]
+
+
+def test_embedding_outliers_flags_planted_outlier(spark):
+    from graphview_spark.operators.clustering import embedding_outliers
+
+    rows = [(i, 0, [0.1 * (i % 3), 0.2]) for i in range(1, 9)]
+    rows.append((9, 0, [50.0, 50.0]))  # planted far outlier
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, v array<double>"
+    )
+    got = {r["vec_id"]: r for r in embedding_outliers(emb, 2).collect()}
+    assert got[9]["is_outlier"] is True
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+    # z-scores of the inlier cloud stay below the planted point's
+    assert got[9]["z"] == max(r["z"] for r in got.values())
