@@ -1,0 +1,37 @@
+"""The end-to-end pipeline example composes seven operators into one
+DAG; assert the stage invariants a production run relies on."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+)
+
+
+def test_pipeline_e2e_stages(spark):
+    from pipeline_e2e import run_pipeline
+
+    stages = run_pipeline(spark, "/root/testdata/sf0.001")
+    counts = {k: df.count() for k, df in stages.items()}
+    # every filtering stage is monotone non-increasing
+    order = [
+        "raw", "exact_dedup", "near_dedup", "cross_scrub",
+        "decontam", "quality", "train_split",
+    ]
+    for a, b in zip(order, order[1:]):
+        assert counts[b] <= counts[a], (a, b, counts)
+    assert counts["train_split"] > 0
+    # no held-out source survives the scrub
+    from graphview_spark.operators.dedup import HELDOUT_SOURCES
+
+    survivors = {
+        r["source"] for r in stages["train_split"].select("source").distinct().collect()
+    }
+    assert survivors.isdisjoint(set(HELDOUT_SOURCES))
+    # packing covers every training doc exactly once
+    packed = stages["packed"]
+    assert packed.count() == counts["train_split"]
+    assert packed.select("doc_id").distinct().count() == counts["train_split"]
