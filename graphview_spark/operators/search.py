@@ -244,7 +244,15 @@ def chunk_documents(
     """Overlapping fixed-size token windows per document (RAG chunk
     prep). Entirely map-side: ``sequence()`` generates the start
     offsets, ``posexplode`` emits one row per chunk, ``slice()`` cuts
-    the window — no shuffle, output rows ∝ tokens/stride."""
+    the window — no shuffle, output rows ∝ tokens/stride.
+
+    Requires ``stride <= chunk_tokens`` (overlap ≥ 0): a larger stride
+    would silently drop the tokens between windows."""
+    if stride > chunk_tokens:
+        raise ValueError(
+            f"stride ({stride}) must be <= chunk_tokens ({chunk_tokens}); "
+            "a larger stride silently drops tokens between windows"
+        )
     words = F.split(F.col(text_col), " ")
     return (
         docs.select("doc_id", words.alias("_w"))

@@ -109,3 +109,11 @@ def test_bm25_plan_is_broadcast_no_shuffle_of_corpus(spark):
     plan = bm25_scores(_docs(spark), ["cat"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunks_reject_token_dropping_stride(spark):
+    import pytest as _pytest
+
+    doc = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(doc, chunk_tokens=2, stride=3)
