@@ -308,13 +308,92 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# hybrid two-stage retrieval: BM25 candidates → embedding cosine re-rank
+# --------------------------------------------------------------------------
+
+HYBRID_CANDIDATES = 50
+HYBRID_TOP_K = 10
+HYBRID_QUERY_VEC_ID = 0   # the query embedding (a row of the embeddings table)
+
+
+def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard RAG retrieval layout: a cheap lexical stage (BM25
+    top-N over the whole corpus) produces candidates; an expensive
+    vector stage (cosine against the query embedding) re-ranks only
+    those N. The corpus-wide work stays map-only + one broadcast
+    aggregate; the vector math runs on N rows, not the corpus; the
+    query embedding rides along as a broadcast 1-row frame (never
+    collected to the driver)."""
+    from graphview_spark.operators.dedup import dot_col, norm_col
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    qvec = emb.filter(F.col("doc_id") == HYBRID_QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    cand = (
+        bm25_scores(docs, BM25_QUERY)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(HYBRID_CANDIDATES)
+    )
+    rescored = (
+        cand.join(emb, "doc_id")
+        .join(F.broadcast(qvec))
+        .select(
+            "doc_id",
+            F.col("score").alias("bm25"),
+            F.round(
+                dot_col(F.col("v"), F.col("qv"))
+                / (norm_col(F.col("v")) * norm_col(F.col("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("cosine"), "doc_id")
+    return (
+        rescored.withColumn("rerank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rerank") <= HYBRID_TOP_K)
+    )
+
+
+def _oracle_hybrid() -> str:
+    dot = " + ".join(f"e.v[{i}] * q.qv[{i}]" for i in range(1, 65))
+    nv = " + ".join(f"e.v[{i}] * e.v[{i}]" for i in range(1, 65))
+    nq = " + ".join(f"q.qv[{i}] * q.qv[{i}]" for i in range(1, 65))
+    return f"""
+WITH bm25 AS MATERIALIZED ({_oracle_bm25().replace(f'LIMIT {BM25_TOP_K}', f'LIMIT {HYBRID_CANDIDATES}')}),
+e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = {HYBRID_QUERY_VEC_ID}),
+rescored AS (
+  SELECT b.doc_id, b.score AS bm25,
+         round(({dot}) / (sqrt({nv}) * sqrt({nq})), 6) AS cosine
+  FROM bm25 b JOIN e USING (doc_id) CROSS JOIN q
+),
+ranked AS (
+  SELECT doc_id, bm25, cosine,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS rerank
+  FROM rescored
+)
+SELECT doc_id, bm25, cosine, rerank FROM ranked WHERE rerank <= {HYBRID_TOP_K}
+"""
+
+
 EXTRA_QUERIES = {
     "search_bm25": q_search_bm25,
     "search_postings": q_search_postings,
     "search_chunks": q_search_chunks,
+    "search_hybrid": q_search_hybrid,
 }
 EXTRA_ORACLES = {
     "search_bm25": _oracle_bm25(),
     "search_postings": _oracle_postings(),
     "search_chunks": _oracle_chunks(),
+    "search_hybrid": _oracle_hybrid(),
 }

@@ -117,3 +117,33 @@ def test_chunks_reject_token_dropping_stride(spark):
     doc = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="stride"):
         chunk_documents(doc, chunk_tokens=2, stride=3)
+
+
+def test_hybrid_rerank_is_cosine_ordered_subset_of_bm25(spark):
+    from graphview_spark.operators.search import (
+        HYBRID_CANDIDATES,
+        HYBRID_TOP_K,
+        q_search_hybrid,
+        q_search_bm25,
+        bm25_scores,
+    )
+    from graphview_spark.session import read_table
+
+    sf = "/root/testdata/sf0.001"
+    hybrid = q_search_hybrid(spark, sf).collect()
+    assert len(hybrid) == HYBRID_TOP_K
+    # reranked rows are ordered by cosine desc
+    cosines = [r["cosine"] for r in sorted(hybrid, key=lambda r: r["rerank"])]
+    assert cosines == sorted(cosines, reverse=True)
+    # every reranked doc came from the BM25 candidate pool
+    docs = read_table(spark, sf, "documents")
+    from pyspark.sql import functions as F
+
+    cand = {
+        r["doc_id"]
+        for r in bm25_scores(docs, ["vector", "stream", "merge"])
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(HYBRID_CANDIDATES)
+        .collect()
+    }
+    assert {r["doc_id"] for r in hybrid} <= cand
