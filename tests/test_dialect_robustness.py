@@ -282,3 +282,13 @@ def test_pivot_unpivot_passthrough(g):
         ("B", "id", 2),
         ("C", "id", 3),
     ]
+
+
+def test_grouping_sets_passthrough(g):
+    """GROUP BY GROUPING SETS reaches Spark SQL untranslated."""
+    rows = g.execute(
+        "SELECT name, SUM(id) AS s FROM People "
+        "GROUP BY GROUPING SETS ((name), ())"
+    ).collect()
+    by_name = {r["name"]: r["s"] for r in rows}
+    assert by_name == {"A": 1, "B": 2, "C": 3, None: 6}
