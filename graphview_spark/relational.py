@@ -886,6 +886,58 @@ SELECT c_nationkey, 'max_bal', max_bal FROM base
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language discrete percentiles (p50/p90/p99) of document
+    length — the distribution profile a data card quotes. Computed as
+    exact ORDER-STATISTIC selection (row_number against ceil(p·n)), not
+    interpolation: integer inputs in, integer outputs out, so the
+    oracle matches bit-for-bit and no engine's interpolation arithmetic
+    is in play. One window sort per language partition — the sort is
+    per-group, bounded by group size, and at 100 TB you'd swap in
+    approx_percentile with the same output contract."""
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    # ceil(p·n) in pure integer arithmetic (p = pct/100):
+    # ceil(pct·n/100) = (pct·n + 99) div 100 — engine-independent
+    picks = [("p50", 50), ("p90", 90), ("p99", 99)]
+    agg = [
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((pct * F.col("n") + 99) / 100),
+                F.col("n_chars"),
+            )
+        ).alias(name)
+        for name, pct in picks
+    ]
+    return ranked.groupBy("lang").agg(
+        F.max("n").alias("n_docs"), *agg
+    )
+
+
+ORACLE_PERCENTILES = """
+WITH ranked AS (
+  SELECT lang, n_chars, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, max(n)::BIGINT AS n_docs,
+       max(CASE WHEN rn = (50 * n + 99) // 100 THEN n_chars END) AS p50,
+       max(CASE WHEN rn = (90 * n + 99) // 100 THEN n_chars END) AS p90,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99
+FROM ranked
+GROUP BY lang
+"""
+
+
 # Single-operator forms kept runnable for tests and ad-hoc checks (not
 # registered with the driver gate — see the cap note above).
 EXTRA_QUERIES = {
@@ -912,6 +964,7 @@ EXTRA_QUERIES = {
     "rel_top_n_per_group": q_top_n_per_group,
     "rel_pivot": q_pivot,
     "rel_unpivot": q_unpivot,
+    "rel_percentiles": q_percentiles,
 }
 
 EXTRA_ORACLES = {
@@ -938,4 +991,5 @@ EXTRA_ORACLES = {
     "rel_top_n_per_group": ORACLE_TOP_N_PER_GROUP,
     "rel_pivot": ORACLE_PIVOT,
     "rel_unpivot": ORACLE_UNPIVOT,
+    "rel_percentiles": ORACLE_PERCENTILES,
 }
