@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipeline,
         sampling,
         similarity,
+        search,
         temporal,
         text,
     )
@@ -66,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(streaming_events.QUERIES)
     out.update(algorithms.QUERIES)
     out.update(pipeline.QUERIES)
+    out.update(search.QUERIES)
     assert len(out) == 50, f"driver gate roster must stay at 50, got {len(out)}"
     return out
 
@@ -80,6 +82,7 @@ def oracle_sql() -> dict[str, str]:
         pipeline,
         sampling,
         similarity,
+        search,
         temporal,
         text,
     )
@@ -98,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(streaming_events.ORACLES)
     out.update(algorithms.ORACLES)
     out.update(pipeline.ORACLES)
+    out.update(search.ORACLES)
     return out
 
 
@@ -106,7 +110,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     as ``queries()``; oracle-checked by tools/check.py (results committed
     as CHECKS_LOCAL.md) and pytest-covered — kept out of ``queries()``
     only so the capped driver gate keeps recording the core surface."""
-    from graphview_spark import algorithms, relational
+    from graphview_spark import algorithms, graph_queries, relational
     from graphview_spark.operators import (
         clustering,
         dedup,
@@ -121,6 +125,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         **relational.EXTRA_QUERIES,
+        **graph_queries.EXTRA_QUERIES,
         **algorithms.EXTRA_QUERIES,
         **temporal.EXTRA_QUERIES,
         **skew.EXTRA_QUERIES,
@@ -136,7 +141,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for ``extra_queries()``."""
-    from graphview_spark import algorithms, relational
+    from graphview_spark import algorithms, graph_queries, relational
     from graphview_spark.operators import (
         clustering,
         dedup,
@@ -151,6 +156,7 @@ def extra_oracle_sql() -> dict[str, str]:
 
     return {
         **relational.EXTRA_ORACLES,
+        **graph_queries.EXTRA_ORACLES,
         **algorithms.EXTRA_ORACLES,
         **temporal.EXTRA_ORACLES,
         **skew.EXTRA_ORACLES,

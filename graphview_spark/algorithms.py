@@ -1039,20 +1039,20 @@ def _oracle_ppr(
 QUERIES.update({
     "graph_communities": q_graph_communities,
     "graph_weighted_paths": q_graph_weighted_paths,
+    "graph_hits": q_graph_hits,
 })
 ORACLES.update({
     "graph_communities": _oracle_communities(),
     "graph_weighted_paths": _oracle_weighted_paths(),
+    "graph_hits": _oracle_hits(),
 })
 EXTRA_QUERIES: dict = {
     "graph_kcore": q_graph_kcore,
-    "graph_hits": q_graph_hits,
     "graph_ppr": q_graph_ppr,
     "graph_node_sim": q_graph_node_sim,
 }
 EXTRA_ORACLES: dict = {
     "graph_kcore": _oracle_kcore(),
-    "graph_hits": _oracle_hits(),
     "graph_ppr": _oracle_ppr(),
     "graph_node_sim": _oracle_node_sim(),
 }

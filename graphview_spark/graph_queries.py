@@ -531,9 +531,6 @@ GROUP BY nr.region
 
 QUERIES = {
     "match_customers_per_region": q_match_customers_per_region,
-    "match_shared_nation": q_match_shared_nation,
-    "match_urgent_orders": q_match_urgent_orders,
-    "match_refers_2hop": q_match_refers_2hop,
     "match_refer_path": q_match_refer_path,
     "match_views": q_match_views,
     "match_exists_subquery": q_match_exists_subquery,
@@ -545,9 +542,6 @@ QUERIES = {
 
 ORACLES = {
     "match_customers_per_region": ORACLE_MATCH_CUSTOMERS_PER_REGION,
-    "match_shared_nation": ORACLE_MATCH_SHARED_NATION,
-    "match_urgent_orders": ORACLE_MATCH_URGENT_ORDERS,
-    "match_refers_2hop": ORACLE_MATCH_REFERS_2HOP,
     "match_refer_path": ORACLE_MATCH_REFER_PATH,
     "match_views": ORACLE_MATCH_VIEWS,
     "match_exists_subquery": ORACLE_MATCH_EXISTS_SUBQUERY,
@@ -555,4 +549,17 @@ ORACLES = {
     "match_degree_cols": ORACLE_MATCH_DEGREE_COLS,
     "match_cte": ORACLE_MATCH_CTE,
     "match_view_degrees": ORACLE_MATCH_VIEW_DEGREES,
+}
+
+# rotated OUT of the driver gate in round 4 (driver-green rounds 2-3;
+# still oracle-checked every sweep via extra_queries())
+EXTRA_QUERIES = {
+    "match_shared_nation": q_match_shared_nation,
+    "match_urgent_orders": q_match_urgent_orders,
+    "match_refers_2hop": q_match_refers_2hop,
+}
+EXTRA_ORACLES = {
+    "match_shared_nation": ORACLE_MATCH_SHARED_NATION,
+    "match_urgent_orders": ORACLE_MATCH_URGENT_ORDERS,
+    "match_refers_2hop": ORACLE_MATCH_REFERS_2HOP,
 }

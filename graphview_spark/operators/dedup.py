@@ -723,21 +723,22 @@ GROUP BY doc_id, source
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embed_cosine": q_dedup_embed_cosine,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_cross_corpus": q_dedup_cross_corpus,
 }
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": _oracle_minhash(),
-    "dedup_simhash": _oracle_simhash(),
     "dedup_ngram_jaccard": _oracle_ngram(),
     "dedup_embed_cosine": ORACLE_DEDUP_EMBED,
     "dedup_clusters": _oracle_clusters(),
+    "dedup_cross_corpus": _oracle_cross_corpus(),
 }
 
 # outside the 50-entry driver gate — oracle-checked via extra_queries()
-EXTRA_QUERIES = {"dedup_cross_corpus": q_dedup_cross_corpus}
-EXTRA_ORACLES = {"dedup_cross_corpus": _oracle_cross_corpus()}
+# dedup_simhash rotated OUT of the gate in round 4 (driver-green r2-3)
+EXTRA_QUERIES = {"dedup_simhash": q_dedup_simhash}
+EXTRA_ORACLES = {"dedup_simhash": _oracle_simhash()}

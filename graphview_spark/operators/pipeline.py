@@ -534,6 +534,7 @@ QUERIES = {
     "pipeline_quality_quantile": q_pipeline_quality_quantile,
     "pipeline_mix": q_pipeline_mix,
     "pipeline_chunk_dedup": q_pipeline_chunk_dedup,
+    "pipeline_data_card": q_pipeline_data_card,
 }
 
 ORACLES = {
@@ -542,14 +543,13 @@ ORACLES = {
     "pipeline_quality_quantile": _oracle_quality_quantile(),
     "pipeline_mix": _oracle_mix(),
     "pipeline_chunk_dedup": ORACLE_CHUNK_DEDUP,
+    "pipeline_data_card": _oracle_data_card(),
 }
 
 # outside the 50-entry driver gate — oracle-checked via extra_queries()
 EXTRA_QUERIES = {
     "pipeline_temperature_mix": q_pipeline_temperature_mix,
-    "pipeline_data_card": q_pipeline_data_card,
 }
 EXTRA_ORACLES = {
     "pipeline_temperature_mix": _oracle_temperature_mix(),
-    "pipeline_data_card": _oracle_data_card(),
 }

@@ -385,14 +385,15 @@ SELECT doc_id, bm25, cosine, rerank FROM ranked WHERE rerank <= {HYBRID_TOP_K}
 """
 
 
+# search_bm25 rotated INTO the driver gate in round 4
+QUERIES = {"search_bm25": q_search_bm25}
+ORACLES = {"search_bm25": _oracle_bm25()}
 EXTRA_QUERIES = {
-    "search_bm25": q_search_bm25,
     "search_postings": q_search_postings,
     "search_chunks": q_search_chunks,
     "search_hybrid": q_search_hybrid,
 }
 EXTRA_ORACLES = {
-    "search_bm25": _oracle_bm25(),
     "search_postings": _oracle_postings(),
     "search_chunks": _oracle_chunks(),
     "search_hybrid": _oracle_hybrid(),

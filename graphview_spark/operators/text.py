@@ -594,21 +594,26 @@ def _oracle_pii_scrub() -> str:
 QUERIES = {
     "text_stats_quality": q_text_stats_quality,
     "text_langid": q_text_langid,
-    "text_fingerprint": q_text_fingerprint,
     "text_corpus": q_text_corpus,
-    "text_normalize": q_text_normalize,
     "text_repetition": q_text_repetition,
 }
 
 ORACLES = {
     "text_stats_quality": _ORACLE_TEXT_STATS_QUALITY,
     "text_langid": _oracle_langid(),
-    "text_fingerprint": _oracle_fingerprint(),
     "text_corpus": _ORACLE_TEXT_CORPUS,
-    "text_normalize": ORACLE_TEXT_NORMALIZE,
     "text_repetition": ORACLE_TEXT_REPETITION,
 }
 
 # outside the 50-entry driver gate — oracle-checked via extra_queries()
-EXTRA_QUERIES = {"text_pii_scrub": q_text_pii_scrub}
-EXTRA_ORACLES = {"text_pii_scrub": _oracle_pii_scrub()}
+EXTRA_QUERIES = {
+    "text_pii_scrub": q_text_pii_scrub,
+    # rotated OUT of the driver gate in round 4 (driver-green rounds 2-3)
+    "text_fingerprint": q_text_fingerprint,
+    "text_normalize": q_text_normalize,
+}
+EXTRA_ORACLES = {
+    "text_pii_scrub": _oracle_pii_scrub(),
+    "text_fingerprint": _oracle_fingerprint(),
+    "text_normalize": ORACLE_TEXT_NORMALIZE,
+}

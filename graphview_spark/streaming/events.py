@@ -357,10 +357,12 @@ FROM hist WHERE rank <= {TRENDING_K}
 QUERIES = {
     "stream_sessions": q_stream_sessions,
     "stream_windows": q_stream_windows,
+    "stream_trending": q_stream_trending,
 }
 ORACLES = {
     "stream_sessions": ORACLE_STREAM_SESSIONS,
     "stream_windows": ORACLE_STREAM_WINDOWS,
+    "stream_trending": ORACLE_STREAM_TRENDING,
 }
-EXTRA_QUERIES = {"stream_trending": q_stream_trending}
-EXTRA_ORACLES = {"stream_trending": ORACLE_STREAM_TRENDING}
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict = {}
