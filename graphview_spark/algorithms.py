@@ -219,10 +219,14 @@ def hits(
         "GlobalNodeId", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
     ).localCheckpoint(eager=True)
     for _ in range(iterations):
+        # checkpoint the raw aggregate: it feeds BOTH the normalization
+        # total and the state join — uncheckpointed, the shuffle+agg
+        # would execute twice per half-step (2× the round's work)
         auth_raw = (
             edges.join(state, edges["src"] == state["GlobalNodeId"])
             .groupBy(F.col("sink").alias("GlobalNodeId"))
             .agg(F.sum("hub").alias("a_raw"))
+            .localCheckpoint(eager=False)
         )
         a_tot = auth_raw.agg(F.sum("a_raw").alias("_t"))
         with_auth = (
@@ -246,6 +250,7 @@ def hits(
             )
             .groupBy(F.col("src").alias("GlobalNodeId"))
             .agg(F.sum("auth").alias("h_raw"))
+            .localCheckpoint(eager=False)
         )
         h_tot = hub_raw.agg(F.sum("h_raw").alias("_t"))
         state = (
