@@ -524,11 +524,43 @@ def _rewrite_tsql_builtins(masked: str) -> str:
     return masked
 
 
+def _rewrite_apply(masked: str) -> str:
+    """T-SQL ``CROSS APPLY (subquery) alias`` → Spark ``, LATERAL
+    (subquery) alias``; ``OUTER APPLY`` → ``LEFT JOIN LATERAL ... ON
+    true`` (the reference forwards APPLY to SQL Server untranslated;
+    Spark spells correlated derived tables LATERAL)."""
+    pat = re.compile(r"(?is)\b(CROSS|OUTER)\s+APPLY\s*\(")
+    while True:
+        m = pat.search(masked)
+        if not m:
+            return masked
+        end = _match_paren(masked, m.end() - 1)
+        if end < 0:
+            return masked
+        sub = masked[m.end() : end]
+        rest = masked[end + 1 :]
+        am = re.match(r"(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)", rest)
+        if not am:
+            raise ValueError(
+                "APPLY requires a derived-table alias: "
+                f"...{masked[m.start():end + 1][:60]!r}"
+            )
+        alias = am.group(1)
+        if m.group(1).upper() == "CROSS":
+            repl = f", LATERAL ({sub}) {alias}"
+        else:
+            repl = f" LEFT JOIN LATERAL ({sub}) {alias} ON true"
+        masked = masked[: m.start()] + repl + rest[am.end() :]
+
+
 def execute_statement(g, sql: str) -> DataFrame | None:
     s = strip_comments(sql).strip().rstrip(";").strip()
     masked, _lits = _mask_strings(s)
     if re.search(r"(?is)\bNOLOCK\b|\bOPTION\s*\(", masked):
         masked = _strip_tsql_hints(masked)
+        s = _unmask(masked, _lits).strip()
+    if re.search(r"(?is)\b(CROSS|OUTER)\s+APPLY\b", masked):
+        masked = _rewrite_apply(masked)
         s = _unmask(masked, _lits).strip()
     if re.search(
         r"(?i)\b(ISNULL|LEN|GETDATE|GETUTCDATE|CHARINDEX|DATEADD|DATEDIFF|NEWID)\s*\(",

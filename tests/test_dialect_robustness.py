@@ -292,3 +292,24 @@ def test_grouping_sets_passthrough(g):
     ).collect()
     by_name = {r["name"]: r["s"] for r in rows}
     assert by_name == {"A": 1, "B": 2, "C": 3, None: 6}
+
+
+def test_cross_and_outer_apply_rewrite(g):
+    """T-SQL CROSS/OUTER APPLY → Spark LATERAL (the reference passes
+    APPLY through to SQL Server; Spark spells it LATERAL)."""
+    rows = g.execute(
+        "SELECT p.name, k.cnt FROM People p "
+        "CROSS APPLY (SELECT count(*) AS cnt FROM People q "
+        "WHERE q.id > p.id) k ORDER BY p.name"
+    ).collect()
+    assert [(r["name"], r["cnt"]) for r in rows] == [
+        ("A", 2), ("B", 1), ("C", 0),
+    ]
+    rows = g.execute(
+        "SELECT p.name, k.other FROM People p "
+        "OUTER APPLY (SELECT max(q.name) AS other FROM People q "
+        "WHERE q.id = p.id + 1) k ORDER BY p.name"
+    ).collect()
+    assert [(r["name"], r["other"]) for r in rows] == [
+        ("A", "B"), ("B", "C"), ("C", None),
+    ]
