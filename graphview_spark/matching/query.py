@@ -113,8 +113,10 @@ _CLAUSE_KEYWORDS = [
 def _split_select(sql_masked: str) -> dict[str, str]:
     """Split a masked SELECT statement into clauses (keywords only
     recognized at paren depth 0)."""
-    m = re.match(r"\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<top>TOP\s*\(?\s*(?P<n>\d+)\s*\)?\s+)?",
-                 sql_masked, re.IGNORECASE)
+    m = re.match(
+        r"\s*SELECT\s+(?P<distinct>DISTINCT\s+)?"
+        r"(?P<top>TOP\s*\(?\s*(?P<n>\d+)\s*\)?\s+(?P<pct>PERCENT\s+)?)?",
+        sql_masked, re.IGNORECASE)
     if not m:
         raise ValueError("not a SELECT statement")
     rest = sql_masked[m.end():]
@@ -122,6 +124,7 @@ def _split_select(sql_masked: str) -> dict[str, str]:
     clauses: dict[str, str] = {
         "distinct": "DISTINCT " if m.group("distinct") else "",
         "top": m.group("n") or "",
+        "top_pct": "1" if m.group("pct") else "",
     }
     positions = []
     depth = 0
@@ -931,8 +934,13 @@ def _exec_select_body(g, masked: str, lits: list[str]) -> DataFrame:
         _register_views(g, masked)
         plain = _strip_ident_brackets(masked)
         plain = re.sub(
-            r"(?is)^\s*SELECT\s+TOP\s*\(?\s*(\d+)\s*\)?\s+", r"SELECT ", plain
+            r"(?is)^\s*SELECT\s+TOP\s*\(?\s*(\d+)\s*\)?\s*(PERCENT\s+)?",
+            r"SELECT ", plain,
         )
+        if clauses.get("top") and clauses.get("top_pct"):
+            return _limit_percent(
+                g.spark.sql(_unmask(plain, lits)), int(clauses["top"])
+            )
         if clauses.get("top"):
             plain += f" LIMIT {clauses['top']}"
         return g.spark.sql(_unmask(plain, lits))
@@ -981,9 +989,22 @@ def _exec_select_body(g, masked: str, lits: list[str]) -> DataFrame:
             out.append(f"{kw} {_rewrite_refs(g, clauses[key], bindings, pattern)}")
     if clauses.get("limit"):
         out.append(f"LIMIT {clauses['limit']}")
-    elif clauses.get("top"):
+    elif clauses.get("top") and not clauses.get("top_pct"):
         out.append(f"LIMIT {clauses['top']}")
-    return g.spark.sql(_unmask(" ".join(out), lits))
+    result = g.spark.sql(_unmask(" ".join(out), lits))
+    if clauses.get("top") and clauses.get("top_pct"):
+        result = _limit_percent(result, int(clauses["top"]))
+    return result
+
+
+def _limit_percent(df: DataFrame, pct: int) -> DataFrame:
+    """T-SQL ``TOP n PERCENT``: ceil(pct% of the result's row count).
+    Needs the count (T-SQL pays the same); order comes from the query's
+    own ORDER BY (TOP without one is nondeterministic in T-SQL too)."""
+    import math
+
+    n = math.ceil(pct * df.count() / 100.0)
+    return df.limit(n)
 
 
 _DEGREE_REF = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*(InDegree|OutDegree)\b")

@@ -313,3 +313,15 @@ def test_cross_and_outer_apply_rewrite(g):
     assert [(r["name"], r["other"]) for r in rows] == [
         ("A", "B"), ("B", "C"), ("C", None),
     ]
+
+
+def test_top_n_percent(g):
+    rows = g.execute(
+        "SELECT TOP 34 PERCENT id FROM People ORDER BY id"
+    ).collect()
+    # 34% of 3 rows → ceil(1.02) = 2
+    assert [r["id"] for r in rows] == [1, 2]
+    rows = g.execute(
+        "SELECT TOP (100) PERCENT id FROM People ORDER BY id DESC"
+    ).collect()
+    assert [r["id"] for r in rows] == [3, 2, 1]
