@@ -631,5 +631,47 @@ ORACLES.update({
     "events_retention": ORACLE_EVENTS_RETENTION,
     "events_gapfill": ORACLE_EVENTS_GAPFILL,
 })
-EXTRA_QUERIES: dict = {}
-EXTRA_ORACLES: dict = {}
+HIST_BINS = 20
+
+
+def q_events_histogram(spark, sf_dir: str):
+    """Fixed-width histogram of event values per event type: bin edges
+    from one (min, max) aggregate broadcast back; binning is a per-row
+    expression; counts are a map-side-combinable groupBy. No sort, no
+    window — the profile pass that sizes downstream quantile/clip
+    decisions. The max value folds into the top bin (standard closed
+    upper edge)."""
+    from graphview_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    span = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.join(F.broadcast(span)).select(
+        "event_type",
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / HIST_BINS)
+            ),
+        ).alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+ORACLE_EVENTS_HISTOGRAM = f"""
+WITH span AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (
+  SELECT event_type,
+         least({HIST_BINS - 1},
+               floor((value - lo) / ((hi - lo) / {HIST_BINS}))::BIGINT) AS bin
+  FROM events, span
+)
+SELECT event_type, bin, count(*)::BIGINT AS n
+FROM b GROUP BY event_type, bin
+"""
+
+
+EXTRA_QUERIES: dict = {"events_histogram": q_events_histogram}
+EXTRA_ORACLES: dict = {"events_histogram": ORACLE_EVENTS_HISTOGRAM}
