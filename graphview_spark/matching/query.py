@@ -115,12 +115,18 @@ def _split_select(sql_masked: str) -> dict[str, str]:
     recognized at paren depth 0)."""
     m = re.match(
         r"\s*SELECT\s+(?P<distinct>DISTINCT\s+)?"
-        r"(?P<top>TOP\s*\(?\s*(?P<n>\d+)\s*\)?\s+(?P<pct>PERCENT\s+)?)?",
+        r"(?P<top>TOP\s*\(?\s*(?P<n>\d+(?:\.\d+)?)\s*\)?\s+"
+        r"(?P<pct>PERCENT\s+)?)?",
         sql_masked, re.IGNORECASE)
     if not m:
         raise ValueError("not a SELECT statement")
     rest = sql_masked[m.end():]
     # find FROM at depth 0
+    if m.group("n") and "." in m.group("n") and not m.group("pct"):
+        raise ValueError(
+            "TOP with a decimal count requires PERCENT (as in T-SQL): "
+            f"TOP {m.group('n')}"
+        )
     clauses: dict[str, str] = {
         "distinct": "DISTINCT " if m.group("distinct") else "",
         "top": m.group("n") or "",
@@ -538,8 +544,6 @@ def _rewrite_apply(masked: str) -> str:
         if not m:
             return masked
         end = _match_paren(masked, m.end() - 1)
-        if end < 0:
-            return masked
         sub = masked[m.end() : end]
         rest = masked[end + 1 :]
         am = re.match(r"(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)", rest)
@@ -564,6 +568,12 @@ def execute_statement(g, sql: str) -> DataFrame | None:
         s = _unmask(masked, _lits).strip()
     if re.search(r"(?is)\b(CROSS|OUTER)\s+APPLY\b", masked):
         masked = _rewrite_apply(masked)
+        if re.search(r"(?is)\b(CROSS|OUTER)\s+APPLY\b", masked):
+            raise ValueError(
+                "only parenthesized-subquery APPLY is supported; rewrite "
+                "table-valued-function APPLY (e.g. STRING_SPLIT) as a "
+                "Spark LATERAL VIEW / explode() instead"
+            )
         s = _unmask(masked, _lits).strip()
     if re.search(
         r"(?i)\b(ISNULL|LEN|GETDATE|GETUTCDATE|CHARINDEX|DATEADD|DATEDIFF|NEWID)\s*\(",
@@ -934,12 +944,13 @@ def _exec_select_body(g, masked: str, lits: list[str]) -> DataFrame:
         _register_views(g, masked)
         plain = _strip_ident_brackets(masked)
         plain = re.sub(
-            r"(?is)^\s*SELECT\s+TOP\s*\(?\s*(\d+)\s*\)?\s*(PERCENT\s+)?",
-            r"SELECT ", plain,
+            r"(?is)^\s*SELECT\s+(DISTINCT\s+)?TOP\s*\(?\s*"
+            r"\d+(?:\.\d+)?\s*\)?\s+(?:PERCENT\s+)?",
+            r"SELECT \1", plain,
         )
         if clauses.get("top") and clauses.get("top_pct"):
             return _limit_percent(
-                g.spark.sql(_unmask(plain, lits)), int(clauses["top"])
+                g.spark.sql(_unmask(plain, lits)), float(clauses["top"])
             )
         if clauses.get("top"):
             plain += f" LIMIT {clauses['top']}"
@@ -993,11 +1004,11 @@ def _exec_select_body(g, masked: str, lits: list[str]) -> DataFrame:
         out.append(f"LIMIT {clauses['top']}")
     result = g.spark.sql(_unmask(" ".join(out), lits))
     if clauses.get("top") and clauses.get("top_pct"):
-        result = _limit_percent(result, int(clauses["top"]))
+        result = _limit_percent(result, float(clauses["top"]))
     return result
 
 
-def _limit_percent(df: DataFrame, pct: int) -> DataFrame:
+def _limit_percent(df: DataFrame, pct: float) -> DataFrame:
     """T-SQL ``TOP n PERCENT``: ceil(pct% of the result's row count).
     Needs the count (T-SQL pays the same); order comes from the query's
     own ORDER BY (TOP without one is nondeterministic in T-SQL too)."""

@@ -307,7 +307,12 @@ def embedding_outliers(emb: DataFrame, dim: int) -> DataFrame:
                 "z"
             ),
         )
-        .withColumn("is_outlier", F.col("z") > OUTLIER_Z)
+        .withColumn(
+            # two-sided per the |z| contract; singleton labels (NULL
+            # sigma → NULL z) flag false, never NULL
+            "is_outlier",
+            F.coalesce(F.abs(F.col("z")) > OUTLIER_Z, F.lit(False)),
+        )
     )
 
 
@@ -336,7 +341,8 @@ stats AS (
 )
 SELECT d.vec_id, d.label, round(d.dist, 6) AS dist,
        round((d.dist - s.mu) / s.sigma, 4) AS z,
-       round((d.dist - s.mu) / s.sigma, 4) > {OUTLIER_Z} AS is_outlier
+       coalesce(abs(round((d.dist - s.mu) / s.sigma, 4)) > {OUTLIER_Z},
+                false) AS is_outlier
 FROM dist d JOIN stats s USING (label)
 """
 

@@ -131,7 +131,7 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_bm25() -> str:
+def _oracle_bm25(limit: int = BM25_TOP_K) -> str:
     n = len(BM25_QUERY)
     tf_cols = ",\n         ".join(
         "len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), "
@@ -166,7 +166,7 @@ WITH d AS (
 SELECT doc_id, dl, round({contribs}, 4) AS score
 FROM d, s
 ORDER BY score DESC, doc_id
-LIMIT {BM25_TOP_K}
+LIMIT {limit}
 """
 
 
@@ -325,7 +325,7 @@ def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the vector math runs on N rows, not the corpus; the
     query embedding rides along as a broadcast 1-row frame (never
     collected to the driver)."""
-    from graphview_spark.operators.dedup import dot_col, norm_col
+    from graphview_spark.operators.dedup import cosine_col
 
     docs = read_table(spark, sf_dir, "documents")
     emb = read_table(spark, sf_dir, "embeddings").select(
@@ -346,11 +346,7 @@ def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("score").alias("bm25"),
-            F.round(
-                dot_col(F.col("v"), F.col("qv"))
-                / (norm_col(F.col("v")) * norm_col(F.col("qv"))),
-                6,
-            ).alias("cosine"),
+            F.round(cosine_col(F.col("v"), F.col("qv")), 6).alias("cosine"),
         )
     )
     from pyspark.sql import Window as W
@@ -367,7 +363,7 @@ def _oracle_hybrid() -> str:
     nv = " + ".join(f"e.v[{i}] * e.v[{i}]" for i in range(1, 65))
     nq = " + ".join(f"q.qv[{i}] * q.qv[{i}]" for i in range(1, 65))
     return f"""
-WITH bm25 AS MATERIALIZED ({_oracle_bm25().replace(f'LIMIT {BM25_TOP_K}', f'LIMIT {HYBRID_CANDIDATES}')}),
+WITH bm25 AS MATERIALIZED ({_oracle_bm25(limit=HYBRID_CANDIDATES)}),
 e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
       WHERE vec_id = {HYBRID_QUERY_VEC_ID}),

@@ -325,3 +325,26 @@ def test_top_n_percent(g):
         "SELECT TOP (100) PERCENT id FROM People ORDER BY id DESC"
     ).collect()
     assert [r["id"] for r in rows] == [3, 2, 1]
+
+
+def test_distinct_top_and_decimal_percent(g):
+    rows = g.execute(
+        "SELECT DISTINCT TOP 2 id FROM People ORDER BY id"
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    rows = g.execute(
+        "SELECT DISTINCT TOP 67 PERCENT id FROM People ORDER BY id"
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]  # ceil(2.01) = 3
+    rows = g.execute(
+        "SELECT TOP 50.5 PERCENT id FROM People ORDER BY id"
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2]  # ceil(1.515) = 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="PERCENT"):
+        g.execute("SELECT TOP 1.5 id FROM People")
+    with _pytest.raises(ValueError, match="APPLY"):
+        g.execute(
+            "SELECT * FROM People p CROSS APPLY string_split(p.name, ',') s"
+        )
