@@ -31,8 +31,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_match_customers_per_region(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+# The driver's correctness gate records at most ~50 entries in
+# registration order (CORRECTNESS_r02 cut at exactly 50 of 52), so the
+# roster below picks which 50 of the full registry get a driver-verified
+# row this round. Round-5 rotation (VERDICT r4 "Next #1"): the 15
+# queries that had only local-green evidence move IN (plus the new
+# rel_string_split TVF-APPLY query); 16 multi-round driver-green
+# stalwarts (4-round green: dedup_exact/minhash/ngram, match_customers/
+# refer_path, mm_*, rel_pricing_summary, sim_ann_lsh, stream_sessions,
+# text_langid; 3-round green: graph_pagerank/components,
+# match_degree_cols/exists_subquery/join_qualified) move to
+# extra_queries(), where every sweep still oracle-checks them.
+GATE_ROSTER = [
+    # relational dialect
+    "rel_pivot", "rel_percentiles", "rel_unpivot", "rel_window_lead_lag",
+    "rel_string_split",
+    # temporal / events
+    "events_asof", "events_range_count", "events_rollup", "events_funnel",
+    "events_retention", "events_gapfill", "events_histogram",
+    # MATCH surface
+    "match_views", "match_cte", "match_view_degrees",
+    # dedup family
+    "dedup_embed_cosine", "dedup_clusters", "dedup_cross_corpus",
+    # text analysis
+    "text_stats_quality", "text_corpus", "text_repetition", "text_pii_scrub",
+    # sampling
+    "sample_split", "sample_group_topk",
+    # similarity / ML
+    "sim_topk", "ml_kmeans", "ml_quantize", "ml_outliers",
+    # streaming
+    "stream_windows", "stream_trending",
+    # graph algorithms
+    "graph_shortest_paths", "graph_triangles", "graph_communities",
+    "graph_weighted_paths", "graph_hits", "graph_kcore", "graph_ppr",
+    "graph_node_sim",
+    # pipeline
+    "pipeline_decontam", "pipeline_pack", "pipeline_quality_quantile",
+    "pipeline_mix", "pipeline_chunk_dedup", "pipeline_data_card",
+    "pipeline_temperature_mix",
+    # search / retrieval
+    "search_bm25", "search_postings", "search_chunks", "search_hybrid",
+    # skew handling
+    "skew_salted_agg",
+]
+
+
+def _registry() -> tuple[
+    dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
+]:
+    """Merge every module's QUERIES/EXTRA_QUERIES (and oracles) into one
+    flat registry; the GATE_ROSTER partitions it into queries() vs
+    extra_queries()."""
     from graphview_spark import algorithms, graph_queries, relational
     from graphview_spark.operators import (
         clustering,
@@ -40,131 +89,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal,
         pipeline,
         sampling,
-        similarity,
         search,
+        similarity,
+        skew,
         temporal,
         text,
     )
     from graphview_spark.streaming import events as streaming_events
 
-    # Registration order matters: the driver's correctness gate records
-    # at most ~50 entries in this order (CORRECTNESS_r02 cut at exactly
-    # 50 of 52). Round-4 rotation: stable rel_* basics (gate-green in
-    # rounds 2-3) moved to extra_queries() so previously-extended
-    # families (events_rollup/funnel/retention/gapfill, pipeline_*,
-    # ml_quantize, graph_communities/weighted_paths) accumulate a
-    # driver-verified row; total held at exactly 50.
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(relational.QUERIES)
-    out.update(temporal.QUERIES)
-    out.update(graph_queries.QUERIES)
-    out.update(dedup.QUERIES)
-    out.update(text.QUERIES)
-    out.update(sampling.QUERIES)
-    out.update(similarity.QUERIES)
-    out.update(clustering.QUERIES)
-    out.update(multimodal.QUERIES)
-    out.update(streaming_events.QUERIES)
-    out.update(algorithms.QUERIES)
-    out.update(pipeline.QUERIES)
-    out.update(search.QUERIES)
-    assert len(out) == 50, f"driver gate roster must stay at 50, got {len(out)}"
-    return out
+    mods = [
+        relational, temporal, graph_queries, dedup, text, sampling,
+        similarity, clustering, multimodal, streaming_events, algorithms,
+        pipeline, search, skew,
+    ]
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for m in mods:
+        qs.update(getattr(m, "QUERIES", {}))
+        qs.update(getattr(m, "EXTRA_QUERIES", {}))
+        oracles.update(getattr(m, "ORACLES", {}))
+        oracles.update(getattr(m, "EXTRA_ORACLES", {}))
+    return qs, oracles
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per implemented operator from SURVEY.md §2 (the 50-name
+    driver-gate roster; the rest are in extra_queries())."""
+    qs, _ = _registry()
+    missing = [n for n in GATE_ROSTER if n not in qs]
+    assert not missing, f"GATE_ROSTER names unknown queries: {missing}"
+    assert len(GATE_ROSTER) == 50, f"roster must stay at 50, got {len(GATE_ROSTER)}"
+    return {n: qs[n] for n in GATE_ROSTER}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each ``queries()`` key."""
-    from graphview_spark import algorithms, graph_queries, relational
-    from graphview_spark.operators import (
-        clustering,
-        dedup,
-        multimodal,
-        pipeline,
-        sampling,
-        similarity,
-        search,
-        temporal,
-        text,
-    )
-    from graphview_spark.streaming import events as streaming_events
-
-    out: dict[str, str] = {}
-    out.update(relational.ORACLES)
-    out.update(temporal.ORACLES)
-    out.update(graph_queries.ORACLES)
-    out.update(dedup.ORACLES)
-    out.update(text.ORACLES)
-    out.update(sampling.ORACLES)
-    out.update(similarity.ORACLES)
-    out.update(clustering.ORACLES)
-    out.update(multimodal.ORACLES)
-    out.update(streaming_events.ORACLES)
-    out.update(algorithms.ORACLES)
-    out.update(pipeline.ORACLES)
-    out.update(search.ORACLES)
-    return out
+    _, oracles = _registry()
+    return {n: oracles[n] for n in GATE_ROSTER if n in oracles}
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Operators beyond the driver gate's ~50-entry cap. Same contract
     as ``queries()``; oracle-checked by tools/check.py (results committed
     as CHECKS_LOCAL.md) and pytest-covered — kept out of ``queries()``
-    only so the capped driver gate keeps recording the core surface."""
-    from graphview_spark import algorithms, graph_queries, relational
-    from graphview_spark.operators import (
-        clustering,
-        dedup,
-        pipeline,
-        sampling,
-        search,
-        skew,
-        temporal,
-        text,
-    )
-    from graphview_spark.streaming import events as streaming_events
-
-    return {
-        **relational.EXTRA_QUERIES,
-        **graph_queries.EXTRA_QUERIES,
-        **algorithms.EXTRA_QUERIES,
-        **temporal.EXTRA_QUERIES,
-        **skew.EXTRA_QUERIES,
-        **clustering.EXTRA_QUERIES,
-        **text.EXTRA_QUERIES,
-        **sampling.EXTRA_QUERIES,
-        **pipeline.EXTRA_QUERIES,
-        **search.EXTRA_QUERIES,
-        **dedup.EXTRA_QUERIES,
-        **streaming_events.EXTRA_QUERIES,
-    }
+    only so the capped driver gate keeps recording the rotated roster."""
+    qs, _ = _registry()
+    return {n: f for n, f in qs.items() if n not in GATE_ROSTER}
 
 
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for ``extra_queries()``."""
-    from graphview_spark import algorithms, graph_queries, relational
-    from graphview_spark.operators import (
-        clustering,
-        dedup,
-        pipeline,
-        sampling,
-        search,
-        skew,
-        temporal,
-        text,
-    )
-    from graphview_spark.streaming import events as streaming_events
-
-    return {
-        **relational.EXTRA_ORACLES,
-        **graph_queries.EXTRA_ORACLES,
-        **algorithms.EXTRA_ORACLES,
-        **temporal.EXTRA_ORACLES,
-        **skew.EXTRA_ORACLES,
-        **clustering.EXTRA_ORACLES,
-        **text.EXTRA_ORACLES,
-        **sampling.EXTRA_ORACLES,
-        **pipeline.EXTRA_ORACLES,
-        **search.EXTRA_ORACLES,
-        **dedup.EXTRA_ORACLES,
-        **streaming_events.EXTRA_ORACLES,
-    }
+    _, oracles = _registry()
+    return {n: s for n, s in oracles.items() if n not in GATE_ROSTER}

@@ -529,8 +529,39 @@ GROUP BY nr.region
 """
 
 
+def q_rel_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-SQL ``CROSS APPLY STRING_SPLIT`` through the dialect (the
+    reference forwards TVF APPLY to SQL Server untranslated,
+    WTableReference.cs:241-295; here it rewrites to LATERAL VIEW
+    explode(split(...)) — see _rewrite_tvf_apply). Token stats per
+    market segment over Customer names ('Customer#000000042' → 2
+    tokens). Scale: explode is pipelined map-side work; the groupBy is
+    the only shuffle."""
+    g = tpch_graph(spark, sf_dir)
+    return g.execute(
+        """SELECT C.c_mktsegment AS segment,
+                  COUNT(*) AS n_tok,
+                  COUNT(DISTINCT s.value) AS n_distinct,
+                  MIN(LEN(s.value)) AS min_len
+           FROM Customer C
+           CROSS APPLY STRING_SPLIT(C.c_name, '#') s
+           GROUP BY C.c_mktsegment"""
+    )
+
+
+ORACLE_REL_STRING_SPLIT = """
+SELECT c_mktsegment AS segment,
+       count(*) AS n_tok,
+       count(DISTINCT t.value) AS n_distinct,
+       min(length(t.value))::BIGINT AS min_len
+FROM customer, unnest(string_split(c_name, '#')) AS t(value)
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "match_customers_per_region": q_match_customers_per_region,
+    "rel_string_split": q_rel_string_split,
     "match_refer_path": q_match_refer_path,
     "match_views": q_match_views,
     "match_exists_subquery": q_match_exists_subquery,
@@ -542,6 +573,7 @@ QUERIES = {
 
 ORACLES = {
     "match_customers_per_region": ORACLE_MATCH_CUSTOMERS_PER_REGION,
+    "rel_string_split": ORACLE_REL_STRING_SPLIT,
     "match_refer_path": ORACLE_MATCH_REFER_PATH,
     "match_views": ORACLE_MATCH_VIEWS,
     "match_exists_subquery": ORACLE_MATCH_EXISTS_SUBQUERY,

@@ -533,6 +533,162 @@ def _rewrite_tsql_builtins(masked: str) -> str:
     return masked
 
 
+_TSQL_TYPE_MAP = [
+    # OPENJSON WITH(...) column types → Spark schema-string types
+    (r"(?i)^N?(VAR)?CHAR\s*\(\s*(\d+|MAX)\s*\)$", "string"),
+    (r"(?i)^N?TEXT$", "string"),
+    (r"(?i)^BIT$", "boolean"),
+    (r"(?i)^TINYINT$", "tinyint"),
+    (r"(?i)^SMALLINT$", "smallint"),
+    (r"(?i)^INT(EGER)?$", "int"),
+    (r"(?i)^BIGINT$", "bigint"),
+    (r"(?i)^REAL$", "float"),
+    (r"(?i)^FLOAT(\s*\(\s*\d+\s*\))?$", "double"),
+    (r"(?i)^(DECIMAL|NUMERIC)\s*(\(\s*\d+\s*(,\s*\d+\s*)?\))?$", None),
+    (r"(?i)^(SMALL)?DATETIME2?(\s*\(\s*\d+\s*\))?$", "timestamp"),
+    (r"(?i)^DATE$", "date"),
+]
+
+
+def _spark_type_for(tsql_type: str) -> str:
+    t = tsql_type.strip()
+    for pat, rep in _TSQL_TYPE_MAP:
+        if re.match(pat, t):
+            if rep is None:  # DECIMAL/NUMERIC keep precision, Spark spelling
+                return re.sub(r"(?i)^NUMERIC", "decimal",
+                              re.sub(r"(?i)^DECIMAL", "decimal",
+                                     t.replace(" ", "")))
+            return rep
+    raise ValueError(f"unsupported OPENJSON WITH column type: {tsql_type!r}")
+
+
+def _split_args_depth0(text: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [a.strip() for a in out]
+
+
+_TVF_APPLY_PAT = re.compile(
+    r"(?is)\b(CROSS|OUTER)\s+APPLY\s+(STRING_SPLIT|OPENJSON)\s*\("
+)
+_ALIAS_PAT = re.compile(
+    r"(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)"
+    r"(?:\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
+)
+
+
+def _rewrite_tvf_apply(masked: str, lits: list[str]) -> str:
+    """T-SQL table-valued-function APPLY → Spark LATERAL VIEW.
+
+    The reference forwards any TVF APPLY to SQL Server untranslated
+    (GraphView/TSQL Syntax Tree/WTableReference.cs:241-295); Spark has no
+    STRING_SPLIT/OPENJSON relations, so the two most common TVFs are
+    rewritten to their native equivalents:
+
+      CROSS APPLY STRING_SPLIT(col, sep) s
+        → LATERAL VIEW explode(split(col, <regex-quoted sep>)) s AS value
+      OUTER APPLY ... → LATERAL VIEW OUTER ...
+      CROSS APPLY OPENJSON(col) j              (default schema, scalar subset)
+        → LATERAL VIEW explode(from_json(col, 'map<string,string>'))
+            j AS key, value
+      CROSS APPLY OPENJSON(col) WITH (a INT '$.a', b VARCHAR(40)) j
+        → LATERAL VIEW inline(array(from_json(col, 'a int, b string'))) j
+
+    Documented subset deviations: the separator is regex-quoted with
+    \\Q..\\E (STRING_SPLIT treats it as a literal; Spark split() as a
+    regex); OPENJSON's default-schema `type` column and non-trivial JSON
+    paths are unsupported and raise; 3-arg STRING_SPLIT (enable_ordinal)
+    raises."""
+    while True:
+        m = _TVF_APPLY_PAT.search(masked)
+        if not m:
+            return masked
+        end = _match_paren(masked, m.end() - 1)
+        args = _split_args_depth0(masked[m.end():end])
+        rest = masked[end + 1:]
+        outer = " OUTER" if m.group(1).upper() == "OUTER" else ""
+        fn = m.group(2).upper()
+        with_cols = None
+        if fn == "OPENJSON":
+            wm = re.match(r"(?is)^\s*WITH\s*\(", rest)
+            if wm:
+                wend = _match_paren(rest, wm.end() - 1)
+                with_cols = _split_args_depth0(rest[wm.end():wend])
+                rest = rest[wend + 1:]
+        am = _ALIAS_PAT.match(rest)
+        if not am:
+            raise ValueError(f"TVF APPLY requires an alias: {fn}(...)")
+        alias = am.group(1)
+        out_cols = _split_args_depth0(am.group(2)) if am.group(2) else None
+        if fn == "STRING_SPLIT":
+            if len(args) != 2:
+                raise ValueError(
+                    "STRING_SPLIT APPLY supports exactly (col, sep); "
+                    "enable_ordinal is unsupported — use posexplode directly"
+                )
+            cols = out_cols or ["value"]
+            if len(cols) != 1:
+                raise ValueError("STRING_SPLIT yields one column (value)")
+            repl = (
+                f" LATERAL VIEW{outer} explode(split({args[0]}, "
+                f"concat('\\\\Q', {args[1]}, '\\\\E'))) {alias} AS {cols[0]}"
+            )
+        elif with_cols is not None:
+            if len(args) != 1:
+                raise ValueError("OPENJSON WITH supports a single JSON arg")
+            fields = []
+            for c in with_cols:
+                cm = re.match(
+                    r"(?is)^([A-Za-z_]\w*)\s+([A-Za-z]\w*(?:\s*\([^)]*\))?)"
+                    r"\s*(\x00\d+\x00)?\s*$", c.strip(),
+                )
+                if not cm:
+                    raise ValueError(f"unsupported OPENJSON WITH entry: {c!r}")
+                name, typ, path_ph = cm.group(1), cm.group(2), cm.group(3)
+                if path_ph:
+                    lit = lits[int(path_ph.strip("\x00"))]
+                    path = lit.strip("'")
+                    if path.lower() not in (f"$.{name.lower()}",
+                                            f'$."{name.lower()}"'):
+                        raise ValueError(
+                            f"OPENJSON path {path!r} must be $.{name} "
+                            "(nested paths unsupported)"
+                        )
+                fields.append(f"{name} {_spark_type_for(typ)}")
+            schema = ", ".join(fields)
+            repl = (
+                f" LATERAL VIEW{outer} inline(array(from_json({args[0]}, "
+                f"'{schema}'))) {alias}"
+            )
+        else:
+            if len(args) != 1:
+                raise ValueError(
+                    "OPENJSON APPLY supports OPENJSON(col) or "
+                    "OPENJSON(col) WITH (...); JSON-path args unsupported"
+                )
+            cols = out_cols or ["key", "value"]
+            if len(cols) != 2:
+                raise ValueError(
+                    "default-schema OPENJSON subset yields (key, value); "
+                    "the `type` column is unsupported"
+                )
+            repl = (
+                f" LATERAL VIEW{outer} explode(from_json({args[0]}, "
+                f"'map<string,string>')) {alias} AS {cols[0]}, {cols[1]}"
+            )
+        masked = masked[: m.start()] + repl + rest[am.end():]
+
+
 def _rewrite_apply(masked: str) -> str:
     """T-SQL ``CROSS APPLY (subquery) alias`` → Spark ``, LATERAL
     (subquery) alias``; ``OUTER APPLY`` → ``LEFT JOIN LATERAL ... ON
@@ -567,11 +723,12 @@ def execute_statement(g, sql: str) -> DataFrame | None:
         masked = _strip_tsql_hints(masked)
         s = _unmask(masked, _lits).strip()
     if re.search(r"(?is)\b(CROSS|OUTER)\s+APPLY\b", masked):
+        masked = _rewrite_tvf_apply(masked, _lits)
         masked = _rewrite_apply(masked)
         if re.search(r"(?is)\b(CROSS|OUTER)\s+APPLY\b", masked):
             raise ValueError(
-                "only parenthesized-subquery APPLY is supported; rewrite "
-                "table-valued-function APPLY (e.g. STRING_SPLIT) as a "
+                "only subquery APPLY and STRING_SPLIT/OPENJSON APPLY are "
+                "supported; rewrite other table-valued-function APPLY as a "
                 "Spark LATERAL VIEW / explode() instead"
             )
         s = _unmask(masked, _lits).strip()
@@ -1010,10 +1167,12 @@ def _exec_select_body(g, masked: str, lits: list[str]) -> DataFrame:
 
 def _limit_percent(df: DataFrame, pct: float) -> DataFrame:
     """T-SQL ``TOP n PERCENT``: ceil(pct% of the result's row count).
-    Needs the count (T-SQL pays the same); order comes from the query's
-    own ORDER BY (TOP without one is nondeterministic in T-SQL too)."""
+    The plan is materialized once (localCheckpoint) before counting so
+    the count and the returned subset see the same rows even on a
+    nondeterministic source, and the query cost isn't paid twice."""
     import math
 
+    df = df.localCheckpoint(eager=True)
     n = math.ceil(pct * df.count() / 100.0)
     return df.limit(n)
 

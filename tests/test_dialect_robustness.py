@@ -346,5 +346,67 @@ def test_distinct_top_and_decimal_percent(g):
         g.execute("SELECT TOP 1.5 id FROM People")
     with _pytest.raises(ValueError, match="APPLY"):
         g.execute(
-            "SELECT * FROM People p CROSS APPLY string_split(p.name, ',') s"
+            "SELECT * FROM People p CROSS APPLY generate_series(1, p.id) s"
+        )
+
+
+def test_string_split_apply(g):
+    """CROSS/OUTER APPLY STRING_SPLIT → LATERAL VIEW explode(split(...))
+    (the reference forwards TVF APPLY untranslated,
+    WTableReference.cs:241-295). Separator is regex-quoted, so regex
+    metacharacters split literally."""
+    g.execute("UPDATE People SET name = 'a.b.c' WHERE id = 1")
+    rows = g.execute(
+        "SELECT p.id, s.value FROM People p "
+        "CROSS APPLY STRING_SPLIT(p.name, '.') s "
+        "WHERE p.id = 1 ORDER BY s.value"
+    ).collect()
+    assert [(r["id"], r["value"]) for r in rows] == [
+        (1, "a"), (1, "b"), (1, "c"),
+    ]
+    # derived column list renames `value`
+    rows = g.execute(
+        "SELECT s.tok FROM People p "
+        "CROSS APPLY STRING_SPLIT(p.name, '.') AS s(tok) "
+        "WHERE p.id = 2"
+    ).collect()
+    assert [r["tok"] for r in rows] == ["B"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="enable_ordinal"):
+        g.execute(
+            "SELECT * FROM People p CROSS APPLY STRING_SPLIT(p.name, '.', 1) s"
+        )
+
+
+def test_openjson_apply(g):
+    """OPENJSON default schema (scalar key/value subset) and the WITH
+    (...) typed-column form → from_json + explode/inline."""
+    g.execute("""UPDATE People SET name = '{"x": 1, "y": "two"}' WHERE id = 3""")
+    rows = g.execute(
+        "SELECT j.key, j.value FROM People p "
+        "CROSS APPLY OPENJSON(p.name) j WHERE p.id = 3 ORDER BY j.key"
+    ).collect()
+    assert [(r["key"], r["value"]) for r in rows] == [("x", "1"), ("y", "two")]
+    rows = g.execute(
+        "SELECT p.id, j.x, j.y FROM People p "
+        "CROSS APPLY OPENJSON(p.name) WITH (x INT '$.x', y VARCHAR(10)) j "
+        "WHERE p.id = 3"
+    ).collect()
+    assert [(r["id"], r["x"], r["y"]) for r in rows] == [(3, 1, "two")]
+    # OUTER APPLY keeps rows whose JSON doesn't parse (NULL map → no rows
+    # from explode, but LATERAL VIEW OUTER emits one null row)
+    rows = g.execute(
+        "SELECT p.id, j.key FROM People p "
+        "OUTER APPLY OPENJSON(p.name) j ORDER BY p.id, j.key"
+    ).collect()
+    assert [(r["id"], r["key"]) for r in rows] == [
+        (1, None), (2, None), (3, "x"), (3, "y"),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nested paths"):
+        g.execute(
+            "SELECT j.x FROM People p "
+            "CROSS APPLY OPENJSON(p.name) WITH (x INT '$.deep.x') j"
         )
