@@ -44,15 +44,28 @@ def aggregate_messages(
     )
 
 
+# Per-iteration score snap for the float-sum algorithms (pagerank/HITS/
+# PPR): parallel SUM over doubles adds in partition order, so reruns can
+# differ in the last ~2 ulps (~1e-15 relative). Snapping each round's
+# scores to a 1e-12 grid — on BOTH engines, at the SAME points of the
+# recurrence — absorbs that jitter before it compounds across rounds,
+# while staying 10⁴× finer than the 8-decimal final output. The same
+# discipline as the fixed-order folds in search.py/clustering.py, for
+# loops where a fold can't fix the order (distributed aggregation).
+SCORE_GRID = 12
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
     damping: float = 0.85,
     iterations: int = 10,
+    grid: int | None = SCORE_GRID,
 ) -> DataFrame:
     """PageRank over (GlobalNodeId) nodes and (src, sink) edges; fixed
     iteration count → deterministic. Dangling mass is redistributed
-    uniformly (the standard formulation)."""
+    uniformly (the standard formulation). ``grid`` snaps each round's
+    ranks to that many decimals (see SCORE_GRID; None disables)."""
     n = nodes.count()
     ranks = nodes.select("GlobalNodeId").withColumn("rank", F.lit(1.0 / n))
     degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
@@ -75,21 +88,21 @@ def pagerank(
             ranks.join(degrees, ranks["GlobalNodeId"] == degrees["src"], "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
+        new_rank = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping)
+            * (
+                F.col("_dang") / F.lit(float(n))
+                + F.coalesce(F.col("received"), F.lit(0.0))
+            )
+        )
+        if grid is not None:
+            new_rank = F.round(new_rank, grid)
         ranks = (
             nodes.select("GlobalNodeId")
             .join(contribs, "GlobalNodeId", "left")
             .join(F.broadcast(dangling))
-            .select(
-                "GlobalNodeId",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.col("_dang") / F.lit(float(n))
-                        + F.coalesce(F.col("received"), F.lit(0.0))
-                    )
-                ).alias("rank"),
-            )
+            .select("GlobalNodeId", new_rank.alias("rank"))
             .localCheckpoint(eager=True)
         )
     return ranks
@@ -205,16 +218,23 @@ def hits(
     nodes: DataFrame,
     edges: DataFrame,
     iterations: int = 5,
+    grid: int | None = SCORE_GRID,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg) with L1 normalization each
     half-step (avoids the L2 sqrt while keeping scores bounded; the
     ranking is identical up to scale). Fixed iteration count →
-    deterministic and oracle-checkable as unrolled CTEs.
+    deterministic and oracle-checkable as unrolled CTEs; ``grid`` snaps
+    each half-step's scores (see SCORE_GRID) so partition-order float
+    addition can't drift across rounds.
 
     Each round: two shuffles on node id (auth update from hub, hub
     update from auth) + two broadcast 1-row normalization aggregates
     computed in the same job — no driver sync beyond the per-round
     checkpoint."""
+
+    def _snap(c):
+        return F.round(c, grid) if grid is not None else c
+
     state = nodes.select("GlobalNodeId").select(
         "GlobalNodeId", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
     ).localCheckpoint(eager=True)
@@ -238,10 +258,10 @@ def hits(
                 "hub",
                 # empty edge set → NULL total; scores degrade to 0.0
                 # instead of propagating NULL through every node
-                F.coalesce(
+                _snap(F.coalesce(
                     F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("_t"),
                     F.lit(0.0),
-                ).alias("auth"),
+                )).alias("auth"),
             )
         )
         hub_raw = (
@@ -259,10 +279,10 @@ def hits(
             .join(F.broadcast(h_tot))
             .select(
                 "GlobalNodeId",
-                F.coalesce(
+                _snap(F.coalesce(
                     F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("_t"),
                     F.lit(0.0),
-                ).alias("hub"),
+                )).alias("hub"),
                 "auth",
             )
             .localCheckpoint(eager=True)
@@ -276,12 +296,13 @@ def personalized_pagerank(
     sources: DataFrame,
     damping: float = 0.85,
     iterations: int = 5,
+    grid: int | None = SCORE_GRID,
 ) -> DataFrame:
     """Personalized PageRank: teleport mass returns to the ``sources``
     set (uniformly) instead of to all nodes — the standard seeded
     relevance ranking. Same loop shape as :func:`pagerank` (one shuffle
     per round on node id, dangling mass redistributed to the teleport
-    vector, localCheckpoint caps lineage)."""
+    vector, localCheckpoint caps lineage, per-round SCORE_GRID snap)."""
     n_src = sources.count()
     if n_src == 0:
         raise ValueError(
@@ -313,20 +334,20 @@ def personalized_pagerank(
             ranks.join(degrees, ranks["GlobalNodeId"] == degrees["src"], "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
+        new_rank = (
+            F.lit(1.0 - damping) * F.col("p")
+            + F.lit(damping)
+            * (
+                F.col("_dang") * F.col("p")
+                + F.coalesce(F.col("received"), F.lit(0.0))
+            )
+        )
+        if grid is not None:
+            new_rank = F.round(new_rank, grid)
         ranks = (
             pref.join(contribs, "GlobalNodeId", "left")
             .join(F.broadcast(dangling))
-            .select(
-                "GlobalNodeId",
-                (
-                    F.lit(1.0 - damping) * F.col("p")
-                    + F.lit(damping)
-                    * (
-                        F.col("_dang") * F.col("p")
-                        + F.coalesce(F.col("received"), F.lit(0.0))
-                    )
-                ).alias("rank"),
-            )
+            .select("GlobalNodeId", new_rank.alias("rank"))
             .localCheckpoint(eager=True)
         )
     return ranks
@@ -507,8 +528,9 @@ def _oracle_pagerank(iterations: int = 5, damping: float = 0.85) -> str:
     def step(prev: str) -> str:
         return f"""
   SELECT nd.id AS id,
-         {1.0 - damping} / nn.N
-         + {damping} * (dang.s / nn.N + coalesce(ct.contrib, 0)) AS rank
+         round({1.0 - damping} / nn.N
+         + {damping} * (dang.s / nn.N + coalesce(ct.contrib, 0)),
+         {SCORE_GRID}) AS rank
   FROM (SELECT c_custkey AS id FROM customer) nd
   CROSS JOIN nn
   CROSS JOIN (SELECT coalesce(sum(p.rank), 0) AS s
@@ -818,16 +840,27 @@ def _oracle_kcore(rounds: int = 24) -> str:
             f"WHERE s NOT IN (SELECT s FROM r{i}) "
             f"AND t NOT IN (SELECT s FROM r{i}))"
         )
+    # fixpoint sentinel: if the LAST peel round still removed nodes, the
+    # unroll depth was insufficient — error() loudly instead of silently
+    # diverging from the Spark side's true-fixpoint peel
+    # the sentinel must be load-bearing (multiplied into the output) or
+    # DuckDB's optimizer prunes the unused 1-row join and never evaluates
+    # the CASE — verified: an unused CROSS JOIN sentinel does NOT fire
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT s AS doc_id, count(*)::BIGINT AS core_degree "
-        f"FROM u{rounds} GROUP BY s"
+        + f"""
+SELECT s AS doc_id,
+       (count(*) * (SELECT CASE WHEN (SELECT count(*) FROM r{rounds - 1}) > 0
+          THEN error('k-core oracle: unroll depth {rounds} did not reach fixpoint - raise rounds')
+          ELSE 1 END))::BIGINT AS core_degree
+FROM u{rounds} GROUP BY s"""
     )
 
 
 def node_similarity(
     edges: DataFrame,
     max_degree: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Common-neighbor Jaccard similarity between node pairs of an
     undirected graph given as directed (src, sink) edges.
@@ -836,11 +869,18 @@ def node_similarity(
     aggregate → join per-node degrees. Cost is Σ_n C(deg(n), 2), which
     a hub node makes quadratic — ``max_degree`` drops hubs before the
     self-join (the standard mitigation; at 100 TB you cap and handle
-    hubs separately, e.g. via sketches). The Jaccard is computed with
-    exact integer arithmetic so the oracle agrees bit-for-bit."""
+    hubs separately, e.g. via sketches). The (capped) symmetrized edge
+    list is materialized once (``materialize=False`` keeps it lazy for
+    plan inspection): it feeds the degree aggregate and BOTH self-join
+    sides, so an unmaterialized frame would re-run its shuffles 3×.
+    The Jaccard is computed with exact integer arithmetic so the oracle
+    agrees bit-for-bit."""
     from graphview_spark.operators.text import _ratio_r
 
-    sym = (
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if materialize else df
+
+    sym = _pin(
         edges.select("src", "sink")
         .union(edges.select(F.col("sink").alias("src"), F.col("src").alias("sink")))
         .distinct()
@@ -848,9 +888,11 @@ def node_similarity(
     if max_degree is not None:
         deg_all = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg_all.filter(F.col("d") <= max_degree).select("src")
-        sym = sym.join(keep, "src").join(
-            keep.withColumnRenamed("src", "sink"), "sink"
-        ).select("src", "sink")
+        sym = _pin(
+            sym.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "sink"), "sink")
+            .select("src", "sink")
+        )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     a = sym.select(F.col("src").alias("na"), F.col("sink").alias("n"))
     b = sym.select(F.col("src").alias("nb"), F.col("sink").alias("n"))
@@ -876,15 +918,22 @@ def node_similarity(
     )
 
 
+NODE_SIM_MAX_DEGREE = 64
+
+
 def q_graph_node_sim(spark, sf_dir: str) -> DataFrame:
     """Common-neighbor Jaccard over the Refers tree (undirected):
-    sibling / parent-grandchild structural similarity."""
+    sibling / parent-grandchild structural similarity. The hub cap is ON
+    by default so the gate exercises the scale-safe path — a no-op on
+    the Refers tree (max undirected degree 3), so the oracle is the
+    uncapped SQL; at 100 TB the cap bounds the Σ C(deg,2) self-join
+    blowup (asserted present in the plan by tests/test_plans.py)."""
     from graphview_spark.graph_queries import tpch_graph
 
     g = tpch_graph(spark, sf_dir)
     nodes = g.nodes["Customer"]
     edges = g.edge_with_id("Customer.Refers")
-    sim = node_similarity(edges)
+    sim = node_similarity(edges, max_degree=NODE_SIM_MAX_DEGREE)
     na = nodes.select(
         F.col("GlobalNodeId").alias("na"), F.col("c_custkey").alias("cust_a")
     )
@@ -969,13 +1018,13 @@ def _oracle_hits(iterations: int = HITS_ITERS) -> str:
             f"FROM {p} p JOIN refers e ON e.src = p.id GROUP BY e.sink)",
             f"at{i} AS MATERIALIZED (SELECT sum(raw) AS t FROM ar{i})",
             f"ha{i} AS MATERIALIZED (SELECT n.id, n.hub, "
-            f"coalesce(a.raw, 0) / at.t AS auth "
+            f"round(coalesce(a.raw, 0) / at.t, {SCORE_GRID}) AS auth "
             f"FROM {p} n LEFT JOIN ar{i} a ON a.id = n.id CROSS JOIN at{i} at)",
             f"br{i} AS MATERIALIZED (SELECT e.src AS id, sum(p.auth) AS raw "
             f"FROM ha{i} p JOIN refers e ON e.sink = p.id GROUP BY e.src)",
             f"bt{i} AS MATERIALIZED (SELECT sum(raw) AS t FROM br{i})",
             f"h{i} AS MATERIALIZED (SELECT n.id, "
-            f"coalesce(b.raw, 0) / bt.t AS hub, n.auth "
+            f"round(coalesce(b.raw, 0) / bt.t, {SCORE_GRID}) AS hub, n.auth "
             f"FROM ha{i} n LEFT JOIN br{i} b ON b.id = n.id CROSS JOIN bt{i} bt)",
         ]
     return (
@@ -1009,8 +1058,9 @@ def _oracle_ppr(
 
     def step(prev: str) -> str:
         return f"""
-  SELECT pv.id, {1.0 - damping} * pv.p
-         + {damping} * (dang.s * pv.p + coalesce(ct.contrib, 0)) AS rank
+  SELECT pv.id, round({1.0 - damping} * pv.p
+         + {damping} * (dang.s * pv.p + coalesce(ct.contrib, 0)),
+         {SCORE_GRID}) AS rank
   FROM pref pv
   CROSS JOIN (SELECT coalesce(sum(p.rank), 0) AS s
               FROM {prev} p LEFT JOIN deg ON deg.src = p.id

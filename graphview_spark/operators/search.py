@@ -79,8 +79,11 @@ def bm25_scores(
     variant that is always positive).
 
     Plan shape: one map pass computing dl + per-term tf as array
-    expressions, one 1-row aggregate for (N, Σdl, df_i) broadcast back,
-    one final map pass for the score. The corpus is never shuffled.
+    expressions (materialized — it feeds BOTH the 1-row stats aggregate
+    and the scoring join, and uncheckpointed the corpus tokenization
+    would run twice), one 1-row aggregate for (N, Σdl, df_i) broadcast
+    back, one final map pass for the score. The corpus is never
+    shuffled.
     """
     d = docs.select(
         "doc_id",
@@ -92,7 +95,7 @@ def bm25_scores(
             F.size(F.filter("_toks", _eq(t))).cast("long").alias(f"tf{i}")
             for i, t in enumerate(terms)
         ],
-    )
+    ).localCheckpoint(eager=True)
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -348,12 +351,25 @@ def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").alias("bm25"),
             F.round(cosine_col(F.col("v"), F.col("qv")), 6).alias("cosine"),
         )
+        # ≤ HYBRID_CANDIDATES rows by construction; pinned because both
+        # sides of the rank join below read it
+        .localCheckpoint(eager=True)
     )
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.desc("cosine"), "doc_id")
+    # rank without a global window: an unpartitioned row_number() drags
+    # every row to one partition (Spark's WindowExec warning). On this
+    # bounded candidate set, rerank = 1 + |rows strictly ahead| via a
+    # broadcast nested-loop self-join — no single-partition exchange,
+    # and (cosine desc, doc_id) is a total order so it equals row_number.
+    other = rescored.select(
+        F.col("cosine").alias("_c"), F.col("doc_id").alias("_d")
+    )
+    ahead = (F.col("_c") > F.col("cosine")) | (
+        (F.col("_c") == F.col("cosine")) & (F.col("_d") < F.col("doc_id"))
+    )
     return (
-        rescored.withColumn("rerank", F.row_number().over(w).cast("long"))
+        rescored.join(F.broadcast(other), ahead, "left")
+        .groupBy("doc_id", "bm25", "cosine")
+        .agg((F.count("_d") + 1).cast("long").alias("rerank"))
         .filter(F.col("rerank") <= HYBRID_TOP_K)
     )
 

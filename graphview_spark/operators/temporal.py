@@ -635,12 +635,15 @@ HIST_BINS = 20
 
 
 def q_events_histogram(spark, sf_dir: str):
-    """Fixed-width histogram of event values per event type: bin edges
-    from one (min, max) aggregate broadcast back; binning is a per-row
-    expression; counts are a map-side-combinable groupBy. No sort, no
-    window — the profile pass that sizes downstream quantile/clip
-    decisions. The max value folds into the top bin (standard closed
-    upper edge)."""
+    """Fixed-width histogram of event values, counted per event type
+    over GLOBAL bin edges (one (min, max) aggregate broadcast back —
+    global on purpose, so bins are comparable across event types);
+    binning is a per-row expression; counts are a map-side-combinable
+    groupBy. No sort, no window — the profile pass that sizes
+    downstream quantile/clip decisions. The max value folds into the
+    top bin (standard closed upper edge). The bin width is floored at
+    1e-12 so a degenerate hi==lo span yields bin 0 on both engines
+    (unguarded, 0/0 is NULL on Spark but NaN in DuckDB's IEEE math)."""
     from graphview_spark.session import read_table
 
     ev = read_table(spark, sf_dir, "events").select("event_type", "value")
@@ -651,7 +654,9 @@ def q_events_histogram(spark, sf_dir: str):
             F.lit(HIST_BINS - 1),
             F.floor(
                 (F.col("value") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / HIST_BINS)
+                / (F.greatest(
+                    F.col("hi") - F.col("lo"), F.lit(1e-12)
+                ) / HIST_BINS)
             ),
         ).alias("bin"),
     )
@@ -665,7 +670,8 @@ WITH span AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
 b AS (
   SELECT event_type,
          least({HIST_BINS - 1},
-               floor((value - lo) / ((hi - lo) / {HIST_BINS}))::BIGINT) AS bin
+               floor((value - lo)
+                     / (greatest(hi - lo, 1e-12) / {HIST_BINS}))::BIGINT) AS bin
   FROM events, span
 )
 SELECT event_type, bin, count(*)::BIGINT AS n

@@ -92,3 +92,66 @@ def test_scalar_subquery_broadcasts(spark, sf_dir):
     facts = plan_facts(df)
     assert facts.n_broadcast_joins >= 1
     assert facts.n_cartesian == 0
+
+
+def test_node_sim_hub_cap_in_plan(spark, sf_dir):
+    """q_graph_node_sim runs with the hub cap ON (the 100 TB mitigation
+    for the Σ C(deg,2) self-join blowup): the cap's degree filter must
+    appear in the plan of the capped edge list (inspected lazy — the
+    production path materializes it once before the 3-way fan-out), and
+    the gate query must actually pass the cap."""
+    import inspect
+
+    from graphview_spark import algorithms as A
+    from graphview_spark.graph_queries import tpch_graph
+    from graphview_spark.plans.inspect import optimized_plan
+
+    g = tpch_graph(spark, sf_dir)
+    edges = g.edge_with_id("Customer.Refers")
+    plan = optimized_plan(
+        A.node_similarity(
+            edges, max_degree=A.NODE_SIM_MAX_DEGREE, materialize=False
+        )
+    )
+    assert f"<= {A.NODE_SIM_MAX_DEGREE}" in plan, plan[:2000]
+    assert "max_degree=NODE_SIM_MAX_DEGREE" in inspect.getsource(
+        A.q_graph_node_sim
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-count regression gate: the committed PLANS.md is the budget.
+# A change that adds shuffles / Python evals / cartesian products to any
+# registered query fails here instead of waiting for a judge round.
+# Plans are built (not executed) at the SAME sf dir PLANS.md was
+# generated from, so the comparison is apples-to-apples.
+# ---------------------------------------------------------------------------
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from tools import plan_audit as _pa  # noqa: E402
+
+try:
+    _PLANS_SF, _PLANS = _pa.read_committed()
+except FileNotFoundError:  # fresh clone before the first audit
+    _PLANS_SF, _PLANS = "/root/testdata/sf0.01", {}
+
+
+@pytest.mark.parametrize("name", sorted(_PLANS))
+def test_plan_budget(spark, name):
+    qs = _pa.all_queries()
+    if name not in qs:
+        pytest.skip(f"{name} no longer registered")
+    row = _pa.plan_row(spark, _PLANS_SF, name, qs[name])
+    budget = _PLANS[name]
+    assert row["cartesian"] == 0, f"{name}: cartesian product appeared"
+    assert row["python"] <= budget["python"], (
+        f"{name}: python evals {row['python']} > committed {budget['python']}"
+    )
+    assert row["exchanges"] <= budget["exchanges"], (
+        f"{name}: shuffle exchanges {row['exchanges']} > committed "
+        f"{budget['exchanges']} — re-run tools/plan_audit.py and justify "
+        f"the regression, or fix the plan"
+    )
