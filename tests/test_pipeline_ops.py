@@ -174,3 +174,34 @@ def test_embedding_outliers_flags_planted_outlier(spark):
     assert sum(1 for r in got.values() if r["is_outlier"]) == 1
     # z-scores of the inlier cloud stay below the planted point's
     assert got[9]["z"] == max(r["z"] for r in got.values())
+
+
+def test_embed_cosine_lsh_path_equals_exact(spark):
+    """The hyperplane-LSH candidate path (default for oversized labels)
+    must reproduce the exact quadratic path on realistic near-dup data:
+    42 base vectors + 2 near-copies each (cosine ≥ 0.999 — per-table
+    collision (1-θ/π)^12 ≈ 0.95, miss across 8 tables < 1e-6 with the
+    fixed seed, deterministic)."""
+    import numpy as np
+
+    from graphview_spark.operators.dedup import embed_cosine_pairs
+
+    rng = np.random.RandomState(13)
+    rows = []
+    vid = 0
+    for _ in range(42):
+        base = rng.randn(64)
+        for _ in range(3):  # base + 2 near-dups
+            noisy = base + rng.randn(64) * 0.01
+            rows.append((vid, [float(x) for x in noisy], 0))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, label int"
+    )
+    exact = embed_cosine_pairs(emb, 0.9, label_threshold=10**9)
+    lsh = embed_cosine_pairs(emb, 0.9, label_threshold=10)
+    key = lambda r: (r["vec_a"], r["vec_b"])  # noqa: E731
+    e_rows = sorted(map(tuple, exact.collect()))
+    l_rows = sorted(map(tuple, lsh.collect()))
+    assert len(e_rows) >= 42 * 3  # every triple pairs up
+    assert e_rows == l_rows
