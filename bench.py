@@ -93,6 +93,13 @@ def main() -> None:
     i = names.index("dedup_exact") if "dedup_exact" in names else len(names)
     names.insert(i, "dedup_signatures")
 
+    # Bench self-defense (VERDICT r4 "What's wrong #3": four apparent
+    # regressions in BENCH_r04 were host load, adjudicated by idle
+    # re-timing): record the 1-minute loadavg at start and end so a
+    # contaminated run is visible in the JSON itself, and flag it.
+    load_start = os.getloadavg()[0]
+    cpus = os.cpu_count() or 1
+
     # Each query runs three times; we report the steady-state (min) time
     # so the number reflects the plan, not one-off codegen/file-listing/
     # JIT noise or this host's multi-second scheduling spikes.
@@ -115,6 +122,10 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf
+    load_end = os.getloadavg()[0]
+    # anything substantially above our own worker count at START means
+    # another process was competing before we spawned a single task
+    contaminated = load_start > 0.5 * cpus
     print(
         json.dumps(
             {
@@ -123,6 +134,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_num,
+                "load_1m_start": round(load_start, 2),
+                "load_1m_end": round(load_end, 2),
+                "host_contended": contaminated,
             }
         )
     )

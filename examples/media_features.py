@@ -81,6 +81,61 @@ def main() -> None:
     print(f"decoded {n_clean} ok, {n_dead} dead-lettered of {len(rows)}")
     assert (n_clean, n_dead) == (2, 3)
 
+    # ---- the same seam with a REAL codec on REAL bytes ----
+    # stdlib `wave` decodes genuine 16-bit PCM WAV payloads — no
+    # external library needed; PIL (if installed) does the same for PNG.
+    import io
+    import math
+    import struct
+    import wave as wave_mod
+
+    from graphview_spark.operators.multimodal import wav_pcm16_decoder
+
+    def wav_bytes(scale: float) -> bytes:
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"".join(
+                struct.pack("<h", int(12000 * math.sin(scale * i)))
+                for i in range(800)
+            ))
+        return buf.getvalue()
+
+    audio = spark.createDataFrame(
+        [
+            (10, "audio", wav_bytes(0.1)),
+            (11, "audio", wav_bytes(0.4)),
+            (12, "audio", b"RIFFgarbage"),       # corrupt -> dead letter
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    adec = decode_media(audio, decoder=wav_pcm16_decoder)
+    print("-- real WAV decode: [duration_s, rate, channels, rms, peak] --")
+    adec.select(
+        "media_id",
+        F.round(F.element_at("feature", 1), 3).alias("dur_s"),
+        F.round(F.element_at("feature", 4), 3).alias("rms"),
+        "error",
+    ).show(truncate=False)
+    assert adec.filter("error IS NULL").count() == 2
+    assert adec.filter("error IS NOT NULL").count() == 1
+
+    try:
+        from graphview_spark.operators.multimodal import pil_image_decoder
+        from PIL import Image  # noqa: F401
+
+        buf = io.BytesIO()
+        Image.new("RGB", (8, 8), color=(100, 50, 25)).save(buf, format="PNG")
+        img = spark.createDataFrame(
+            [(20, "image", buf.getvalue())],
+            "media_id long, kind string, payload binary",
+        )
+        decode_media(img, decoder=pil_image_decoder).show(truncate=False)
+    except ImportError:
+        print("(PIL not installed — PNG real-codec leg skipped cleanly)")
+
 
 if __name__ == "__main__":
     main()

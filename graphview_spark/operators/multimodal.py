@@ -2,11 +2,13 @@
 
 Images/audio/video are opaque ``binary`` payload columns plus typed
 metadata. The Spark-side plumbing — schema, partition-preserving Arrow
-batches, UDF signatures, batch shapes — is real and tested; the actual
-codec calls are STUBBED (this container has no image/audio libraries):
+batches, UDF signatures, batch shapes — is real and tested.
 ``decode_media`` raises ``NotImplementedError`` unless a decoder is
-injected, and ``fake_feature_extractor`` is the deterministic stand-in
-used by tests and the correctness gate.
+injected; ``wav_pcm16_decoder`` is a REAL stdlib-backed audio codec
+(proven against actual WAV bytes in tests), ``pil_image_decoder``
+decodes real PNG/JPEG when PIL is installed (import-guarded, tests
+skip cleanly without it), and ``fake_feature_extractor`` remains the
+deterministic stand-in used by the oracle-checked gate queries.
 
 Scale notes: payloads stay in executor memory only per Arrow batch
 (``mapInPandas`` streams batches, never materializing a partition);
@@ -145,6 +147,68 @@ def fake_feature_extractor(payload: bytes, kind: str) -> list[float]:
         sum(payload) / len(payload),
         float(payload[0]),
         float(payload[-1]),
+    ]
+
+
+def wav_pcm16_decoder(payload: bytes, kind: str) -> list[float]:
+    """A REAL audio codec (stdlib ``wave`` + ``struct`` — no external
+    libraries needed): decodes RIFF/WAVE 16-bit PCM bytes to samples and
+    returns [duration_seconds, sample_rate, n_channels, rms, peak]
+    normalized to [-1, 1]. Raises on anything that isn't valid 16-bit
+    PCM WAV (wrong kind, bad header, unsupported sample width) — the
+    genuine failure modes ``decode_media`` turns into dead-letter rows.
+    This is the proof that the injection seam carries actual bytes
+    through an actual decoder; swap in soundfile/ffmpeg behind the same
+    signature for compressed formats."""
+    import io
+    import struct
+    import wave
+
+    if kind != "audio":
+        raise ValueError(f"wav decoder got kind={kind!r}")
+    with wave.open(io.BytesIO(payload)) as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"only 16-bit PCM supported, got {8 * w.getsampwidth()}-bit"
+            )
+        n = w.getnframes()
+        rate = w.getframerate()
+        channels = w.getnchannels()
+        raw = w.readframes(n)
+    samples = struct.unpack(f"<{n * channels}h", raw)
+    if not samples:
+        raise ValueError("empty WAV payload")
+    scaled = [s / 32768.0 for s in samples]
+    rms = (sum(s * s for s in scaled) / len(scaled)) ** 0.5
+    return [
+        n / rate,
+        float(rate),
+        float(channels),
+        rms,
+        max(abs(s) for s in scaled),
+    ]
+
+
+def pil_image_decoder(payload: bytes, kind: str) -> list[float]:
+    """A REAL image codec behind an import guard: decodes actual PNG/
+    JPEG bytes via PIL when the library is installed (raises ImportError
+    otherwise — callers skip cleanly). Returns [width, height, n_bands,
+    mean_luma]. Same ``decoder`` contract as :func:`wav_pcm16_decoder`."""
+    import io
+
+    from PIL import Image  # noqa: F401 — optional dependency, guarded
+
+    if kind != "image":
+        raise ValueError(f"image decoder got kind={kind!r}")
+    img = Image.open(io.BytesIO(payload))
+    img.load()  # force the decode (open is lazy)
+    gray = img.convert("L")
+    pixels = list(gray.getdata())
+    return [
+        float(img.width),
+        float(img.height),
+        float(len(img.getbands())),
+        sum(pixels) / len(pixels) if pixels else 0.0,
     ]
 
 

@@ -124,3 +124,87 @@ def test_resize_images_plumbing(spark, sf_dir):
     srcs = {r["media_id"]: len(r["payload"]) for r in media.filter(
         media["kind"] == "image").collect()}
     assert all(len(r["payload"]) <= srcs[r["media_id"]] for r in rows)
+
+
+def _wav_bytes(freq_scale: float, n: int = 800, rate: int = 8000,
+               channels: int = 1) -> bytes:
+    """Real RIFF/WAVE 16-bit PCM bytes via the stdlib wave writer."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack(
+                "<" + "h" * channels,
+                *[int(12000 * math.sin(freq_scale * i)) ] * channels,
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_media_real_wav_codec(spark):
+    """The decode seam against a REAL codec and REAL bytes: stdlib wave
+    decodes actual PCM WAV payloads; corrupt/wrong-kind payloads become
+    dead-letter rows, not job failures."""
+    from graphview_spark.operators.multimodal import (
+        decode_media,
+        wav_pcm16_decoder,
+    )
+
+    rows = [
+        (1, "audio", _wav_bytes(0.1)),
+        (2, "audio", _wav_bytes(0.3, n=1600, channels=2)),
+        (3, "audio", b"RIFFgarbage-not-a-wav"),   # corrupt -> dead letter
+        (4, "image", _wav_bytes(0.1)),            # wrong kind -> dead letter
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r["media_id"]: r for r in decode_media(df, wav_pcm16_decoder).collect()}
+    ok1, ok2 = out[1], out[2]
+    assert ok1["error"] is None and ok2["error"] is None
+    dur, rate, ch, rms, peak = ok1["feature"]
+    assert dur == 800 / 8000 and rate == 8000.0 and ch == 1.0
+    assert 0 < rms < peak <= 1.0
+    assert out[2]["feature"][2] == 2.0            # stereo decoded as such
+    assert out[2]["feature"][0] == 1600 / 8000
+    assert "Error" in out[3]["error"] or "error" in out[3]["error"].lower()
+    assert "kind" in out[4]["error"]
+    # decode is deterministic across runs
+    again = decode_media(df, wav_pcm16_decoder).collect()
+    assert sorted(map(tuple, again)) == sorted(tuple(r) for r in out.values())
+
+
+def test_decode_media_real_png_codec_if_pil(spark):
+    """When PIL is installed, the same seam decodes actual PNG bytes;
+    without it the test skips cleanly (import-guarded optional codec)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from graphview_spark.operators.multimodal import (
+        decode_media,
+        pil_image_decoder,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3), color=(10, 20, 30)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", buf.getvalue()), (2, "image", b"not-a-png")],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r["media_id"]: r for r in decode_media(df, pil_image_decoder).collect()}
+    assert out[1]["error"] is None
+    assert out[1]["feature"][:3] == [5.0, 3.0, 3.0]
+    assert out[2]["error"] is not None
