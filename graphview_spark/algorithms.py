@@ -857,6 +857,122 @@ FROM u{rounds} GROUP BY s"""
     )
 
 
+def k_truss(
+    pairs: DataFrame, k: int, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """The k-truss of an undirected simple graph (canonical a<b pairs):
+    the maximal subgraph where every edge participates in ≥ k-2
+    triangles. Stricter than the k-core (every k-truss is inside the
+    (k-1)-core) — the standard cohesive-subgraph refinement. Returns the
+    surviving edges with their in-truss support ``(a, b, support)``.
+
+    Edge-peeling driver loop: each round enumerates triangles with the
+    same oriented two-path + closing-edge join as
+    :func:`triangle_count` (fan-out bounded by min-degree endpoints),
+    credits each triangle to its three edges with one
+    map-side-combinable groupBy, and drops under-supported edges.
+    Rounds are bounded by the peeling depth (a handful in practice);
+    every round strictly shrinks the edge set, so it terminates;
+    localCheckpoint caps lineage. Requires k ≥ 3."""
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+    e = (
+        pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    while True:
+        ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+        tri = (
+            ab.join(bc, F.col("ab.b") == F.col("bc.a"))
+            .join(
+                ac,
+                (F.col("ac.a") == F.col("ab.a"))
+                & (F.col("ac.b") == F.col("bc.b")),
+            )
+            .select(
+                F.col("ab.a").alias("x"),
+                F.col("ab.b").alias("y"),
+                F.col("bc.b").alias("z"),
+            )
+        )
+        sup = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .union(tri.select(F.col("y"), F.col("z")))
+            .union(tri.select(F.col("x"), F.col("z")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        kept = sup.filter(F.col("support") >= k - 2).localCheckpoint(eager=True)
+        n_kept = kept.count()
+        if n_kept == n_edges:
+            return kept
+        n_edges = n_kept
+        e = kept.select("a", "b").localCheckpoint(eager=True)
+
+
+KTRUSS_K = 3
+
+
+def q_graph_ktruss(spark, sf_dir: str) -> DataFrame:
+    """3-truss of the MinHash near-duplicate pair graph — every
+    surviving near-dup relation is corroborated by a third mutually
+    similar document (the cohesive core the k-core approximates, one
+    notch stricter). Oracle: the same peeling unrolled as chained CTEs
+    with a fixpoint sentinel."""
+    from graphview_spark.operators.dedup import (
+        MINHASH_JACCARD_T,
+        N_BANDS,
+        _lsh_verified_pairs,
+    )
+
+    pairs = _lsh_verified_pairs(spark, sf_dir, N_BANDS, MINHASH_JACCARD_T)
+    truss = k_truss(pairs, KTRUSS_K, "doc_a", "doc_b")
+    return truss.select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "support"
+    )
+
+
+def _oracle_ktruss(rounds: int = 16) -> str:
+    from graphview_spark.operators.dedup import (
+        MINHASH_JACCARD_T,
+        N_BANDS,
+        _oracle_lsh_verified,
+    )
+
+    pair_sql = _oracle_lsh_verified(N_BANDS, MINHASH_JACCARD_T)
+    ctes = [
+        f"pairs AS MATERIALIZED ({pair_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT doc_a AS a, doc_b AS b "
+        "FROM pairs)",
+    ]
+    for i in range(rounds):
+        ctes += [
+            f"t{i} AS MATERIALIZED (SELECT ab.a AS x, ab.b AS y, bc.b AS z "
+            f"FROM e{i} ab JOIN e{i} bc ON ab.b = bc.a "
+            f"JOIN e{i} ac ON ac.a = ab.a AND ac.b = bc.b)",
+            f"e{i + 1} AS MATERIALIZED (SELECT a, b, count(*) AS support "
+            f"FROM (SELECT x AS a, y AS b FROM t{i} "
+            f"UNION ALL SELECT y, z FROM t{i} "
+            f"UNION ALL SELECT x, z FROM t{i}) "
+            f"GROUP BY a, b HAVING count(*) >= {KTRUSS_K - 2})",
+        ]
+    # load-bearing fixpoint sentinel (k-core oracle lesson): the last
+    # round must have removed nothing, else the unroll was too shallow
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT a AS doc_a, b AS doc_b,
+       (support * (SELECT CASE WHEN
+          (SELECT count(*) FROM e{rounds}) <>
+          (SELECT count(*) FROM e{rounds - 1})
+          THEN error('k-truss oracle: unroll depth {rounds} did not reach fixpoint - raise rounds')
+          ELSE 1 END))::BIGINT AS support
+FROM e{rounds}"""
+    )
+
+
 def node_similarity(
     edges: DataFrame,
     max_degree: int | None = None,
@@ -1105,9 +1221,11 @@ EXTRA_QUERIES: dict = {
     "graph_kcore": q_graph_kcore,
     "graph_ppr": q_graph_ppr,
     "graph_node_sim": q_graph_node_sim,
+    "graph_ktruss": q_graph_ktruss,
 }
 EXTRA_ORACLES: dict = {
     "graph_kcore": _oracle_kcore(),
     "graph_ppr": _oracle_ppr(),
     "graph_node_sim": _oracle_node_sim(),
+    "graph_ktruss": _oracle_ktruss(),
 }

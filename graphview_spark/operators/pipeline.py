@@ -528,6 +528,61 @@ GROUP BY source, lang
 """
 
 
+def q_pipeline_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity per document (the CCNet/RedPajama-style
+    quality signal: low perplexity under a corpus LM ≈ fluent text,
+    extreme values ≈ boilerplate or garbage). Add-one smoothing:
+    p(w) = (c(w)+1)/(N+V) with corpus token count N and vocab size V.
+
+    Determinism: each token's negative log-prob is snapped to INTEGER
+    micro-nats (round(-ln p × 1e6) as BIGINT), so the per-document sum
+    is exact integer arithmetic — order-independent under any partition
+    scheme, same discipline as the integer-exact ratios in text.py.
+
+    Scale: token counts are one map-side-combinable groupBy; (N, V) is
+    a 1-row broadcast; the count table joins back onto the exploded
+    tokens — broadcast here (vocab ≪ corpus; a 100 TB deployment with
+    a vocab past the broadcast threshold shuffles on token instead, and
+    hot stopword keys are exactly what AQE skew-join splits); the final
+    per-doc aggregate shuffles once on doc_id."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    nll = F.round(
+        -F.log((F.col("c") + 1) / (F.col("N") + F.col("V"))) * 1e6, 0
+    ).cast("long")
+    scored = (
+        tok.join(F.broadcast(counts), "token")
+        .join(F.broadcast(tot))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.exp(F.sum("nll") / (F.count(F.lit(1)) * F.lit(1e6))), 4
+        ).alias("perplexity"),
+    )
+
+
+ORACLE_PIPELINE_PERPLEXITY = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+c AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+tot AS (SELECT sum(c) AS N, count(*) AS V FROM c),
+s AS (SELECT doc_id,
+             round(-ln((c.c + 1) / (tot.N + tot.V)) * 1e6)::BIGINT AS nll
+      FROM t JOIN c USING (token) CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens,
+       round(exp(sum(nll) / (count(*) * 1000000.0)), 4) AS perplexity
+FROM s GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "pipeline_decontam": q_pipeline_decontam,
     "pipeline_pack": q_pipeline_pack,
@@ -549,7 +604,9 @@ ORACLES = {
 # outside the 50-entry driver gate — oracle-checked via extra_queries()
 EXTRA_QUERIES = {
     "pipeline_temperature_mix": q_pipeline_temperature_mix,
+    "pipeline_perplexity": q_pipeline_perplexity,
 }
 EXTRA_ORACLES = {
     "pipeline_temperature_mix": _oracle_temperature_mix(),
+    "pipeline_perplexity": ORACLE_PIPELINE_PERPLEXITY,
 }

@@ -252,3 +252,28 @@ def test_node_similarity_degree_cap_drops_hub(spark):
     )
     assert node_similarity(edges).count() == 3
     assert node_similarity(edges, max_degree=2).count() == 0
+
+
+def test_k_truss_fixture(spark):
+    """Two triangles sharing edge (2,3) + a pendant edge: the 3-truss
+    keeps exactly the five triangle edges (shared edge support 2, the
+    rest 1); the pendant edge and the triangle-free edge peel away.
+    The 4-truss of this graph is empty (no edge is in 2 triangles
+    after the first peel removes the support-1 edges)."""
+    from graphview_spark.algorithms import k_truss
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "a long, b long",
+    )
+    got = {
+        (r["a"], r["b"]): r["support"] for r in k_truss(edges, 3).collect()
+    }
+    assert got == {
+        (1, 2): 1, (1, 3): 1, (2, 3): 2, (2, 4): 1, (3, 4): 1,
+    }
+    assert k_truss(edges, 4).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k >= 3"):
+        k_truss(edges, 2)
