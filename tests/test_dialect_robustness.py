@@ -410,3 +410,17 @@ def test_openjson_apply(g):
             "SELECT j.x FROM People p "
             "CROSS APPLY OPENJSON(p.name) WITH (x INT '$.deep.x') j"
         )
+
+
+@pytest.mark.parametrize("sep", [".", "|", "*", "+", "?", "(", ")", "[", "$"])
+def test_string_split_regex_metachar_separators(g, sep):
+    """STRING_SPLIT treats the separator as a literal; Spark split()
+    takes a regex — the \\Q..\\E quoting must make metacharacters split
+    literally."""
+    g.execute(f"UPDATE People SET name = 'x{sep}y{sep}z' WHERE id = 1")
+    rows = g.execute(
+        f"SELECT s.value FROM People p "
+        f"CROSS APPLY STRING_SPLIT(p.name, '{sep}') s "
+        f"WHERE p.id = 1 ORDER BY s.value"
+    ).collect()
+    assert [r["value"] for r in rows] == ["x", "y", "z"]
