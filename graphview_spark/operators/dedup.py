@@ -748,26 +748,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-def _oracle_clusters() -> str:
-    """Components via a recursive reach closure (quadratic in component
-    size — gate-scale only), min label per node, size + canonical flag."""
+def _oracle_clusters(rounds: int = 6) -> str:
+    """Components over the pair graph as UNROLLED propagate+compress
+    rounds (each O(E); label chains halve per round, so 6 rounds cover
+    any cluster of diameter ≤ 2⁶ — near-dup clusters are near-cliques,
+    diameter ~2). Replaces the recursive reach closure, which was
+    quadratic in component size (25 s of the 30 s SCALECHECK r4 wall at
+    sf0.1 was this oracle, not the Spark operator). A load-bearing
+    fixpoint sentinel (multiplied into cluster_size) errors if the last
+    round still changed a label."""
     pair_sql = _oracle_lsh_verified(N_BANDS, MINHASH_JACCARD_T)
-    return f"""
-WITH RECURSIVE pairs AS ({pair_sql}),
-sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION ALL SELECT doc_b, doc_a FROM pairs),
-nodes AS (SELECT DISTINCT a AS id FROM sym),
-reach(id, label) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.id
-),
-comp AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+    parts = [
+        f"pairs AS MATERIALIZED ({pair_sql})",
+        "sym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM sym)",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"l{i - 1}"
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT n.id, "
+            f"least(n.label, coalesce(min(l.label), n.label)) AS label "
+            f"FROM {prev} n LEFT JOIN sym e ON e.b = n.id "
+            f"LEFT JOIN {prev} l ON l.id = e.a "
+            f"GROUP BY n.id, n.label)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT a.id, "
+            f"coalesce(b.label, a.label) AS label "
+            f"FROM p{i} a LEFT JOIN p{i} b ON b.id = a.label)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+comp AS (SELECT id AS doc_id, label AS cluster_id FROM l{rounds}),
 sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp
-          GROUP BY cluster_id)
-SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS keep
+          GROUP BY cluster_id),
+chg AS (SELECT count(*) AS c FROM l{rounds} a
+        JOIN l{rounds - 1} b ON b.id = a.id AND b.label <> a.label)
+SELECT doc_id, cluster_id,
+       (cluster_size * (SELECT CASE WHEN c > 0
+          THEN error('clusters oracle: unroll depth {rounds} did not reach fixpoint - raise rounds')
+          ELSE 1 END FROM chg))::BIGINT AS cluster_size,
+       doc_id = cluster_id AS keep
 FROM comp JOIN sizes USING (cluster_id)
 """
+    )
 
 
 HELDOUT_SOURCES = ("src0", "src1")  # held-out slice for cross-corpus dedup
