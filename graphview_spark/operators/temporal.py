@@ -679,5 +679,81 @@ FROM b GROUP BY event_type, bin
 """
 
 
-EXTRA_QUERIES: dict = {"events_histogram": q_events_histogram}
-EXTRA_ORACLES: dict = {"events_histogram": ORACLE_EVENTS_HISTOGRAM}
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_events_sessionize(spark, sf_dir: str):
+    """Batch sessionization (the offline complement of the streaming
+    session_window operator): per user, an inactivity gap > 30 min
+    starts a new session; one output row per session with bounds,
+    event count, and total value. Gap comparison in exact integer
+    MICROSECONDS (unix_micros/epoch_us) so the boundary decision is
+    bit-identical across engines; value totals in integer cents.
+
+    Scale: one shuffle on user_id serves both windows (lag + running
+    sum share the partitioning) and the session aggregate — per-user
+    event counts are bounded (human activity), so no skew salting
+    needed; at 100 TB this is the classic sessionize-in-one-pass
+    layout."""
+    from pyspark.sql import Window as W
+
+    from graphview_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_sess = (
+        (us - F.lag(us).over(w) > SESSION_GAP_US)
+        | F.lag(us).over(w).isNull()
+    ).cast("long")
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_US}
+              OR lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+FROM s GROUP BY user_id, session_id
+"""
+
+
+EXTRA_QUERIES: dict = {
+    "events_histogram": q_events_histogram,
+    "events_sessionize": q_events_sessionize,
+}
+EXTRA_ORACLES: dict = {
+    "events_histogram": ORACLE_EVENTS_HISTOGRAM,
+    "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+}

@@ -818,6 +818,40 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
 
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE + first_value/last_value (SURVEY §2.5 window row, the
+    remaining T-SQL window functions): per-segment account-balance
+    quartiles with the segment's poorest/richest customer riding along.
+    One shuffle on the partition key; all three functions share the
+    sort. Ties broken by c_custkey so both engines agree exactly."""
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("c_custkey").over(w).alias("seg_poorest"),
+        F.last("c_custkey")
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("seg_richest"),
+    )
+
+
+ORACLE_WINDOW_NTILE = """
+SELECT c_custkey, c_mktsegment AS segment,
+       ntile(4) OVER w AS quartile,
+       first_value(c_custkey) OVER w AS seg_poorest,
+       last_value(c_custkey) OVER (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal ASC, c_custkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS seg_richest
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.2/§2.4 PIVOT / UNPIVOT (T-SQL passthrough surface on the reference;
 # Spark-native relational pivot with EXPLICIT value list — no extra
@@ -964,6 +998,7 @@ EXTRA_QUERIES = {
     "rel_top_n_per_group": q_top_n_per_group,
     "rel_unpivot": q_unpivot,
     "rel_percentiles": q_percentiles,
+    "rel_window_ntile": q_window_ntile,
 }
 
 EXTRA_ORACLES = {
@@ -990,6 +1025,7 @@ EXTRA_ORACLES = {
     "rel_top_n_per_group": ORACLE_TOP_N_PER_GROUP,
     "rel_unpivot": ORACLE_UNPIVOT,
     "rel_percentiles": ORACLE_PERCENTILES,
+    "rel_window_ntile": ORACLE_WINDOW_NTILE,
 }
 
 # rotated INTO the driver gate in round 4 (defined below the mid-file
