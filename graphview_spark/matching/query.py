@@ -521,7 +521,41 @@ _TSQL_FN_MAP = [
     (r"\bDATEADD\s*\(", "timestampadd("),
     (r"\bDATEDIFF\s*\(", "timestampdiff("),
     (r"\bNEWID\s*\(\s*\)", "uuid()"),
+    (r"\bIIF\s*\(", "if("),
+    # Spark 4's listagg supports the same WITHIN GROUP (ORDER BY ...)
+    # ordering clause T-SQL uses, so only the name changes
+    (r"\bSTRING_AGG\s*\(", "listagg("),
+    (r"\bREPLICATE\s*\(", "repeat("),
 ]
+
+# DATEPART part names: T-SQL abbreviations → Spark date_part fields
+_DATEPART_MAP = {
+    "yy": "year", "yyyy": "year", "year": "year",
+    "qq": "quarter", "q": "quarter", "quarter": "quarter",
+    "mm": "month", "m": "month", "month": "month",
+    "wk": "week", "ww": "week", "week": "week",
+    "dd": "day", "d": "day", "day": "day",
+    "dy": "doy", "dayofyear": "doy",
+    "dw": "dow", "weekday": "dow",
+    "hh": "hour", "hour": "hour",
+    "mi": "minute", "n": "minute", "minute": "minute",
+    "ss": "second", "s": "second", "second": "second",
+}
+
+
+def _rewrite_datepart(masked: str) -> str:
+    """``DATEPART(part, expr)`` → ``date_part('part', expr)`` — the part
+    name is a bare keyword in T-SQL but a string in Spark; abbreviations
+    (yy, mm, dd, …) map to their full field names."""
+    def sub(m: re.Match) -> str:
+        part = _DATEPART_MAP.get(m.group(1).lower())
+        if part is None:
+            raise ValueError(f"unsupported DATEPART field: {m.group(1)!r}")
+        return f"date_part('{part}',"
+
+    return re.sub(
+        r"(?i)\bDATEPART\s*\(\s*([A-Za-z]+)\s*,", sub, masked
+    )
 
 
 def _rewrite_tsql_builtins(masked: str) -> str:
@@ -530,6 +564,8 @@ def _rewrite_tsql_builtins(masked: str) -> str:
     them different meaning — ISNULL is single-argument on Spark)."""
     for pat, rep in _TSQL_FN_MAP:
         masked = re.sub(pat, rep, masked, flags=re.IGNORECASE)
+    if re.search(r"(?i)\bDATEPART\s*\(", masked):
+        masked = _rewrite_datepart(masked)
     return masked
 
 
@@ -733,7 +769,8 @@ def execute_statement(g, sql: str) -> DataFrame | None:
             )
         s = _unmask(masked, _lits).strip()
     if re.search(
-        r"(?i)\b(ISNULL|LEN|GETDATE|GETUTCDATE|CHARINDEX|DATEADD|DATEDIFF|NEWID)\s*\(",
+        r"(?i)\b(ISNULL|LEN|GETDATE|GETUTCDATE|CHARINDEX|DATEADD|DATEDIFF"
+        r"|NEWID|IIF|STRING_AGG|REPLICATE|DATEPART)\s*\(",
         masked,
     ):
         s = _unmask(_rewrite_tsql_builtins(masked), _lits).strip()

@@ -424,3 +424,31 @@ def test_string_split_regex_metachar_separators(g, sep):
         f"WHERE p.id = 1 ORDER BY s.value"
     ).collect()
     assert [r["value"] for r in rows] == ["x", "y", "z"]
+
+
+def test_tsql_builtins_iif_stringagg_datepart(g):
+    """IIF→if, STRING_AGG→listagg (same WITHIN GROUP clause on Spark 4),
+    REPLICATE→repeat, DATEPART(part,…)→date_part('part',…) with T-SQL
+    abbreviation mapping."""
+    rows = g.execute(
+        "SELECT IIF(id > 1, 'big', 'small') AS sz, REPLICATE('x', id) AS xs "
+        "FROM People ORDER BY id"
+    ).collect()
+    assert [(r["sz"], r["xs"]) for r in rows] == [
+        ("small", "x"), ("big", "xx"), ("big", "xxx"),
+    ]
+    rows = g.execute(
+        "SELECT STRING_AGG(name, '+') WITHIN GROUP (ORDER BY name DESC) "
+        "AS all_names FROM People"
+    ).collect()
+    assert rows[0]["all_names"] == "C+B+A"
+    rows = g.execute(
+        "SELECT DATEPART(yy, CAST('2024-03-05 07:08:09' AS TIMESTAMP)) AS y, "
+        "DATEPART(mm, CAST('2024-03-05' AS DATE)) AS m, "
+        "DATEPART(hour, CAST('2024-03-05 07:08:09' AS TIMESTAMP)) AS h"
+    ).collect()
+    assert (rows[0]["y"], rows[0]["m"], rows[0]["h"]) == (2024, 3, 7)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="DATEPART"):
+        g.execute("SELECT DATEPART(nanosecond, GETDATE()) AS x")
