@@ -558,6 +558,29 @@ def _rewrite_datepart(masked: str) -> str:
     )
 
 
+def _rewrite_convert(masked: str) -> str:
+    """``CONVERT(type, expr)`` → ``CAST(expr AS spark_type)`` (argument
+    order swaps). The 3-arg style form has no Spark analog and raises."""
+    pat = re.compile(r"(?i)\bCONVERT\s*\(")
+    while True:
+        m = pat.search(masked)
+        if not m:
+            return masked
+        end = _match_paren(masked, m.end() - 1)
+        args = _split_args_depth0(masked[m.end():end])
+        if len(args) != 2:
+            raise ValueError(
+                "CONVERT with a style argument is unsupported — "
+                "use FORMAT/date_format explicitly"
+            )
+        typ = _spark_type_for(args[0])
+        masked = (
+            masked[: m.start()]
+            + f"CAST({args[1]} AS {typ})"
+            + masked[end + 1:]
+        )
+
+
 def _rewrite_tsql_builtins(masked: str) -> str:
     """Spell common T-SQL builtins the Spark way (the reference forwards
     them to SQL Server untranslated; Spark either lacks them or gives
@@ -566,6 +589,8 @@ def _rewrite_tsql_builtins(masked: str) -> str:
         masked = re.sub(pat, rep, masked, flags=re.IGNORECASE)
     if re.search(r"(?i)\bDATEPART\s*\(", masked):
         masked = _rewrite_datepart(masked)
+    if re.search(r"(?i)\bCONVERT\s*\(", masked):
+        masked = _rewrite_convert(masked)
     return masked
 
 
@@ -770,7 +795,7 @@ def execute_statement(g, sql: str) -> DataFrame | None:
         s = _unmask(masked, _lits).strip()
     if re.search(
         r"(?i)\b(ISNULL|LEN|GETDATE|GETUTCDATE|CHARINDEX|DATEADD|DATEDIFF"
-        r"|NEWID|IIF|STRING_AGG|REPLICATE|DATEPART)\s*\(",
+        r"|NEWID|IIF|STRING_AGG|REPLICATE|DATEPART|CONVERT)\s*\(",
         masked,
     ):
         s = _unmask(_rewrite_tsql_builtins(masked), _lits).strip()

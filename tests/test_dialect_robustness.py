@@ -452,3 +452,19 @@ def test_tsql_builtins_iif_stringagg_datepart(g):
 
     with _pytest.raises(ValueError, match="DATEPART"):
         g.execute("SELECT DATEPART(nanosecond, GETDATE()) AS x")
+
+
+def test_tsql_convert_rewrite(g):
+    """CONVERT(type, expr) → CAST(expr AS type) with the argument order
+    swapped; nested CONVERTs unwrap; the 3-arg style form raises."""
+    rows = g.execute(
+        "SELECT CONVERT(VARCHAR(10), id) AS s, "
+        "CONVERT(FLOAT, CONVERT(INT, id)) AS f FROM People ORDER BY id"
+    ).collect()
+    assert [(r["s"], r["f"]) for r in rows] == [
+        ("1", 1.0), ("2", 2.0), ("3", 3.0),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="style"):
+        g.execute("SELECT CONVERT(VARCHAR(10), GETDATE(), 120) AS d")
