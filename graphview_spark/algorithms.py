@@ -992,9 +992,10 @@ def node_similarity(
     The Jaccard is computed with exact integer arithmetic so the oracle
     agrees bit-for-bit."""
     from graphview_spark.operators.text import _ratio_r
+    from graphview_spark.plans import lazy as _lazy
 
     def _pin(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True) if materialize else df
+        return _lazy.pin(df) if materialize else df
 
     sym = _pin(
         edges.select("src", "sink")

@@ -528,15 +528,19 @@ _TSQL_FN_MAP = [
     (r"\bREPLICATE\s*\(", "repeat("),
 ]
 
-# DATEPART part names: T-SQL abbreviations → Spark date_part fields
+# DATEPART part names: T-SQL abbreviations → Spark date_part fields.
+# wk/ww/week are EXCLUDED on purpose: T-SQL DATEPART(wk) counts weeks
+# from Jan 1 (week 1 contains Jan 1) while Spark's 'week' field is the
+# ISO week (DATE'2023-01-01' → 52) — a silent wrong answer on boundary
+# dates, so it raises instead. dw maps to 'dayofweek' (Sunday=1), which
+# matches T-SQL's default DATEFIRST 7 — verified live on both.
 _DATEPART_MAP = {
     "yy": "year", "yyyy": "year", "year": "year",
     "qq": "quarter", "q": "quarter", "quarter": "quarter",
     "mm": "month", "m": "month", "month": "month",
-    "wk": "week", "ww": "week", "week": "week",
     "dd": "day", "d": "day", "day": "day",
     "dy": "doy", "dayofyear": "doy",
-    "dw": "dow", "weekday": "dow",
+    "dw": "dayofweek", "weekday": "dayofweek",
     "hh": "hour", "hour": "hour",
     "mi": "minute", "n": "minute", "minute": "minute",
     "ss": "second", "s": "second", "second": "second",
@@ -550,7 +554,14 @@ def _rewrite_datepart(masked: str) -> str:
     def sub(m: re.Match) -> str:
         part = _DATEPART_MAP.get(m.group(1).lower())
         if part is None:
-            raise ValueError(f"unsupported DATEPART field: {m.group(1)!r}")
+            hint = (
+                " (T-SQL week-of-year counts from Jan 1; Spark's is ISO "
+                "— compute it explicitly)"
+                if m.group(1).lower() in ("wk", "ww", "week") else ""
+            )
+            raise ValueError(
+                f"unsupported DATEPART field: {m.group(1)!r}{hint}"
+            )
         return f"date_part('{part}',"
 
     return re.sub(
@@ -642,10 +653,44 @@ def _split_args_depth0(text: str) -> list[str]:
 _TVF_APPLY_PAT = re.compile(
     r"(?is)\b(CROSS|OUTER)\s+APPLY\s+(STRING_SPLIT|OPENJSON)\s*\("
 )
+# alias must not swallow a following keyword — a missing alias then
+# raises the clear diagnostic instead of emitting garbled SQL
+_SQL_KEYWORDS = (
+    "WHERE|GROUP|ORDER|HAVING|JOIN|INNER|LEFT|RIGHT|FULL|CROSS|OUTER"
+    "|ON|UNION|EXCEPT|INTERSECT|LIMIT|LATERAL"
+)
 _ALIAS_PAT = re.compile(
-    r"(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)"
+    r"(?is)^\s*(?:AS\s+)?(?!(?:" + _SQL_KEYWORDS + r")\b)([A-Za-z_]\w*)"
     r"(?:\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
 )
+
+
+_FROM_BOUNDARY = re.compile(
+    r"(?is)\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|UNION|EXCEPT|INTERSECT"
+    r"|LIMIT)\b"
+)
+
+
+def _from_clause_end(text: str, start: int) -> int:
+    """Position where the FROM clause containing ``start`` ends: the
+    first depth-0 boundary keyword (WHERE/GROUP BY/…), the closing paren
+    of the enclosing subquery, or end-of-text."""
+    depth = 0
+    i = start
+    while i < len(text):
+        ch = text[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif depth == 0:
+            m = _FROM_BOUNDARY.match(text, i)
+            if m:
+                return i
+        i += 1
+    return len(text)
 
 
 def _rewrite_tvf_apply(masked: str, lits: list[str]) -> str:
@@ -719,11 +764,15 @@ def _rewrite_tvf_apply(masked: str, lits: list[str]) -> str:
                 if path_ph:
                     lit = lits[int(path_ph.strip("\x00"))]
                     path = lit.strip("'")
-                    if path.lower() not in (f"$.{name.lower()}",
-                                            f'$."{name.lower()}"'):
+                    # CASE-SENSITIVE: from_json matches JSON keys
+                    # case-sensitively (verified: from_json('{"X":5}',
+                    # 'x int') → null), so a case-folded acceptance
+                    # here would silently yield NULLs
+                    if path not in (f"$.{name}", f'$."{name}"'):
                         raise ValueError(
                             f"OPENJSON path {path!r} must be $.{name} "
-                            "(nested paths unsupported)"
+                            "exactly (case-sensitive; nested paths "
+                            "unsupported)"
                         )
                 fields.append(f"{name} {_spark_type_for(typ)}")
             schema = ", ".join(fields)
@@ -747,7 +796,15 @@ def _rewrite_tvf_apply(masked: str, lits: list[str]) -> str:
                 f" LATERAL VIEW{outer} explode(from_json({args[0]}, "
                 f"'map<string,string>')) {alias} AS {cols[0]}, {cols[1]}"
             )
-        masked = masked[: m.start()] + repl + rest[am.end():]
+        # Spark's FROM grammar places lateral views AFTER all join
+        # relations — inserting at the APPLY's position breaks valid
+        # T-SQL like `… CROSS APPLY tvf(x) s JOIN t ON …`, so the
+        # LATERAL VIEW moves to the end of the enclosing FROM clause
+        # (relative order of multiple APPLYs is preserved: each later
+        # rewrite inserts before the same boundary, after earlier ones)
+        base = masked[: m.start()] + rest[am.end():]
+        ins = _from_clause_end(base, m.start())
+        masked = base[:ins] + repl + " " + base[ins:]
 
 
 def _rewrite_apply(masked: str) -> str:

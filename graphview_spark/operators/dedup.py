@@ -597,14 +597,33 @@ def embed_cosine_pairs(
     is ≥ 1-1e-6; tests/test_dedup.py asserts LSH ≡ exact on such a
     fixture. The label-size routing is one map-side-combinable count
     broadcast back onto the rows."""
+    from graphview_spark.plans import lazy as _lazy
+
     emb = emb.withColumn("nv", norm_col(F.col("v")))
     sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("_lbl_n"))
-    emb = emb.join(F.broadcast(sizes), "label").localCheckpoint(eager=True)
+    emb = _lazy.pin(emb.join(F.broadcast(sizes), "label"))
     # driver-side routing (one tiny aggregate over the materialized
     # frame, the same class of plan decision AQE makes): only build the
     # legs that have rows — the 96-hyperplane LSH expression tree costs
-    # seconds of codegen even over an empty frame
-    mx = emb.agg(F.max("_lbl_n")).first()[0] or 0
+    # seconds of codegen even over an empty frame. Under lazy plan
+    # inspection there is no materialized frame to probe, so BOTH legs
+    # build (mx=None) — the worst-case plan is what gets audited.
+    mx = None
+    if not _lazy.is_lazy():
+        mx, data_dim = emb.agg(
+            F.max("_lbl_n"), F.max(F.size("v"))
+        ).first()
+        mx = mx or 0
+        # zip_with against a wrong-length plane yields NULL, NULL >= 0
+        # is false for every bit, and every vector would silently land
+        # in bucket 0 of every table — an 8×-replicated quadratic join
+        # instead of the scale path. Fail loudly instead (the dim check
+        # rides the routing aggregate, zero extra cost).
+        if mx > label_threshold and data_dim != dim:
+            raise ValueError(
+                f"embed_cosine_pairs: data dimension {data_dim} != "
+                f"hyperplane dim {dim} — pass dim= explicitly"
+            )
     small = emb.filter(F.col("_lbl_n") <= label_threshold)
     big = emb.filter(F.col("_lbl_n") > label_threshold)
 
@@ -630,7 +649,7 @@ def embed_cosine_pairs(
         .filter(F.col("cosine") >= cosine_t)
         .select("vec_a", "vec_b", "cosine")
     )
-    if mx <= label_threshold:
+    if mx is not None and mx <= label_threshold:
         return exact
 
     # LSH leg: ids-only candidate generation, then one exact verify

@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphview_spark.operators.text import TOKEN_PATTERN
+from graphview_spark.plans import lazy as _lazy
 from graphview_spark.session import read_table
 
 # fixed demo query / vocabulary — operator parameters in a real pipeline
@@ -95,7 +96,8 @@ def bm25_scores(
             F.size(F.filter("_toks", _eq(t))).cast("long").alias(f"tf{i}")
             for i, t in enumerate(terms)
         ],
-    ).localCheckpoint(eager=True)
+    )
+    d = _lazy.pin(d)
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -351,10 +353,10 @@ def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").alias("bm25"),
             F.round(cosine_col(F.col("v"), F.col("qv")), 6).alias("cosine"),
         )
-        # ≤ HYBRID_CANDIDATES rows by construction; pinned because both
-        # sides of the rank join below read it
-        .localCheckpoint(eager=True)
     )
+    # ≤ HYBRID_CANDIDATES rows by construction; pinned because both
+    # sides of the rank join below read it
+    rescored = _lazy.pin(rescored)
     # rank without a global window: an unpartitioned row_number() drags
     # every row to one partition (Spark's WindowExec warning). On this
     # bounded candidate set, rerank = 1 + |rows strictly ahead| via a

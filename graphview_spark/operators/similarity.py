@@ -133,12 +133,13 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    from graphview_spark.plans import lazy as _lazy
+
     # bucket AND norm computed once per vector, materialized by the
-    # checkpoint before the pair join
-    bucketed = (
+    # checkpoint before the pair join (lazy under plan inspection)
+    bucketed = _lazy.pin(
         emb.withColumn("bucket", bucket_col(F.col("v")))
         .withColumn("nv", norm_col(F.col("v")))
-        .localCheckpoint(eager=True)
     )
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),

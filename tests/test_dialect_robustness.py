@@ -468,3 +468,43 @@ def test_tsql_convert_rewrite(g):
 
     with _pytest.raises(ValueError, match="style"):
         g.execute("SELECT CONVERT(VARCHAR(10), GETDATE(), 120) AS d")
+
+
+def test_string_split_apply_followed_by_join_and_where(g):
+    """The LATERAL VIEW must move to the end of the FROM clause — Spark
+    rejects a lateral view before a JOIN; and a missing alias must raise
+    the clear diagnostic, not swallow the next keyword."""
+    rows = g.execute(
+        "SELECT p.id, k.nm, s.value FROM People p "
+        "CROSS APPLY STRING_SPLIT(p.name, '.') s "
+        "JOIN (SELECT 1 AS jid, 'joined' AS nm) k ON k.jid = p.id "
+        "WHERE p.id = 1 ORDER BY s.value"
+    ).collect()
+    assert [(r["id"], r["nm"], r["value"]) for r in rows] == [(1, "joined", "A")]
+    # two APPLYs keep their relative order past the boundary move
+    rows = g.execute(
+        "SELECT s.value AS v1, t.value AS v2 FROM People p "
+        "CROSS APPLY STRING_SPLIT(p.name, '.') s "
+        "CROSS APPLY STRING_SPLIT('u.w', '.') t "
+        "WHERE p.id = 2 ORDER BY v1, v2"
+    ).collect()
+    assert [(r["v1"], r["v2"]) for r in rows] == [("B", "u"), ("B", "w")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alias"):
+        g.execute(
+            "SELECT value FROM People p "
+            "CROSS APPLY STRING_SPLIT(p.name, '.') WHERE p.id = 1"
+        )
+    with _pytest.raises(ValueError, match="case-sensitive"):
+        g.execute(
+            "SELECT j.x FROM People p "
+            "CROSS APPLY OPENJSON(p.name) WITH (x INT '$.X') j"
+        )
+    with _pytest.raises(ValueError, match="DATEPART"):
+        g.execute("SELECT DATEPART(wk, GETDATE()) AS w")
+    # dw matches T-SQL DATEFIRST 7: Sunday=1 (2023-01-01 is a Sunday)
+    rows = g.execute(
+        "SELECT DATEPART(dw, CAST('2023-01-01' AS DATE)) AS dw"
+    ).collect()
+    assert rows[0]["dw"] == 1
