@@ -592,6 +592,27 @@ def _rewrite_convert(masked: str) -> str:
         )
 
 
+_OFFSET_FETCH_PAT = re.compile(
+    r"(?is)\bOFFSET\s+(?P<off>\d+)\s+ROWS?"
+    r"(?:\s+FETCH\s+(?:NEXT|FIRST)\s+(?P<n>\d+)\s+ROWS?\s+ONLY)?"
+)
+
+
+def _rewrite_offset_fetch(masked: str) -> str:
+    """T-SQL 2012 paging ``ORDER BY … OFFSET n ROWS [FETCH NEXT m ROWS
+    ONLY]`` → Spark ``LIMIT m OFFSET n``. The reference forwards the
+    clause to SQL Server untranslated (WSelectQueryBlock ToString
+    passthrough); Spark 3.4+ has a native OFFSET operator, so this is a
+    pure respelling — paging still executes as a single global-sort +
+    limit push (CollectLimit with offset), no extra shuffle."""
+    def _sub(m: re.Match) -> str:
+        if m.group("n") is not None:
+            return f"LIMIT {m.group('n')} OFFSET {m.group('off')}"
+        return f"OFFSET {m.group('off')}"
+
+    return _OFFSET_FETCH_PAT.sub(_sub, masked)
+
+
 def _rewrite_tsql_builtins(masked: str) -> str:
     """Spell common T-SQL builtins the Spark way (the reference forwards
     them to SQL Server untranslated; Spark either lacks them or gives
@@ -855,7 +876,11 @@ def execute_statement(g, sql: str) -> DataFrame | None:
         r"|NEWID|IIF|STRING_AGG|REPLICATE|DATEPART|CONVERT)\s*\(",
         masked,
     ):
-        s = _unmask(_rewrite_tsql_builtins(masked), _lits).strip()
+        masked = _rewrite_tsql_builtins(masked)
+        s = _unmask(masked, _lits).strip()
+    if re.search(r"(?is)\bOFFSET\s+\d+\s+ROWS?\b", masked):
+        masked = _rewrite_offset_fetch(masked)
+        s = _unmask(masked, _lits).strip()
     if re.match(r"(?is)^\s*WITH\b", s):
         return _exec_with(g, s)
     if re.match(r"(?is)^\s*CREATE\s+PROC(?:EDURE)?\b", s):

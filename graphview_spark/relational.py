@@ -852,6 +852,42 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
 """
 
 
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST / NTH_VALUE (SURVEY §2.5 window row —
+    the T-SQL 2012 analytic distribution functions the reference
+    forwards untranslated, WFunctionCall passthrough): per-segment
+    balance distribution position plus the segment's 3rd-poorest
+    customer. One shuffle on the partition key; all three functions
+    share one sort. Ties broken by c_custkey so both engines agree;
+    ratios rounded to 6dp (exact k/n rationals, no float divergence)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_custkey", 3)
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("seg_third"),
+    )
+
+
+ORACLE_WINDOW_DIST = """
+SELECT c_custkey, c_mktsegment AS segment,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       nth_value(c_custkey, 3) OVER (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal ASC, c_custkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS seg_third
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.2/§2.4 PIVOT / UNPIVOT (T-SQL passthrough surface on the reference;
 # Spark-native relational pivot with EXPLICIT value list — no extra
@@ -999,6 +1035,7 @@ EXTRA_QUERIES = {
     "rel_unpivot": q_unpivot,
     "rel_percentiles": q_percentiles,
     "rel_window_ntile": q_window_ntile,
+    "rel_window_dist": q_window_dist,
 }
 
 EXTRA_ORACLES = {
@@ -1026,6 +1063,7 @@ EXTRA_ORACLES = {
     "rel_unpivot": ORACLE_UNPIVOT,
     "rel_percentiles": ORACLE_PERCENTILES,
     "rel_window_ntile": ORACLE_WINDOW_NTILE,
+    "rel_window_dist": ORACLE_WINDOW_DIST,
 }
 
 # rotated INTO the driver gate in round 4 (defined below the mid-file

@@ -508,3 +508,28 @@ def test_string_split_apply_followed_by_join_and_where(g):
         "SELECT DATEPART(dw, CAST('2023-01-01' AS DATE)) AS dw"
     ).collect()
     assert rows[0]["dw"] == 1
+
+
+def test_offset_fetch_paging(g):
+    # T-SQL 2012 paging clause → Spark LIMIT/OFFSET (pure respelling)
+    rows = g.execute(
+        "SELECT id FROM People ORDER BY id "
+        "OFFSET 1 ROWS FETCH NEXT 1 ROWS ONLY"
+    ).collect()
+    assert [r["id"] for r in rows] == [2]
+    # OFFSET without FETCH: skip only
+    rows = g.execute(
+        "SELECT id FROM People ORDER BY id OFFSET 2 ROWS"
+    ).collect()
+    assert [r["id"] for r in rows] == [3]
+    # singular ROW spelling + FETCH FIRST variant + MATCH context
+    rows = g.execute(
+        "SELECT B.name FROM People A, People B MATCH A-[Knows]->B "
+        "ORDER BY B.name OFFSET 0 ROW FETCH FIRST 5 ROW ONLY"
+    ).collect()
+    assert [r["name"] for r in rows] == ["B"]
+    # literal text containing the clause must not be rewritten
+    got = g.execute(
+        "SELECT 'OFFSET 9 ROWS' AS s FROM People WHERE id = 1"
+    ).collect()[0]["s"]
+    assert got == "OFFSET 9 ROWS"
