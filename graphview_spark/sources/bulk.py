@@ -60,6 +60,8 @@ def read_input(
         return spark.read.json(path)
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     raise ValueError(f"unsupported bulk format '{fmt}'")
 
 
