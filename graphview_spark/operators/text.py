@@ -614,6 +614,97 @@ def _oracle_pii_scrub() -> str:
     return f"SELECT doc_id, n::INT AS n_pii, t AS clean_text FROM ({sql})"
 
 
+# --------------------------------------------------------------------------
+# Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1 — the
+# standard pretraining-corpus repetition/format gate; word-level subset
+# here since the synthetic docs are single-line)
+# --------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that"]
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 40, 100_000
+GOPHER_MIN_WORDLEN, GOPHER_MAX_WORDLEN = 3.0, 10.0
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules, one flag column per rule plus the
+    combined keep decision. Map-only over one tokenize: every rule is a
+    JVM-side expression on the same split array, so at 100 TB this is a
+    single codegen'd scan — no shuffle, no Python. Mean word length
+    uses the exact single-space identity (sum(len) = n_chars - n_words
+    + 1) and the integer round-half-up helper so both engines agree at
+    halfway points; the alpha fraction counts purely-alphabetic words
+    via the same 3dp exact ratio."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    sum_len = F.length("text") - (n_words - F.lit(1))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("^[a-z]+$")))
+    n_stop = F.size(
+        F.array_intersect(
+            words, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    d = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        _ratio_r(sum_len, n_words, 3).alias("mean_word_len"),
+        _ratio_r(n_alpha, n_words, 3).alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    r_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_len = F.col("mean_word_len").between(
+        GOPHER_MIN_WORDLEN, GOPHER_MAX_WORDLEN
+    )
+    r_alpha = F.col("alpha_frac") >= GOPHER_MIN_ALPHA
+    r_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    return d.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac", "n_stopwords",
+        r_words.alias("ok_words"),
+        r_len.alias("ok_word_len"),
+        r_alpha.alias("ok_alpha"),
+        r_stop.alias("ok_stopwords"),
+        (r_words & r_len & r_alpha & r_stop).alias("keep"),
+    )
+
+
+def _oracle_gopher() -> str:
+    stop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    mean_len = _sql_ratio_r("len(text) - (n_words - 1)", "n_words", 3)
+    alpha = _sql_ratio_r("n_alpha", "n_words", 3)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             w -> regexp_full_match(w, '[a-z]+'))) AS n_alpha,
+         len(list_intersect(string_split(text, ' '),
+             [{stop}])) AS n_stopwords
+  FROM documents
+), m AS (
+  SELECT doc_id, n_words,
+         {mean_len} AS mean_word_len,
+         {alpha} AS alpha_frac,
+         n_stopwords
+  FROM d
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+         AS ok_words,
+       mean_word_len BETWEEN {GOPHER_MIN_WORDLEN} AND {GOPHER_MAX_WORDLEN}
+         AS ok_word_len,
+       alpha_frac >= {GOPHER_MIN_ALPHA} AS ok_alpha,
+       n_stopwords >= {GOPHER_MIN_STOPWORDS} AS ok_stopwords,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (mean_word_len BETWEEN {GOPHER_MIN_WORDLEN}
+              AND {GOPHER_MAX_WORDLEN})
+         AND alpha_frac >= {GOPHER_MIN_ALPHA}
+         AND n_stopwords >= {GOPHER_MIN_STOPWORDS} AS keep
+FROM m
+"""
+
+
 QUERIES = {
     "text_stats_quality": q_text_stats_quality,
     "text_langid": q_text_langid,
@@ -630,12 +721,14 @@ ORACLES = {
 
 # outside the 50-entry driver gate — oracle-checked via extra_queries()
 EXTRA_QUERIES = {
+    "text_gopher": q_text_gopher,
     "text_pii_scrub": q_text_pii_scrub,
     # rotated OUT of the driver gate in round 4 (driver-green rounds 2-3)
     "text_fingerprint": q_text_fingerprint,
     "text_normalize": q_text_normalize,
 }
 EXTRA_ORACLES = {
+    "text_gopher": _oracle_gopher(),
     "text_pii_scrub": _oracle_pii_scrub(),
     "text_fingerprint": _oracle_fingerprint(),
     "text_normalize": ORACLE_TEXT_NORMALIZE,
