@@ -347,12 +347,83 @@ FROM dist d JOIN stats s USING (label)
 """
 
 
+# --------------------------------------------------------------------------
+# Sparse signed random projection (Achlioptas 2003): 64 → 8 dims with a
+# seeded {+1, 0, −1} matrix (P = 1/6, 2/3, 1/6). The matrix is derived
+# from md5 at import time and inlined as LITERALS in both the Spark
+# expression and the oracle SQL — zero per-row hashing, identical
+# coefficients by construction. With 2/3 sparsity each output dim is a
+# ~21-term signed sum — pure codegen map work, the right preprocessing
+# step before LSH/IVF when 100 TB of 1k-dim embeddings won't fit the
+# similarity budget. (Unscaled: the sqrt(3) Achlioptas factor is a
+# constant that downstream cosine/LSH consumers cancel; documented so
+# norms aren't misread as JL-calibrated.)
+# --------------------------------------------------------------------------
+
+RPROJECT_IN_DIM = 64
+RPROJECT_OUT_DIM = 8
+
+
+def _rproject_matrix() -> list[list[int]]:
+    """Deterministic seeded sign matrix: md5('rp{i}_{k}') mod 6 →
+    {0: +1, 5: −1, else 0} (the 1/6, 2/3, 1/6 Achlioptas split)."""
+    import hashlib
+
+    signs = []
+    for i in range(RPROJECT_IN_DIM):
+        row = []
+        for k in range(RPROJECT_OUT_DIM):
+            h = int(hashlib.md5(f"rp{i}_{k}".encode()).hexdigest(), 16) % 6
+            row.append(1 if h == 0 else (-1 if h == 5 else 0))
+        signs.append(row)
+    return signs
+
+
+RPROJECT_SIGNS = _rproject_matrix()
+
+
+def q_ml_rproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the 8 projected components per vector, rounded 6dp.
+    Sums fold left-to-right in ascending input-dim order on BOTH
+    engines (elements cast to double first), so the IEEE result is
+    bit-identical before the rounding."""
+    emb = read_spread(spark, sf_dir, "embeddings", "vec_id")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    out = [F.col("vec_id")]
+    for k in range(RPROJECT_OUT_DIM):
+        acc = F.lit(0.0)
+        for i in range(RPROJECT_IN_DIM):
+            s = RPROJECT_SIGNS[i][k]
+            if s == 1:
+                acc = acc + F.element_at(v, i + 1)
+            elif s == -1:
+                acc = acc - F.element_at(v, i + 1)
+        out.append(F.round(acc, 6).alias(f"p{k}"))
+    return emb.select(*out)
+
+
+def _oracle_rproject() -> str:
+    cols = []
+    for k in range(RPROJECT_OUT_DIM):
+        terms = ["0.0"]
+        for i in range(RPROJECT_IN_DIM):
+            s = RPROJECT_SIGNS[i][k]
+            if s == 1:
+                terms.append(f"+ CAST(embedding[{i + 1}] AS DOUBLE)")
+            elif s == -1:
+                terms.append(f"- CAST(embedding[{i + 1}] AS DOUBLE)")
+        cols.append(f"round({' '.join(terms)}, 6) AS p{k}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
 # QUERIES below)
 EXTRA_QUERIES: dict = {
     "ml_outliers": q_ml_outliers,
+    "ml_rproject": q_ml_rproject,
 }
 EXTRA_ORACLES: dict = {
     "ml_outliers": _oracle_outliers(),
+    "ml_rproject": _oracle_rproject(),
 }
 
 
