@@ -18,6 +18,7 @@ depth constant. Convergence tests cost one tiny aggregate per round.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -1218,15 +1219,348 @@ ORACLES.update({
     "graph_weighted_paths": _oracle_weighted_paths(),
     "graph_hits": _oracle_hits(),
 })
+# --------------------------------------------------------------------------
+# Strongly connected components: GraphX-style trim + pivot coloring
+# (the same structure as org.apache.spark.graphx.lib.StronglyConnected
+# Components — trim DAG fringes, then peel SCCs by forward/backward
+# min-label agreement; that public implementation is RDD/JVM-only, this
+# is the DataFrame re-expression). Designed for low-cycle-density
+# graphs — referral trees, dedup pair graphs, web-link near-DAGs — the
+# shape real 100 TB corpora have; dense-cycle worst cases take more
+# peel rounds (bounded by ``max_rounds`` with a hard failure, never a
+# silent wrong answer).
+# --------------------------------------------------------------------------
+
+_SCC_PROBE_EVERY = 4   # propagation rounds between convergence probes
+
+
+def _shortcut_closure(e: DataFrame, budget_factor: int = 32,
+                      max_squarings: int = 12
+                      ) -> tuple[DataFrame, bool]:
+    """Path-doubling reachability closure: G ← G ∪ G∘G doubles the hop
+    radius per squaring, so k squarings cover paths of 2^k edges and
+    the fixpoint IS the transitive closure. Each squaring is one
+    self-join + distinct — O(log diameter) driver-synchronized jobs
+    total, versus one job per hop for message-round propagation (the
+    dominant cost on deep graphs: per-job overhead, not data volume).
+    The budget guard stops when the edge set exceeds
+    ``budget_factor``×|E|: on near-DAG graphs (referral trees, dedup
+    pair graphs, web link graphs after dedup) the closure is
+    O(V·depth) and fits easily; on dense graphs it is quadratic and
+    the caller must use the bounded-memory iterative path instead.
+    Returns (reach_pairs, complete) — ``complete`` is True iff the
+    fixpoint was reached within budget."""
+    g = e.distinct().localCheckpoint(eager=True)
+    n = g.count()
+    budget = budget_factor * max(n, 1)
+    for _ in range(max_squarings):
+        two = (
+            g.alias("a")
+            .join(g.alias("b"), F.col("a.sink") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"),
+                    F.col("b.sink").alias("sink"))
+        )
+        g2 = g.unionByName(two).distinct().localCheckpoint(eager=True)
+        n2 = g2.count()
+        if n2 == n:
+            return g, True
+        g = g2
+        n = n2
+        if n > budget:
+            return g, False
+    return g, False
+
+
+def _propagate_fb(lab: DataFrame, e: DataFrame,
+                  max_iter: int = 64) -> DataFrame:
+    """BOTH FW-BW fixpoints in one message stream: state is two rows
+    per node tagged dir='f' (min reachable-ancestor label, flowing
+    src→sink) and dir='b' (min reachable-descendant, sink→src); labels
+    are (h, id) structs so the min travels by hash and carries the
+    pivot's id. Fusing the directions halves the per-round job count —
+    one join+groupBy shuffle per round on the stable (id, dir) key
+    moves both fixpoints one step. Every round materializes
+    (localCheckpoint): lazily composing rounds re-executes the whole
+    prefix per round, which is exponential. The convergence probe runs
+    every ``_SCC_PROBE_EVERY`` rounds — up to 3 no-op rounds of waste
+    buys a 2→1.25 jobs/round driver-overhead cut, which dominates on
+    fixpoint-deep graphs. Returns (id, f, b)."""
+    msgs_edges = e.select(
+        F.col("src").alias("send"), F.col("sink").alias("recv"),
+        F.lit("f").alias("dir"),
+    ).unionByName(e.select(
+        F.col("sink").alias("send"), F.col("src").alias("recv"),
+        F.lit("b").alias("dir"),
+    )).localCheckpoint(eager=True)
+    cur = lab.select("id", F.lit("f").alias("dir"), "p").unionByName(
+        lab.select("id", F.lit("b").alias("dir"), "p")
+    ).localCheckpoint(eager=True)
+    snap = cur
+    for i in range(1, max_iter + 1):
+        msgs = (
+            msgs_edges.join(
+                cur,
+                (msgs_edges["send"] == cur["id"])
+                & (msgs_edges["dir"] == cur["dir"]),
+            )
+            .select(F.col("recv").alias("id"), msgs_edges["dir"], "p")
+            .groupBy("id", "dir")
+            .agg(F.min("p").alias("nbr"))
+        )
+        cur = (
+            cur.join(msgs, ["id", "dir"], "left")
+            .select(
+                "id", "dir",
+                F.least(F.col("p"),
+                        F.coalesce(F.col("nbr"), F.col("p"))).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if i % _SCC_PROBE_EVERY == 0:
+            changed = (
+                cur.join(snap.withColumnRenamed("p", "p0"), ["id", "dir"])
+                .filter(F.col("p") != F.col("p0"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
+            snap = cur
+    else:
+        raise RuntimeError("min-label propagation did not converge in "
+                           f"{max_iter} rounds")
+    return (
+        cur.groupBy("id")
+        .agg(
+            F.min(F.when(F.col("dir") == "f", F.col("p"))).alias("f"),
+            F.min(F.when(F.col("dir") == "b", F.col("p"))).alias("b"),
+        )
+    )
+
+
+def strongly_connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 20,
+    budget_factor: int = 32,
+) -> DataFrame:
+    """SCC labels over directed (src, sink) edges. Returns (id, scc)
+    where scc is the component's minimum member id.
+
+    Two-strategy design:
+
+    - **Closure-direct (preferred):** compute the transitive closure
+      by path-doubling (_shortcut_closure, O(log diameter) jobs). If
+      it completes within the edge budget, SCCs fall out in ONE more
+      self-join: u and v are in the same SCC iff both (u,v) and (v,u)
+      are reach pairs, so each node's label is the minimum over its
+      mutual-reach partners. Near-DAG graphs — referral trees, dedup
+      pair graphs, deduplicated web-link graphs, i.e. what a training
+      corpus actually yields — have O(V·depth) closures and take this
+      path.
+    - **Iterative FW-BW peel (fallback, _scc_peel):** when the
+      closure blows the budget (dense cyclic graphs), peel with the
+      bounded-memory coloring loop — O(V) state per round, one
+      shuffle per propagation step — the same structure as the public
+      GraphX StronglyConnectedComponents. Slower in rounds, never in
+      memory."""
+    e = edges.select("src", "sink").localCheckpoint(eager=True)
+    closure, complete = _shortcut_closure(e, budget_factor)
+    if not complete:
+        return _scc_peel(nodes, e, max_rounds)
+    mutual = closure.join(
+        closure.select(F.col("sink").alias("src"),
+                       F.col("src").alias("sink")),
+        ["src", "sink"],
+    )
+    partner_min = (
+        mutual.groupBy("src").agg(F.min("sink").alias("m"))
+        .withColumnRenamed("src", "id")
+    )
+    return nodes.select("id").join(partner_min, "id", "left").select(
+        "id",
+        F.least(F.col("id"), F.coalesce(F.col("m"), F.col("id"))
+                ).alias("scc"),
+    )
+
+
+def _scc_peel(nodes: DataFrame, e: DataFrame,
+              max_rounds: int = 20) -> DataFrame:
+    """Iterative FW-BW/coloring SCC peel — the bounded-memory fallback
+    for graphs whose reachability closure exceeds the shortcut budget.
+
+    Each round computes f = min reachable-ancestor label and b = min
+    reachable-descendant label as (xxhash64(id), id) structs in ONE
+    fused fixpoint (_propagate_fb). Three peel rules then fire
+    together, all consequences of the FW-BW partition theorem (every
+    SCC lies inside one (f, b) class):
+
+    - f == b → the node is in the SCC of that pivot (the pivot is both
+      its ancestor and its descendant); whole SCCs share (f, b), so
+      they peel atomically;
+    - |class| == 1 → the node is a singleton SCC even when f != b
+      (its SCC can't extend beyond the class) — this disposes of DAG
+      fringes in the first round instead of one layer per round;
+    - surviving nodes keep only edges whose endpoints agree on the
+      full (f, b) class, so the graph disconnects into shrinking
+      independent classes and later fixpoints span class diameters,
+      not the whole graph.
+
+    Each round peels at least every class's min-hash pivot, so the
+    peel always progresses. Hashed pivot order keeps monotone-id
+    graphs from degrading to one SCC per round. Labels are then
+    canonicalized to the component minimum so both strategies return
+    identical frames."""
+    remaining = nodes.select("id").localCheckpoint(eager=True)
+    parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        if remaining.limit(1).count() == 0:
+            break
+        lab = remaining.select(
+            "id", F.struct(F.xxhash64("id").alias("h"),
+                           F.col("id").alias("pid")).alias("p")
+        )
+        cls = (
+            _propagate_fb(lab, e)
+            .withColumn(
+                "n", F.count(F.lit(1)).over(
+                    W.partitionBy("f", "b")
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        peel = (F.col("f") == F.col("b")) | (F.col("n") == 1)
+        sccs = (
+            cls.filter(peel)
+            .select(
+                "id",
+                F.when(F.col("f") == F.col("b"), F.col("f.pid"))
+                .otherwise(F.col("id")).alias("scc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        parts.append(sccs)
+        survivors = cls.filter(~peel).localCheckpoint(eager=True)
+        remaining = survivors.select("id")
+        # class restriction: only same-(f,b)-class edges can sit inside
+        # a still-unresolved SCC. Node-sized side tables: plain
+        # equi-joins on the stable src/sink partitioning (broadcasting
+        # them would ship the whole node set to every executor at
+        # scale).
+        lhs = survivors.select(F.col("id").alias("src"),
+                               F.col("f").alias("_fs"),
+                               F.col("b").alias("_bs"))
+        rhs = survivors.select(F.col("id").alias("sink"),
+                               F.col("f").alias("_ft"),
+                               F.col("b").alias("_bt"))
+        e = (
+            e.join(lhs, "src")
+            .join(rhs, "sink")
+            .filter((F.col("_fs") == F.col("_ft"))
+                    & (F.col("_bs") == F.col("_bt")))
+            .select("src", "sink")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"SCC did not converge in {max_rounds} rounds")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    canon = out.groupBy("scc").agg(F.min("id").alias("cmin"))
+    return out.join(canon, "scc").select("id", F.col("cmin").alias("scc"))
+
+
+
+
+def q_graph_scc(spark, sf_dir: str) -> DataFrame:
+    """SCC summary over the Refers tree plus deterministic back-edges
+    (every edge whose child key is divisible by 5 also gets the reverse
+    direction) — the reversals thread mutual chains k ↔ 2k ↔ 4k…
+    through the heap-shaped tree, so nontrivial SCCs exist at every
+    scale. Output is label-agnostic (counts and sizes only).
+
+    Oracle note: on THIS derived graph, every directed cycle descends a
+    tree path and must climb back up the same unique parent chain, so
+    all cycle edges are bidirectional — hence SCCs coincide with the
+    connected components of the mutual-edge subgraph, which is what the
+    DuckDB oracle computes (unrolled propagate+compress, same form as
+    _oracle_components). The Spark side runs the general algorithm; the
+    3-cycle fixture in tests/test_algorithms.py covers cycles with no
+    mutual edges, which the oracle's specialization cannot."""
+    from graphview_spark.graph_queries import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes["Customer"]
+    key = nodes.select("GlobalNodeId", "c_custkey")
+    refers = (
+        g.edge_with_id("Customer.Refers")
+        .join(key.select(F.col("GlobalNodeId").alias("src"),
+                         F.col("c_custkey").alias("src_key")), "src")
+        .join(key.select(F.col("GlobalNodeId").alias("sink"),
+                         F.col("c_custkey").alias("sink_key")), "sink")
+        .select(F.col("src_key").alias("src"), F.col("sink_key").alias("sink"))
+    )
+    directed = refers.unionByName(
+        refers.filter(F.col("sink") % 5 == 0)
+        .select(F.col("sink").alias("src"), F.col("src").alias("sink"))
+    )
+    scc = strongly_connected_components(
+        nodes.select(F.col("c_custkey").alias("id")), directed
+    )
+    sizes = scc.groupBy("scc").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_sccs"),
+        F.max("n").alias("largest"),
+        F.count(F.when(F.col("n") >= 2, 1)).alias("n_nontrivial"),
+    )
+
+
+def _oracle_scc(rounds: int = 8) -> str:
+    """CC of the mutual-edge subgraph (valid for the derived graph —
+    see q_graph_scc docstring) via unrolled propagate+compress; mutual
+    chains k↔2k↔4k… have diameter ≤ log₂(max key), far under 2⁸."""
+    from graphview_spark.graph_queries import _ORACLE_REFERS
+
+    parts = [
+        f"refers AS ({_ORACLE_REFERS})",
+        "mutual AS (SELECT src, sink FROM refers WHERE sink % 5 = 0)",
+        "sym AS (SELECT src, sink FROM mutual "
+        "UNION ALL SELECT sink, src FROM mutual)",
+        "l0 AS (SELECT c_custkey AS id, c_custkey AS label FROM customer)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"l{i - 1}"
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT n.id, "
+            f"least(n.label, coalesce(min(l.label), n.label)) AS label "
+            f"FROM {prev} n LEFT JOIN sym e ON e.sink = n.id "
+            f"LEFT JOIN {prev} l ON l.id = e.src "
+            f"GROUP BY n.id, n.label)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT a.id, "
+            f"coalesce(b.label, a.label) AS label "
+            f"FROM p{i} a LEFT JOIN p{i} b ON b.id = a.label)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+sizes AS (SELECT label, count(*) AS n FROM l{rounds} GROUP BY label)
+SELECT count(*) AS n_sccs, max(n) AS largest,
+       count(*) FILTER (n >= 2) AS n_nontrivial
+FROM sizes
+"""
+    )
+
+
 EXTRA_QUERIES: dict = {
     "graph_kcore": q_graph_kcore,
     "graph_ppr": q_graph_ppr,
     "graph_node_sim": q_graph_node_sim,
     "graph_ktruss": q_graph_ktruss,
+    "graph_scc": q_graph_scc,
 }
 EXTRA_ORACLES: dict = {
     "graph_kcore": _oracle_kcore(),
     "graph_ppr": _oracle_ppr(),
     "graph_node_sim": _oracle_node_sim(),
     "graph_ktruss": _oracle_ktruss(),
+    "graph_scc": _oracle_scc(),
 }
