@@ -1470,6 +1470,135 @@ def _scc_peel(nodes: DataFrame, e: DataFrame,
 
 
 
+def _distance_closure(e: DataFrame, budget_factor: int = 32,
+                      max_squarings: int = 12
+                      ) -> tuple[DataFrame, bool]:
+    """Min-plus path-doubling: D ← min(D, D∘D) with dist summed along
+    the composition — k squarings give exact shortest distances for
+    paths up to 2^k edges, fixpoint = all-pairs shortest distances.
+    Same O(log diameter) job count and the same edge budget rationale
+    as _shortcut_closure (near-DAG closures are O(V·depth); dense
+    graphs must use per-source frontier BFS instead). Fixpoint test
+    compares (pair count, total distance) — both monotone, so equality
+    means no pair appeared and no distance improved. Returns
+    ((src, sink, dist), complete); self-pairs excluded from the seed so
+    dist ≥ 1 (cycles may introduce them later; they carry the true
+    cycle length)."""
+    d = (
+        e.select("src", "sink").distinct()
+        .select("src", "sink", F.lit(1).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    row = d.agg(F.count(F.lit(1)), F.sum("dist")).first()
+    n, total = row[0], row[1]
+    budget = budget_factor * max(n, 1)
+    for _ in range(max_squarings):
+        two = (
+            d.alias("a")
+            .join(d.alias("b"), F.col("a.sink") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"),
+                    F.col("b.sink").alias("sink"),
+                    (F.col("a.dist") + F.col("b.dist")).alias("dist"))
+        )
+        d2 = (
+            d.unionByName(two)
+            .groupBy("src", "sink")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        row = d2.agg(F.count(F.lit(1)), F.sum("dist")).first()
+        n2, total2 = row[0], row[1]
+        if n2 == n and total2 == total:
+            return d, True
+        d, n, total = d2, n2, total2
+        if n > budget:
+            return d, False
+    return d, False
+
+
+CLOSENESS_SEEDS = 8
+
+
+def q_graph_closeness(spark, sf_dir: str) -> DataFrame:
+    """Closeness centrality for the first 8 customers over the Refers
+    tree: n_reach (reachable nodes), sum_dist (total hop distance) and
+    closeness = n_reach / sum_dist, computed from one min-plus
+    distance closure (exact shortest paths in O(log diameter) jobs,
+    edge-budget-guarded) instead of one BFS per seed. The ratio is
+    rounded with the integer round-half-up identity so both engines
+    agree at decimal halfway points. At 100 TB the standard posture is
+    the same: seed-sampled closeness over a distance table — but built
+    with per-seed frontier BFS when the closure budget trips (the
+    fallback here, shortest_paths per seed)."""
+    from graphview_spark.graph_queries import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes["Customer"]
+    key = nodes.select("GlobalNodeId", "c_custkey")
+    edges = (
+        g.edge_with_id("Customer.Refers")
+        .join(key.select(F.col("GlobalNodeId").alias("src"),
+                         F.col("c_custkey").alias("src_key")), "src")
+        .join(key.select(F.col("GlobalNodeId").alias("sink"),
+                         F.col("c_custkey").alias("sink_key")), "sink")
+        .select(F.col("src_key").alias("src"), F.col("sink_key").alias("sink"))
+    )
+    D, complete = _distance_closure(edges)
+    if complete:
+        seed_rows = D.filter(F.col("src") <= CLOSENESS_SEEDS)
+    else:  # bounded-memory fallback: one frontier BFS per sampled seed
+        parts = []
+        for s in range(1, CLOSENESS_SEEDS + 1):
+            src = nodes.filter(F.col("c_custkey") == s).select("GlobalNodeId")
+            sp = shortest_paths(src, g.edge_with_id("Customer.Refers"))
+            parts.append(
+                sp.join(key, "GlobalNodeId")
+                .filter(F.col("dist") > 0)
+                .select(F.lit(s).cast("long").alias("src"),
+                        F.col("c_custkey").alias("sink"),
+                        F.col("dist").cast("long").alias("dist"))
+            )
+        seed_rows = parts[0]
+        for p in parts[1:]:
+            seed_rows = seed_rows.unionByName(p)
+    agg = seed_rows.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_reach"),
+        F.sum("dist").alias("sum_dist"),
+    )
+    scale = 10 ** 6
+    closeness = (
+        F.floor((2 * scale * F.col("n_reach") + F.col("sum_dist"))
+                / (2 * F.col("sum_dist"))) / F.lit(float(scale))
+    )
+    return agg.select(
+        F.col("src").alias("c_custkey"), "n_reach", "sum_dist",
+        closeness.alias("closeness"),
+    )
+
+
+def _oracle_closeness() -> str:
+    from graphview_spark.graph_queries import _ORACLE_REFERS
+
+    scale = 10 ** 6
+    ratio = (f"((({2 * scale} * n_reach + sum_dist) // (2 * sum_dist))"
+             f" / {scale}.0)")
+    return f"""
+WITH RECURSIVE refers AS ({_ORACLE_REFERS}),
+bfs AS (
+  SELECT c_custkey AS seed, c_custkey AS id, 0 AS dist
+  FROM customer WHERE c_custkey <= {CLOSENESS_SEEDS}
+  UNION ALL
+  SELECT b.seed, e.sink, b.dist + 1 FROM bfs b JOIN refers e ON e.src = b.id
+),
+agg AS (
+  SELECT seed, count(*) - 1 AS n_reach, sum(dist)::BIGINT AS sum_dist
+  FROM bfs GROUP BY seed
+)
+SELECT seed AS c_custkey, n_reach, sum_dist, {ratio} AS closeness
+FROM agg
+"""
+
+
 def q_graph_scc(spark, sf_dir: str) -> DataFrame:
     """SCC summary over the Refers tree plus deterministic back-edges
     (every edge whose child key is divisible by 5 also gets the reverse
@@ -1556,6 +1685,7 @@ EXTRA_QUERIES: dict = {
     "graph_node_sim": q_graph_node_sim,
     "graph_ktruss": q_graph_ktruss,
     "graph_scc": q_graph_scc,
+    "graph_closeness": q_graph_closeness,
 }
 EXTRA_ORACLES: dict = {
     "graph_kcore": _oracle_kcore(),
@@ -1563,4 +1693,5 @@ EXTRA_ORACLES: dict = {
     "graph_node_sim": _oracle_node_sim(),
     "graph_ktruss": _oracle_ktruss(),
     "graph_scc": _oracle_scc(),
+    "graph_closeness": _oracle_closeness(),
 }

@@ -368,6 +368,72 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() disambiguation (SURVEY
+    §2.4 grouping-sets row — the general form ROLLUP/CUBE specialize;
+    native in Spark 4's DataFrame API and in DuckDB). The grouping id
+    distinguishes a real NULL group key from a rolled-up one; one
+    shuffle computes all three sets (Catalyst expands then aggregates
+    once)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+            "o_orderpriority", "o_orderstatus",
+        )
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority)::INT AS g_prio,
+       GROUPING(o_orderstatus)::INT  AS g_status,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS rev
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderstatus), ())
+"""
+
+
+def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SURVEY §2.3 — the relational form
+    the reference's CROSS APPLY translates to): per-nation customer
+    stats computed by a lateral aggregate. Catalyst decorrelates this
+    into the same join+aggregate a hand-written groupBy would produce
+    — the LATERAL spelling is surface, not a nested-loop execution."""
+    nation = f"{sf_dir}/nation.parquet"
+    customer = f"{sf_dir}/customer.parquet"
+    return spark.sql(f"""
+        SELECT n.n_name AS nation, l.n_cust, l.avg_bal
+        FROM parquet.`{nation}` n,
+        LATERAL (
+            SELECT count(*) AS n_cust,
+                   round(avg(c_acctbal), 2) AS avg_bal
+            FROM parquet.`{customer}` c
+            WHERE c.c_nationkey = n.n_nationkey
+        ) l
+    """)
+
+
+ORACLE_LATERAL = """
+SELECT n.n_name AS nation, l.n_cust, l.avg_bal
+FROM nation n,
+LATERAL (
+    SELECT count(*) AS n_cust,
+           round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+) l
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.5 set operations, DISTINCT
 # --------------------------------------------------------------------------
@@ -1036,6 +1102,8 @@ EXTRA_QUERIES = {
     "rel_percentiles": q_percentiles,
     "rel_window_ntile": q_window_ntile,
     "rel_window_dist": q_window_dist,
+    "rel_grouping_sets": q_grouping_sets,
+    "rel_lateral": q_lateral,
 }
 
 EXTRA_ORACLES = {
@@ -1064,6 +1132,8 @@ EXTRA_ORACLES = {
     "rel_percentiles": ORACLE_PERCENTILES,
     "rel_window_ntile": ORACLE_WINDOW_NTILE,
     "rel_window_dist": ORACLE_WINDOW_DIST,
+    "rel_grouping_sets": ORACLE_GROUPING_SETS,
+    "rel_lateral": ORACLE_LATERAL,
 }
 
 # rotated INTO the driver gate in round 4 (defined below the mid-file

@@ -319,3 +319,23 @@ def test_scc_two_nested_cycles_share_component(spark):
     scc = strongly_connected_components(nodes, edges)
     got = {r["id"]: r["scc"] for r in scc.collect()}
     assert got[1] == got[2] == got[3] == got[4]
+
+
+def test_distance_closure_exact(spark):
+    """Min-plus doubling gives exact shortest hop counts, including
+    through a shorter alternative path and around a cycle."""
+    from graphview_spark.algorithms import _distance_closure
+
+    edges = spark.createDataFrame(
+        # chain 1→2→3→4 plus shortcut 1→3; cycle 5→6→5
+        [(1, 2), (2, 3), (3, 4), (1, 3), (5, 6), (6, 5)],
+        "src long, sink long",
+    )
+    d, complete = _distance_closure(edges)
+    assert complete
+    got = {(r["src"], r["sink"]): r["dist"] for r in d.collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1  # shortcut wins
+    assert got[(1, 4)] == 2 and got[(2, 4)] == 2
+    assert got[(5, 6)] == 1 and got[(6, 5)] == 1
+    assert got[(5, 5)] == 2 and got[(6, 6)] == 2  # cycle self-distance
+    assert (4, 1) not in got
