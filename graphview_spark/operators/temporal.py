@@ -749,11 +749,98 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_events_json(spark, sf_dir: str):
+    """Semi-structured props extraction (§2.2 function surface — the
+    JSON path every telemetry/training-metadata pipeline hits): pull
+    ``$.k`` out of the JSON props column and aggregate per event type
+    and k-decile. ``get_json_object`` evaluates JVM-side (codegen path
+    expression, no Python); the whole query is one scan + one
+    map-side-combinable groupBy — the props column never leaves its
+    partition unparsed at 100 TB."""
+    from graphview_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type", (F.col("k") - F.col("k") % 10).alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type,
+       (k - k % 10) AS k_decade,
+       count(*) AS n, min(k) AS k_min, max(k) AS k_max,
+       round(sum(value), 2) AS sum_value
+FROM (SELECT event_type, (props->>'k')::INT AS k, value FROM events)
+GROUP BY event_type, (k - k % 10)
+"""
+
+
+ANOMALY_MAD_K = 3
+
+
+def q_events_anomaly(spark, sf_dir: str):
+    """Robust per-type anomaly flags: |value − median| > k·MAD (median
+    absolute deviation — outlier-resistant where mean/stddev are not).
+    Two grouped exact medians (Spark's interpolating ``median`` matches
+    DuckDB's for DOUBLE inputs bit-for-bit — same (a+b)/2 IEEE math),
+    both over the same event_type partitioning, then a broadcast of the
+    5-row stats table back onto the stream; rounded to 4dp before the
+    comparison so the flag is engine-stable. Returns only the flagged
+    rows (the 100 TB-relevant output — shipping every row with a flag
+    column would dwarf the anomalies)."""
+    from graphview_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("median(value)"), 4).alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.expr("median(abs(value - med))"), 4).alias("mad"),
+             F.first("med").alias("med"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med"))
+                > ANOMALY_MAD_K * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
+
+
+ORACLE_EVENTS_ANOMALY = f"""
+WITH med AS (
+  SELECT event_type, round(median(value), 4) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, round(median(abs(e.value - m.med)), 4) AS mad,
+         min(m.med) AS med
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value, m.med, m.mad
+FROM events e JOIN mad m USING (event_type)
+WHERE abs(e.value - m.med) > {ANOMALY_MAD_K} * m.mad
+"""
+
+
 EXTRA_QUERIES: dict = {
     "events_histogram": q_events_histogram,
     "events_sessionize": q_events_sessionize,
+    "events_json": q_events_json,
+    "events_anomaly": q_events_anomaly,
 }
 EXTRA_ORACLES: dict = {
     "events_histogram": ORACLE_EVENTS_HISTOGRAM,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "events_json": ORACLE_EVENTS_JSON,
+    "events_anomaly": ORACLE_EVENTS_ANOMALY,
 }
