@@ -410,12 +410,15 @@ def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the LATERAL spelling is surface, not a nested-loop execution."""
     nation = f"{sf_dir}/nation.parquet"
     customer = f"{sf_dir}/customer.parquet"
+    # sum, not avg: avg divides by tiny per-nation counts and lands on
+    # decimal halfway points where engine rounding diverges; the sum of
+    # 2-decimal values rounds stably at 2dp on both engines
     return spark.sql(f"""
-        SELECT n.n_name AS nation, l.n_cust, l.avg_bal
+        SELECT n.n_name AS nation, l.n_cust, l.total_bal
         FROM parquet.`{nation}` n,
         LATERAL (
             SELECT count(*) AS n_cust,
-                   round(avg(c_acctbal), 2) AS avg_bal
+                   round(sum(c_acctbal), 2) AS total_bal
             FROM parquet.`{customer}` c
             WHERE c.c_nationkey = n.n_nationkey
         ) l
@@ -423,11 +426,11 @@ def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LATERAL = """
-SELECT n.n_name AS nation, l.n_cust, l.avg_bal
+SELECT n.n_name AS nation, l.n_cust, l.total_bal
 FROM nation n,
 LATERAL (
     SELECT count(*) AS n_cust,
-           round(avg(c_acctbal), 2) AS avg_bal
+           round(sum(c_acctbal), 2) AS total_bal
     FROM customer c
     WHERE c.c_nationkey = n.n_nationkey
 ) l
