@@ -1548,7 +1548,11 @@ def q_graph_closeness(spark, sf_dir: str) -> DataFrame:
         seed_rows = D.filter(F.col("src") <= CLOSENESS_SEEDS)
     else:  # bounded-memory fallback: one frontier BFS per sampled seed
         parts = []
-        for s in range(1, CLOSENESS_SEEDS + 1):
+        seed_keys = [
+            r[0] for r in nodes.filter(F.col("c_custkey") <= CLOSENESS_SEEDS)
+            .select("c_custkey").collect()
+        ]  # same seed set as the closure path's src <= CLOSENESS_SEEDS
+        for s in seed_keys:
             src = nodes.filter(F.col("c_custkey") == s).select("GlobalNodeId")
             sp = shortest_paths(src, g.edge_with_id("Customer.Refers"))
             parts.append(

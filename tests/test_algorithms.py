@@ -339,3 +339,14 @@ def test_distance_closure_exact(spark):
     assert got[(5, 6)] == 1 and got[(6, 5)] == 1
     assert got[(5, 5)] == 2 and got[(6, 6)] == 2  # cycle self-distance
     assert (4, 1) not in got
+
+
+def test_closeness_fallback_matches_closure(spark, sf_dir, monkeypatch):
+    """The per-seed-BFS fallback (closure budget tripped) must produce
+    exactly the closure-direct result."""
+    import graphview_spark.algorithms as A
+
+    a = sorted(tuple(r) for r in A.q_graph_closeness(spark, sf_dir).collect())
+    monkeypatch.setattr(A, "_distance_closure", lambda e, **kw: (None, False))
+    b = sorted(tuple(r) for r in A.q_graph_closeness(spark, sf_dir).collect())
+    assert a == b and len(a) > 0
