@@ -1131,7 +1131,10 @@ class GraphDatabase:
         from graphview_spark.scripting import execute_script, split_statements
 
         statement = strip_comments(statement)
-        if re.match(r"(?is)^\s*(DECLARE|WHILE|IF)\b", statement):
+        if re.match(
+            r"(?is)^\s*(DECLARE|WHILE|IF|BEGIN\s+TRY|THROW|RAISERROR)\b",
+            statement,
+        ):
             return execute_script(self, statement)
         masked, _ = _mask_strings(statement)
         if len(split_statements(masked)) > 1:

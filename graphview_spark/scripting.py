@@ -150,6 +150,7 @@ class ScriptRunner:
         self.variables: dict[str, object] = {}
         self.printed: list[str] = []   # PRINT output, in order
         self.result: DataFrame | None = None  # last delivered result set
+        self._current_error: Exception | None = None  # inside CATCH
 
     # -- scalar evaluation -------------------------------------------------
     def _eval_scalar(self, expr: str, lits) -> object:
@@ -241,6 +242,22 @@ class ScriptRunner:
             return None
         if re.match(r"(?is)^\s*RETURN\s*$", stmt):
             raise _ScriptReturn()
+        if re.match(r"(?is)^\s*BEGIN\s+TRY\b", stmt):
+            return self._run_try_catch(stmt, lits)
+        m = re.match(
+            r"(?is)^\s*THROW\s*(?:\d+\s*,\s*(?P<msg>\x00\d+\x00)\s*,\s*\d+)?"
+            r"\s*$", stmt)
+        if m:
+            if m.group("msg"):
+                raise ScriptError(_unmask(m.group("msg"), lits).strip("'"))
+            if self._current_error is not None:  # bare THROW re-raises
+                raise self._current_error
+            raise ScriptError("THROW outside CATCH requires arguments")
+        m = re.match(
+            r"(?is)^\s*RAISERROR\s*\(\s*(?P<msg>\x00\d+\x00)\s*"
+            r"(?:,\s*\d+\s*,\s*\d+\s*)?\)\s*$", stmt)
+        if m:
+            raise ScriptError(_unmask(m.group("msg"), lits).strip("'"))
         m = re.match(r"(?is)^\s*WHILE\b(?P<rest>.+)$", stmt, re.DOTALL)
         if m:
             return self._run_while(m.group("rest"), lits)
@@ -253,6 +270,56 @@ class ScriptRunner:
 
     def _split_cond_block(self, rest: str) -> tuple[str, str, str]:
         return split_cond_block(rest)
+
+    def _run_try_catch(self, stmt: str, lits) -> DataFrame | None:
+        """T-SQL ``BEGIN TRY … END TRY BEGIN CATCH … END CATCH`` — the
+        reference forwards structured error handling to SQL Server
+        untranslated (WSql statement passthrough). The CATCH block runs
+        only when the TRY block raises; ``ERROR_MESSAGE()`` resolves to
+        the caught message (injected as a masked literal so quoting is
+        safe), and a bare ``THROW`` inside CATCH re-raises. T-SQL's
+        transaction-doom semantics (XACT_ABORT) are out of scope —
+        statements already executed in the TRY block stay applied, as
+        in SQL Server's default non-XACT_ABORT mode."""
+        b1 = re.search(r"(?i)\bBEGIN\b", stmt).start()
+        e1 = _find_matching_end(stmt, b1)
+        try_body = re.sub(r"(?is)^\s*TRY\b", "", stmt[b1 + 5:e1 - 3])
+        after = stmt[e1:]
+        m = re.match(r"(?is)^\s*TRY\s*;?\s*(?P<rest>BEGIN\s+CATCH\b.*)$",
+                     after, re.DOTALL)
+        if not m:
+            raise ScriptError("END TRY must be followed by BEGIN CATCH")
+        rest = m.group("rest")
+        b2 = re.search(r"(?i)\bBEGIN\b", rest).start()
+        e2 = _find_matching_end(rest, b2)
+        catch_body = re.sub(r"(?is)^\s*CATCH\b", "", rest[b2 + 5:e2 - 3])
+        after2 = rest[e2:]
+        m2 = re.match(r"(?is)^\s*CATCH\s*;?\s*(?P<tail>.*)$", after2,
+                      re.DOTALL)
+        if not m2:
+            raise ScriptError("END of CATCH block must read END CATCH")
+        tail = m2.group("tail")
+        try:
+            result = self._run_block(try_body, lits)
+        except _ScriptReturn:
+            raise
+        except Exception as exc:  # noqa: BLE001 — TRY/CATCH semantics
+            msg = str(exc).split("\n", 1)[0][:500]
+            lits.append("'" + msg.replace("'", "''") + "'")
+            token = f"\x00{len(lits) - 1}\x00"
+            body = re.sub(r"(?i)\bERROR_MESSAGE\s*\(\s*\)", token,
+                          catch_body)
+            prev = self._current_error
+            self._current_error = exc
+            try:
+                result = self._run_block(body, lits)
+            finally:
+                self._current_error = prev
+        if tail.strip():
+            r = self._run_block(tail, lits)
+            if r is not None:
+                result = r
+        return result
 
     def _run_while(self, rest: str, lits) -> DataFrame | None:
         cond, body, tail = self._split_cond_block(rest)

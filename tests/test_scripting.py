@@ -211,3 +211,79 @@ def test_declare_decimal_type(spark):
         "DECLARE @r DECIMAL(10,2) = 3.5; SELECT @r * 2 AS v"
     )
     assert float(out.collect()[0]["v"]) == 7.0
+
+
+def test_try_catch_runs_catch_on_error(g):
+    res = g.execute(
+        """DECLARE @status VARCHAR(200) = 'untouched';
+           BEGIN TRY
+               SET @status = 'tried';
+               SELECT boom FROM NoSuchTable;
+           END TRY
+           BEGIN CATCH
+               SET @status = 'caught';
+           END CATCH;
+           SELECT @status AS s"""
+    )
+    assert res.collect()[0]["s"] == "caught"
+
+
+def test_try_catch_skips_catch_without_error(g):
+    res = g.execute(
+        """BEGIN TRY
+               UPDATE Node SET name = 'z' WHERE id = 1;
+           END TRY
+           BEGIN CATCH
+               UPDATE Node SET name = 'should-not-run' WHERE id = 2;
+           END CATCH;
+           SELECT name FROM Node WHERE id <= 2 ORDER BY id"""
+    )
+    assert [r["name"] for r in res.collect()] == ["z", "b"]
+
+
+def test_error_message_and_print(g):
+    from graphview_spark.scripting import ScriptRunner
+
+    r = ScriptRunner(g)
+    r.run(
+        """BEGIN TRY
+               RAISERROR('custom failure', 16, 1);
+           END TRY
+           BEGIN CATCH
+               PRINT ERROR_MESSAGE();
+           END CATCH"""
+    )
+    assert r.printed == ["custom failure"]
+
+
+def test_throw_statement_and_bare_rethrow(g):
+    with pytest.raises(ScriptError, match="explicit throw"):
+        g.execute("THROW 50001, 'explicit throw', 1")
+    # bare THROW inside CATCH re-raises the original error
+    with pytest.raises(ScriptError, match="original"):
+        g.execute(
+            """BEGIN TRY
+                   RAISERROR('original', 16, 1);
+               END TRY
+               BEGIN CATCH
+                   THROW;
+               END CATCH"""
+        )
+
+
+def test_try_catch_with_while_inside(g):
+    res = g.execute(
+        """DECLARE @i INT = 0;
+           BEGIN TRY
+               WHILE @i < 3
+               BEGIN
+                   SET @i = @i + 1;
+               END;
+               RAISERROR('late failure', 16, 1);
+           END TRY
+           BEGIN CATCH
+               SET @i = @i + 100;
+           END CATCH;
+           SELECT @i AS n"""
+    )
+    assert res.collect()[0]["n"] == 103
