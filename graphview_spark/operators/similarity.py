@@ -297,9 +297,95 @@ SELECT *, 'ivf' AS method FROM ({ORACLE_SIM_IVF})
 """
 
 
+# --------------------------------------------------------------------------
+# k-NN label vote (similarity search applied: the classify/retrieve
+# step a curation pipeline runs on top of the ANN index)
+# --------------------------------------------------------------------------
+
+def q_ml_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor majority label vote for the query subset:
+    exact cosine top-k (same deterministic tie-break as sim_topk), then
+    the winning label per query by (votes desc, label asc). The corpus
+    is scanned once against a broadcast 20-row query side — identical
+    scale posture to the brute top-k it builds on; at 100 TB the only
+    change is swapping the exact pairs stage for the IVF/LSH candidate
+    stage (same downstream vote)."""
+    emb = read_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    ).withColumn("nv", norm_col(F.col("v")))
+    q = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+            F.col("label").alias("true_label"),
+        )
+        .withColumn("nq", norm_col(F.col("qv")))
+    )
+    cosine = dot_col(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id", "true_label",
+            F.col("label").alias("predicted_label"), "n_votes",
+        )
+    )
+
+
+ORACLE_ML_KNN = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
+      FROM e WHERE vec_id < {N_QUERIES}),
+ranked AS (
+  SELECT query_id, true_label, e.vec_id, e.label,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(qv, v), 6) DESC,
+                      e.vec_id ASC) AS rank
+  FROM q CROSS JOIN e WHERE e.vec_id <> query_id),
+votes AS (
+  SELECT query_id, true_label, label, count(*) AS n_votes
+  FROM ranked WHERE rank <= {TOP_K}
+  GROUP BY query_id, true_label, label),
+win AS (
+  SELECT query_id, true_label, label, n_votes,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY n_votes DESC, label ASC) AS vr
+  FROM votes)
+SELECT query_id, true_label, label AS predicted_label, n_votes
+FROM win WHERE vr = 1
+"""
+
+
 QUERIES = {
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
+}
+
+EXTRA_QUERIES: dict = {
+    "ml_knn": q_ml_knn,
+}
+EXTRA_ORACLES: dict = {
+    "ml_knn": ORACLE_ML_KNN,
 }
 
 ORACLES = {
