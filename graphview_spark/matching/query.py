@@ -1743,8 +1743,22 @@ def _exec_create_procedure(g, sql: str) -> None:
 def _exec_exec(g, sql: str) -> DataFrame | None:
     """EXEC name @p = value[, ...] (or positional values in declaration
     order) — the dialect analog of invoking a stored procedure through a
-    command object (StoredProcedureTutorial.cs:60-76)."""
+    command object (StoredProcedureTutorial.cs:60-76). The dynamic-SQL
+    form ``EXEC('statement string')`` (and concatenations of string
+    literals) runs the assembled text back through the full dialect
+    executor — T-SQL semantics, where the string is its own batch."""
     masked, lits = _mask_strings(sql)
+    md = re.match(
+        r"(?is)^\s*EXEC(?:UTE)?\s*\(\s*(?P<parts>\x00\d+\x00"
+        r"(?:\s*\+\s*\x00\d+\x00)*)\s*\)\s*$",
+        masked,
+    )
+    if md:
+        text = "".join(
+            _unmask(p.strip(), lits).strip()[1:-1].replace("''", "'")
+            for p in md.group("parts").split("+")
+        )
+        return execute_statement(g, text)
     m = re.match(
         r"(?is)^\s*EXEC(?:UTE)?\s+(?P<name>\[[^\]]+\]|[A-Za-z_]\w*)\s*(?P<args>.*)$",
         masked,

@@ -287,3 +287,17 @@ def test_try_catch_with_while_inside(g):
            SELECT @i AS n"""
     )
     assert res.collect()[0]["n"] == 103
+
+
+def test_dynamic_sql_exec_string(g):
+    res = g.execute("EXEC('SELECT name FROM Node WHERE id = 1')")
+    assert res.collect()[0]["name"] == "a"
+    # concatenated literals + doubled quotes; N'' prefix
+    res = g.execute(
+        "EXECUTE(N'SELECT name FROM Node ' + 'WHERE name = ''b''')"
+    )
+    assert res.collect()[0]["name"] == "b"
+    # dynamic DML executes too
+    g.execute("EXEC('UPDATE Node SET name = ''dyn'' WHERE id = 4')")
+    got = g.execute("SELECT name FROM Node WHERE id = 4").collect()
+    assert got[0]["name"] == "dyn"
