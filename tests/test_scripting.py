@@ -301,3 +301,14 @@ def test_dynamic_sql_exec_string(g):
     g.execute("EXEC('UPDATE Node SET name = ''dyn'' WHERE id = 4')")
     got = g.execute("SELECT name FROM Node WHERE id = 4").collect()
     assert got[0]["name"] == "dyn"
+
+
+def test_dynamic_sql_exec_variable(g):
+    # EXEC(@var): substitution renders the value as a quoted literal,
+    # which the dynamic-EXEC path then runs as its own batch
+    res = g.execute(
+        """DECLARE @q VARCHAR(100) =
+               'SELECT name FROM Node WHERE name = ''b''';
+           EXEC(@q)"""
+    )
+    assert res.collect()[0]["name"] == "b"
