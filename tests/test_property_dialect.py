@@ -177,3 +177,42 @@ def test_match_setops_match_duckdb(spark, xs, raw_edges, pivot):
         f"JOIN nodes b ON e.t = b.id WHERE b.x >= {pivot}"
     )
     _compare(g.execute(stmt), con, dsql)
+
+
+@given(
+    xs=nodes_strategy,
+    off=st.integers(min_value=0, max_value=9),
+    n=st.integers(min_value=1, max_value=9),
+    fetch=st.booleans(),
+    plural=st.booleans(),
+)
+@prop_settings
+def test_offset_fetch_paging_matches_duckdb(spark, xs, off, n, fetch, plural):
+    """Randomized OFFSET/FETCH paging over a deterministic ORDER BY must
+    return exactly DuckDB's LIMIT/OFFSET slice of the same rows."""
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [P] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Property"] x INT )"""
+    )
+    vals = ",".join(f"({i},{x})" for i, x in enumerate(xs))
+    g.execute(f"INSERT INTO P(id,x) VALUES{vals}")
+    rows = "ROWS" if plural else "ROW"
+    clause = f"OFFSET {off} {rows}"
+    if fetch:
+        clause += f" FETCH NEXT {n} {rows} ONLY"
+    got = [
+        (r["id"], r["x"])
+        for r in g.execute(
+            f"SELECT id, x FROM P ORDER BY x DESC, id ASC {clause}"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (id INT, x INT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", list(enumerate(xs)))
+    limit = f"LIMIT {n} " if fetch else ""
+    want = con.execute(
+        f"SELECT id, x FROM p ORDER BY x DESC, id ASC {limit}OFFSET {off}"
+    ).fetchall()
+    assert got == want
