@@ -17,9 +17,62 @@ depth constant. Convergence tests cost one tiny aggregate per round.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+# Below this frame size the iterative loops size their own shuffles
+# (see _loop_regime); above it they defer to the session defaults + AQE.
+_LOOP_SMALL_ROWS = 50_000_000
+_LOOP_ROWS_PER_PARTITION = 100_000
+# Delta frames below this row count are broadcast into the closure
+# compose joins (a few MB of (src, sink) longs), so the big side never
+# shuffles for the join; above it the join falls back to shuffle-hash.
+_LOOP_BCAST_ROWS = 1_000_000
+
+
+@contextmanager
+def _loop_regime(spark):
+    """Shuffle regime for driver-synchronized iterative loops.
+
+    AQE earns its keep on one-shot analytical plans, but inside a
+    tight fixpoint loop it materializes every shuffle stage as its own
+    sub-job and re-optimizes between them — measured ~0.5s/round of
+    pure scheduling overhead on frames of a few hundred thousand rows,
+    which DOMINATES loops whose per-round data cost is tens of ms.
+    Inside this context the loop takes over AQE's one useful decision
+    (partition-count sizing) itself via ``_loop_partitions``: callers
+    know their live frame size each round (the fixpoint probe already
+    counts it) and set shuffle partitions proportional to it, exactly
+    the coalescing AQE would pick but decided once on the driver for
+    free. Frames above _LOOP_SMALL_ROWS keep the session defaults —
+    at cluster scale the loop body is data-dominated and AQE's skew
+    splitting matters more than its scheduling overhead. Yields a
+    ``size(n_rows)`` callable the loop invokes before building each
+    round's plan; session config is restored on exit."""
+    conf = spark.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled")
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
+
+    def size(n_rows: int) -> None:
+        if n_rows >= _LOOP_SMALL_ROWS:
+            conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            conf.set("spark.sql.shuffle.partitions", prev_parts)
+            return
+        # floor of 8: fewer leaves cores idle on the shuffle-heavy
+        # rounds (measured ~15% slower at 4 on the sf0.1 closure loop)
+        parts = max(8, min(int(prev_parts),
+                           n_rows // _LOOP_ROWS_PER_PARTITION + 1))
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(parts))
+
+    try:
+        yield size
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def aggregate_messages(
@@ -1249,26 +1302,78 @@ def _shortcut_closure(e: DataFrame, budget_factor: int = 32,
     O(V·depth) and fits easily; on dense graphs it is quadratic and
     the caller must use the bounded-memory iterative path instead.
     Returns (reach_pairs, complete) — ``complete`` is True iff the
-    fixpoint was reached within budget."""
-    g = e.distinct().localCheckpoint(eager=True)
-    n = g.count()
-    budget = budget_factor * max(n, 1)
-    for _ in range(max_squarings):
-        two = (
-            g.alias("a")
-            .join(g.alias("b"), F.col("a.sink") == F.col("b.src"))
-            .select(F.col("a.src").alias("src"),
-                    F.col("b.sink").alias("sink"))
+    fixpoint was reached within budget.
+
+    Two per-round cost cuts (measured ~2× on the sf0.1 bench loop):
+
+    - **Seminaive delta composition.** A full squaring g∘g re-derives
+      every already-known pair every round. Instead only pairs FIRST
+      DERIVED last round (the delta) compose: g ∪ delta∘g ∪ g∘delta.
+      Correct by the path-splitting argument — a shortest path of
+      length ≤ 2^(k+1) splits into two halves of length ≤ 2^k; at the
+      round after the LATER half first appears, the earlier half is
+      present and the later is fresh, so the composition derives the
+      pair — round count stays O(log diameter). The fixpoint-confirming
+      round composes an empty delta, so it is nearly free.
+    - **Probe rides the squaring job.** The checkpoint is non-eager
+      and the count/fresh-sum probe is the action that materializes
+      it: one Spark job per squaring, not two.
+
+    Runs under _loop_regime (loop-sized shuffles, AQE deferred until
+    frames are big enough to be data-dominated)."""
+    with _loop_regime(e.sparkSession) as size_shuffle:
+        # seed dedup runs under the SESSION regime (AQE sizes it — the
+        # input may be arbitrarily large); its measured count sizes the
+        # loop regime. No seed-squaring fold here: unlike the distance
+        # closure, reach-diameters land just past powers of two on the
+        # mutual-chain graphs this serves, so the fold saves no round
+        # and only adds a job (measured).
+        g = (
+            e.distinct().withColumn("fresh", F.lit(1))
+            .localCheckpoint(eager=False)
         )
-        g2 = g.unionByName(two).distinct().localCheckpoint(eager=True)
-        n2 = g2.count()
-        if n2 == n:
-            return g, True
-        g = g2
-        n = n2
-        if n > budget:
-            return g, False
-    return g, False
+        row = g.agg(F.count(F.lit(1))).first()
+        n = row[0]
+        n_delta = n
+        budget = budget_factor * max(n, 1)
+        for i in range(max_squarings):
+            size_shuffle(n)
+            delta = g.filter(F.col("fresh") == 1)
+            # small deltas ride the join as a broadcast build side, so
+            # the accumulated closure never shuffles for the compose
+            if n_delta < _LOOP_BCAST_ROWS:
+                delta = F.broadcast(delta)
+            compose = [
+                delta.alias("a")
+                .join(g.alias("b"), F.col("a.sink") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"),
+                        F.col("b.sink").alias("sink")),
+            ]
+            if i > 0:  # round 1: delta == g, one composition covers both
+                compose.append(
+                    g.alias("a")
+                    .join(delta.alias("b"), F.col("a.sink") == F.col("b.src"))
+                    .select(F.col("a.src").alias("src"),
+                            F.col("b.sink").alias("sink"))
+                )
+            two = compose[0]
+            for c in compose[1:]:
+                two = two.unionByName(c)
+            g2 = (
+                g.select("src", "sink", F.lit(1).alias("_old"))
+                .unionByName(two.select("src", "sink", F.lit(0).alias("_old")))
+                .groupBy("src", "sink")
+                .agg((1 - F.max("_old")).alias("fresh"))
+                .localCheckpoint(eager=False)
+            )
+            row = g2.agg(F.count(F.lit(1)), F.sum("fresh")).first()
+            n2, n_fresh = row[0], row[1]
+            if n_fresh == 0:
+                return g.select("src", "sink"), True
+            g, n, n_delta = g2, n2, n_fresh
+            if n > budget:
+                return g.select("src", "sink"), False
+        return g.select("src", "sink"), False
 
 
 def _propagate_fb(lab: DataFrame, e: DataFrame,
@@ -1362,7 +1467,10 @@ def strongly_connected_components(
       shuffle per propagation step — the same structure as the public
       GraphX StronglyConnectedComponents. Slower in rounds, never in
       memory."""
-    e = edges.select("src", "sink").localCheckpoint(eager=True)
+    # no eager checkpoint here: the closure's seed materialization IS
+    # the one pass over the edge lineage; the peel fallback checkpoints
+    # what it needs itself
+    e = edges.select("src", "sink")
     closure, complete = _shortcut_closure(e, budget_factor)
     if not complete:
         return _scc_peel(nodes, e, max_rounds)
@@ -1411,9 +1519,26 @@ def _scc_peel(nodes: DataFrame, e: DataFrame,
     identical frames."""
     remaining = nodes.select("id").localCheckpoint(eager=True)
     parts: list[DataFrame] = []
+    with _loop_regime(nodes.sparkSession) as size_shuffle:
+        _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle)
+    if not parts:
+        return nodes.sparkSession.createDataFrame(
+            [], "id long, scc long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    canon = out.groupBy("scc").agg(F.min("id").alias("cmin"))
+    return out.join(canon, "scc").select("id", F.col("cmin").alias("scc"))
+
+
+def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle):
+    """Peel loop body (see _scc_peel): mutates ``parts`` in place so the
+    caller can union outside the loop regime."""
     for _ in range(max_rounds):
-        if remaining.limit(1).count() == 0:
-            break
+        n_remaining = remaining.count()
+        if n_remaining == 0:
+            return
+        size_shuffle(n_remaining)
         lab = remaining.select(
             "id", F.struct(F.xxhash64("id").alias("h"),
                            F.col("id").alias("pid")).alias("p")
@@ -1459,15 +1584,7 @@ def _scc_peel(nodes: DataFrame, e: DataFrame,
             .select("src", "sink")
             .localCheckpoint(eager=True)
         )
-    else:
-        raise RuntimeError(f"SCC did not converge in {max_rounds} rounds")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    canon = out.groupBy("scc").agg(F.min("id").alias("cmin"))
-    return out.join(canon, "scc").select("id", F.col("cmin").alias("scc"))
-
-
+    raise RuntimeError(f"SCC did not converge in {max_rounds} rounds")
 
 
 def _distance_closure(e: DataFrame, budget_factor: int = 32,
@@ -1483,37 +1600,93 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
     means no pair appeared and no distance improved. Returns
     ((src, sink, dist), complete); self-pairs excluded from the seed so
     dist ≥ 1 (cycles may introduce them later; they carry the true
-    cycle length)."""
-    d = (
-        e.select("src", "sink").distinct()
-        .select("src", "sink", F.lit(1).cast("long").alias("dist"))
-        .localCheckpoint(eager=True)
-    )
-    row = d.agg(F.count(F.lit(1)), F.sum("dist")).first()
-    n, total = row[0], row[1]
-    budget = budget_factor * max(n, 1)
-    for _ in range(max_squarings):
-        two = (
-            d.alias("a")
-            .join(d.alias("b"), F.col("a.sink") == F.col("b.src"))
+    cycle length).
+
+    Same two per-round cost cuts as _shortcut_closure: seminaive delta
+    composition (only pairs whose distance appeared or improved last
+    round compose — exactness by the same path-splitting argument, with
+    "fresh" meaning the half's final exact value just arrived) and the
+    non-eager checkpoint whose materializing action IS the fixpoint
+    probe (one job per squaring). Runs under _loop_regime."""
+    with _loop_regime(e.sparkSession) as size_shuffle:
+        # seed covers dist ≤ 2 exactly (min over the 1-hop ∪ 2-hop
+        # union): the first squaring rides the seed materialization.
+        # The edge dedup runs under the SESSION regime (the input may
+        # be arbitrarily large); its count sizes the loop regime.
+        d0 = (
+            e.select("src", "sink").distinct()
+            .select("src", "sink", F.lit(1).cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        n_e = d0.agg(F.count(F.lit(1))).first()[0]
+        size_shuffle(n_e)
+        # hint only the join's build side (hinting d0 itself would dangle
+        # on the union below and log a hint error)
+        d0b = F.broadcast(d0) if n_e < _LOOP_BCAST_ROWS else d0
+        two0 = (
+            d0b.alias("a")
+            .join(d0.alias("b"), F.col("a.sink") == F.col("b.src"))
             .select(F.col("a.src").alias("src"),
                     F.col("b.sink").alias("sink"),
                     (F.col("a.dist") + F.col("b.dist")).alias("dist"))
         )
-        d2 = (
-            d.unionByName(two)
-            .groupBy("src", "sink")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+        d = (
+            d0.unionByName(two0)
+            .groupBy("src", "sink").agg(F.min("dist").alias("dist"))
+            .withColumn("fresh", F.lit(1))
+            .localCheckpoint(eager=False)
         )
-        row = d2.agg(F.count(F.lit(1)), F.sum("dist")).first()
-        n2, total2 = row[0], row[1]
-        if n2 == n and total2 == total:
-            return d, True
-        d, n, total = d2, n2, total2
-        if n > budget:
-            return d, False
-    return d, False
+        n = d.agg(F.count(F.lit(1))).first()[0]
+        n_delta = n
+        budget = budget_factor * max(n, 1)
+        for i in range(max_squarings):
+            size_shuffle(n)
+            delta = d.filter(F.col("fresh") == 1)
+            if n_delta < _LOOP_BCAST_ROWS:
+                delta = F.broadcast(delta)
+            compose = [
+                delta.alias("a")
+                .join(d.alias("b"), F.col("a.sink") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"),
+                        F.col("b.sink").alias("sink"),
+                        (F.col("a.dist") + F.col("b.dist")).alias("dist")),
+            ]
+            if i > 0:  # round 1: delta == d, one composition covers both
+                compose.append(
+                    d.alias("a")
+                    .join(delta.alias("b"), F.col("a.sink") == F.col("b.src"))
+                    .select(F.col("a.src").alias("src"),
+                            F.col("b.sink").alias("sink"),
+                            (F.col("a.dist") + F.col("b.dist")).alias("dist"))
+                )
+            two = compose[0]
+            for c in compose[1:]:
+                two = two.unionByName(c)
+            d2 = (
+                d.select("src", "sink", "dist", F.col("dist").alias("_old"))
+                .unionByName(two.select(
+                    "src", "sink", "dist",
+                    F.lit(None).cast("long").alias("_old")
+                ))
+                .groupBy("src", "sink")
+                .agg(F.min("dist").alias("dist"), F.min("_old").alias("_old"))
+                .select(
+                    "src", "sink", "dist",
+                    F.when(
+                        F.col("_old").isNull()
+                        | (F.col("dist") < F.col("_old")), 1
+                    ).otherwise(0).alias("fresh"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            row = d2.agg(F.count(F.lit(1)), F.sum("fresh")).first()
+            n2, n_fresh = row[0], row[1]
+            if n_fresh == 0:
+                return d.select("src", "sink", "dist"), True
+            d, n, n_delta = d2, n2, n_fresh
+            if n > budget:
+                return d.select("src", "sink", "dist"), False
+        return d.select("src", "sink", "dist"), False
 
 
 CLOSENESS_SEEDS = 8
@@ -1562,17 +1735,42 @@ def q_graph_closeness(spark, sf_dir: str) -> DataFrame:
                         F.col("c_custkey").alias("sink"),
                         F.col("dist").cast("long").alias("dist"))
             )
-        seed_rows = parts[0]
-        for p in parts[1:]:
-            seed_rows = seed_rows.unionByName(p)
-    agg = seed_rows.groupBy("src").agg(
-        F.count(F.lit(1)).alias("n_reach"),
-        F.sum("dist").alias("sum_dist"),
+        if parts:
+            seed_rows = parts[0]
+            for p in parts[1:]:
+                seed_rows = seed_rows.unionByName(p)
+        else:
+            seed_rows = spark.createDataFrame(
+                [], "src long, sink long, dist long")
+    # every sampled seed emits a row, even with zero outgoing reach
+    # (left join from the seed list; closeness NULL when sum_dist=0 —
+    # mirrored by the oracle's CASE guard), so the query is not
+    # silently coupled to the tree shape of the tested data
+    seeds = (
+        nodes.filter(F.col("c_custkey") <= CLOSENESS_SEEDS)
+        .select(F.col("c_custkey").cast("long").alias("src"))
+    )
+    agg = (
+        seeds.join(
+            seed_rows.groupBy("src").agg(
+                F.count(F.lit(1)).alias("n_reach"),
+                F.sum("dist").alias("sum_dist"),
+            ),
+            "src", "left",
+        )
+        .select(
+            "src",
+            F.coalesce(F.col("n_reach"), F.lit(0).cast("long"))
+            .alias("n_reach"),
+            F.coalesce(F.col("sum_dist"), F.lit(0).cast("long"))
+            .alias("sum_dist"),
+        )
     )
     scale = 10 ** 6
-    closeness = (
+    closeness = F.when(
+        F.col("sum_dist") > 0,
         F.floor((2 * scale * F.col("n_reach") + F.col("sum_dist"))
-                / (2 * F.col("sum_dist"))) / F.lit(float(scale))
+                / (2 * F.col("sum_dist"))) / F.lit(float(scale)),
     )
     return agg.select(
         F.col("src").alias("c_custkey"), "n_reach", "sum_dist",
@@ -1584,8 +1782,9 @@ def _oracle_closeness() -> str:
     from graphview_spark.graph_queries import _ORACLE_REFERS
 
     scale = 10 ** 6
-    ratio = (f"((({2 * scale} * n_reach + sum_dist) // (2 * sum_dist))"
-             f" / {scale}.0)")
+    ratio = (f"CASE WHEN sum_dist > 0 THEN "
+             f"((({2 * scale} * n_reach + sum_dist) // (2 * sum_dist))"
+             f" / {scale}.0) END")
     return f"""
 WITH RECURSIVE refers AS ({_ORACLE_REFERS}),
 bfs AS (
@@ -1683,7 +1882,81 @@ FROM sizes
     )
 
 
+_PEEL_CYCLE = 6       # cycle length per block in the peel-gate graph
+_PEEL_EDGE_MAX = 480  # keys with edges (80 six-cycles)
+_PEEL_NODE_MAX = 500  # 20 extra keys stay singleton SCCs
+
+
+def q_graph_scc_peel(spark, sf_dir: str) -> DataFrame:
+    """Drives the FW-BW peel fallback (_scc_peel) END-TO-END under an
+    oracle — the leg q_graph_scc's near-DAG graph never reaches because
+    its closure fits the budget. The derived graph is 80 directed
+    6-cycles over c_custkey ≤ 480 (block b = (k-1) div 6, edge k → next
+    position in the block's cycle) plus 20 isolated keys ≤ 500:
+    budget_factor=2 trips at the second squaring (dist≤4 pairs = 4|E| >
+    2|E|), so the general peel runs — singleton rule disposes of the
+    isolated keys, f==b peels every cycle whole. The DuckDB oracle does
+    an honest recursive reachability closure + mutual-reach minimum,
+    not the generator's closed form. Summary output is label-agnostic,
+    same shape as q_graph_scc."""
+    from graphview_spark.session import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    nodes = cust.filter(F.col("c_custkey") <= _PEEL_NODE_MAX).select(
+        F.col("c_custkey").alias("id"))
+    b = _PEEL_CYCLE
+    edges = (
+        cust.filter(F.col("c_custkey") <= _PEEL_EDGE_MAX)
+        .select(
+            F.col("c_custkey").alias("src"),
+            (F.expr(f"(c_custkey - 1) div {b}") * b
+             + F.pmod(F.col("c_custkey"), F.lit(b)) + 1
+             ).alias("sink"),
+        )
+    )
+    scc = strongly_connected_components(nodes, edges, budget_factor=2)
+    sizes = scc.groupBy("scc").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_sccs"),
+        F.max("n").alias("largest"),
+        F.count(F.when(F.col("n") >= 2, 1)).alias("n_nontrivial"),
+    )
+
+
+def _oracle_scc_peel() -> str:
+    b = _PEEL_CYCLE
+    return f"""
+WITH RECURSIVE cyc AS (
+  SELECT c_custkey AS src,
+         ((c_custkey - 1) // {b}) * {b}
+           + ((c_custkey - 1) % {b} + 1) % {b} + 1 AS sink
+  FROM customer WHERE c_custkey <= {_PEEL_EDGE_MAX}
+),
+reach AS (
+  SELECT src, sink FROM cyc
+  UNION
+  SELECT r.src, e.sink FROM reach r JOIN cyc e ON e.src = r.sink
+),
+mutual AS (
+  SELECT a.src AS id, a.sink AS partner
+  FROM reach a JOIN reach rev ON rev.src = a.sink AND rev.sink = a.src
+),
+lab AS (
+  SELECT n.c_custkey AS id,
+         least(n.c_custkey, coalesce(min(m.partner), n.c_custkey)) AS scc
+  FROM customer n LEFT JOIN mutual m ON m.id = n.c_custkey
+  WHERE n.c_custkey <= {_PEEL_NODE_MAX}
+  GROUP BY n.c_custkey
+),
+sizes AS (SELECT scc, count(*) AS n FROM lab GROUP BY scc)
+SELECT count(*) AS n_sccs, max(n) AS largest,
+       count(*) FILTER (n >= 2) AS n_nontrivial
+FROM sizes
+"""
+
+
 EXTRA_QUERIES: dict = {
+    "graph_scc_peel": q_graph_scc_peel,
     "graph_kcore": q_graph_kcore,
     "graph_ppr": q_graph_ppr,
     "graph_node_sim": q_graph_node_sim,
@@ -1692,6 +1965,7 @@ EXTRA_QUERIES: dict = {
     "graph_closeness": q_graph_closeness,
 }
 EXTRA_ORACLES: dict = {
+    "graph_scc_peel": _oracle_scc_peel(),
     "graph_kcore": _oracle_kcore(),
     "graph_ppr": _oracle_ppr(),
     "graph_node_sim": _oracle_node_sim(),
