@@ -26,6 +26,7 @@ Scale design (the whole point of these operators):
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type-hint resolution
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -555,23 +556,38 @@ def _embed_lsh_planes(dim: int) -> list[list[list[float]]]:
 
 
 def _table_buckets_col(v: Column, planes: list[list[list[float]]]) -> Column:
-    """array<int> of per-table sign-bucket ids for vector column ``v``."""
-    def dot_const(plane: list[float]) -> Column:
-        arr = F.array(*[F.lit(x) for x in plane])
-        return F.aggregate(
-            F.zip_with(v, arr, lambda a, b: a * b),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
+    """array<int> of per-table sign-bucket ids for vector column ``v`` —
+    an Arrow-batched vectorized matmul (``sign(V @ W.T)`` over each
+    batch), the second sanctioned Python eval seam after the multimodal
+    decoders (PLANS.md).
 
-    buckets = []
-    for table in planes:
-        out = F.lit(0)
-        for i, plane in enumerate(table):
-            out = out + F.when(
-                dot_const(plane) >= 0, F.lit(1 << i)
-            ).otherwise(F.lit(0))
-        buckets.append(out)
-    return F.array(*buckets)
+    Why not pure SQL expressions: this is BLAS-shaped work. The
+    expression forms were tried and measured at sf0.1 — 96 separate
+    aggregate(zip_with) trees cost ~9s of whole-stage-codegen compile
+    per execution; a single transform/zip_with/aggregate lambda over a
+    literal (tables × bits × dim) tensor avoids the codegen blowup but
+    interprets ~tables·bits·dim lambda steps per row with an array
+    allocation per dot product (~5s at 4k rows, and per-ROW cost is
+    what a 10⁹-row corpus multiplies). The batched matmul does the same
+    arithmetic at NumPy/BLAS speed with one Python worker per executor
+    core, and the plane tensor rides task serialization as a ~50 KB
+    numpy closure, not 6144 plan literals."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray(planes, dtype=np.float64)      # (tables, bits, dim)
+    tables, bits, dim = W.shape
+    flat = W.reshape(tables * bits, dim)
+    powers = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        V = np.vstack(vs.to_numpy())              # (batch, dim)
+        signs = (V @ flat.T >= 0).reshape(len(V), tables, bits)
+        bk = (signs * powers).sum(axis=2).astype(np.int32)
+        return pd.Series(list(bk))
+
+    return _buckets(v)
 
 
 def embed_cosine_pairs(
@@ -579,6 +595,7 @@ def embed_cosine_pairs(
     cosine_t: float,
     label_threshold: int = EMBED_LSH_LABEL_ROWS,
     dim: int = 64,
+    stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Within-label embedding near-dup pairs (cosine ≥ ``cosine_t``)
     with the hyperplane-LSH bucketing as the DEFAULT scale path: labels
@@ -595,37 +612,54 @@ def embed_cosine_pairs(
     across tables BEFORE vectors are re-joined, so each surviving pair
     pays exactly one cosine. Recall on true near-dups (cosine ≥ 0.99)
     is ≥ 1-1e-6; tests/test_dedup.py asserts LSH ≡ exact on such a
-    fixture. The label-size routing is one map-side-combinable count
-    broadcast back onto the rows."""
+    fixture.
+
+    ``stats`` = (max label rows, data dim), if the caller already knows
+    them (e.g. from the per-corpus stat cache — see q_dedup_embed_cosine):
+    routing then costs NOTHING. Otherwise one map-side-combinable
+    aggregate probes both. When every label fits under
+    ``label_threshold`` the _lbl_n bookkeeping join is skipped entirely
+    — the all-small case (the common one at gate scale) runs the exact
+    leg straight over ``emb``."""
     from graphview_spark.plans import lazy as _lazy
 
     emb = emb.withColumn("nv", norm_col(F.col("v")))
-    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("_lbl_n"))
-    emb = _lazy.pin(emb.join(F.broadcast(sizes), "label"))
-    # driver-side routing (one tiny aggregate over the materialized
-    # frame, the same class of plan decision AQE makes): only build the
-    # legs that have rows — the 96-hyperplane LSH expression tree costs
-    # seconds of codegen even over an empty frame. Under lazy plan
-    # inspection there is no materialized frame to probe, so BOTH legs
-    # build (mx=None) — the worst-case plan is what gets audited.
-    mx = None
-    if not _lazy.is_lazy():
-        mx, data_dim = emb.agg(
-            F.max("_lbl_n"), F.max(F.size("v"))
-        ).first()
-        mx = mx or 0
+    # driver-side routing (the same class of plan decision AQE makes):
+    # only build the legs that have rows — the 96-hyperplane LSH
+    # expression tree costs seconds of codegen even over an empty
+    # frame. Under lazy plan inspection there is no materialized frame
+    # to probe, so BOTH legs build (mx=None) — the worst-case plan is
+    # what gets audited.
+    mx = data_dim = None
+    if stats is not None:
+        mx, data_dim = stats
+    elif not _lazy.is_lazy():
+        row = (
+            emb.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 F.max(F.size("v")).alias("_d"))
+            .agg(F.max("_n"), F.max("_d"))
+            .first()
+        )
+        mx, data_dim = row[0] or 0, row[1]
+    if mx is not None and mx > label_threshold and data_dim != dim:
         # zip_with against a wrong-length plane yields NULL, NULL >= 0
         # is false for every bit, and every vector would silently land
         # in bucket 0 of every table — an 8×-replicated quadratic join
-        # instead of the scale path. Fail loudly instead (the dim check
-        # rides the routing aggregate, zero extra cost).
-        if mx > label_threshold and data_dim != dim:
-            raise ValueError(
-                f"embed_cosine_pairs: data dimension {data_dim} != "
-                f"hyperplane dim {dim} — pass dim= explicitly"
-            )
-    small = emb.filter(F.col("_lbl_n") <= label_threshold)
-    big = emb.filter(F.col("_lbl_n") > label_threshold)
+        # instead of the scale path. Fail loudly instead.
+        raise ValueError(
+            f"embed_cosine_pairs: data dimension {data_dim} != "
+            f"hyperplane dim {dim} — pass dim= explicitly"
+        )
+    if mx is not None and mx <= label_threshold:
+        # all labels small: no _lbl_n join, no pin, exact leg only
+        small, big = emb, None
+    else:
+        sizes = emb.groupBy("label").agg(
+            F.count(F.lit(1)).alias("_lbl_n"))
+        emb = _lazy.pin(emb.join(F.broadcast(sizes), "label"))
+        small = emb.filter(F.col("_lbl_n") <= label_threshold)
+        big = emb.filter(F.col("_lbl_n") > label_threshold)
 
     cosine = dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
 
@@ -691,6 +725,46 @@ def embed_cosine_pairs(
     return exact.unionByName(approx)
 
 
+# (max label rows, data dim) per (app, corpus dir) — the same session
+# cache discipline as _SIG_CACHE: computed once, reused by every
+# embed-routing consumer, keyed by applicationId so a new session never
+# trusts a dead session's numbers.
+_EMB_STAT_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
+
+
+def _embed_stats(spark: SparkSession, sf_dir: str,
+                 emb: DataFrame) -> tuple[int, int] | None:
+    """Cached (max label rows, embedding dim) for a corpus dir — makes
+    embed_cosine_pairs' small-label routing FREE on every call after the
+    first. None under lazy plan inspection (no jobs may run; the callee
+    then builds the worst-case both-legs plan for the audit)."""
+    from graphview_spark.plans import lazy as _lazy
+
+    if _lazy.is_lazy():
+        return None
+    key = (spark.sparkContext.applicationId, sf_dir)
+    st = _EMB_STAT_CACHE.get(key)
+    if st is None:
+        row = (
+            emb.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 F.max(F.size("v")).alias("_d"))
+            .agg(F.max("_n"), F.max("_d"))
+            .first()
+        )
+        st = (row[0] or 0, row[1])
+        _EMB_STAT_CACHE[key] = st
+    return st
+
+
+def _read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+
+
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold, blocked by the
     cluster label (the pre-assigned coarse partition — the IVF idea:
@@ -698,13 +772,54 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane-LSH candidate path engaged BY DEFAULT for labels above
     EMBED_LSH_LABEL_ROWS (see embed_cosine_pairs — the 100 TB route).
     Gate-scale labels sit under the threshold, so the oracle stays the
-    exact within-label SQL."""
-    emb = read_spread(spark, sf_dir, "embeddings", "vec_id").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        "label",
+    exact within-label SQL; routing stats come from the per-corpus
+    session cache, so they cost one tiny aggregate per app lifetime."""
+    emb = _read_embeddings(spark, sf_dir)
+    return embed_cosine_pairs(
+        emb, COSINE_T, stats=_embed_stats(spark, sf_dir, emb))
+
+
+# clones get vec_id + _EMB_LSH_ID_OFFSET — far above any real vec_id at
+# every tested SF, asserted in tests so growth can't silently collide
+_EMB_LSH_ID_OFFSET = 10_000_000
+EMBED_LSH_GATE_T = 0.99
+
+
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the hyperplane-LSH candidate leg END-TO-END under the
+    exact-SQL oracle (the leg the 4096-row default threshold reserves
+    for 100 TB labels, which gate-scale corpora never reach): the corpus
+    is unioned with an id-shifted clone of itself, label_threshold=16
+    routes every (now ≥2×-sized) label through the LSH leg, and the
+    0.99 threshold keeps only clone pairs. Identical vectors agree on
+    every hyperplane sign DETERMINISTICALLY (sign(w·v) is a pure
+    function of v), so LSH recall is exactly 1 here and the result must
+    hash-match the oracle's brute-force self-join — a true equivalence
+    gate on the bucketing, candidate-join and verify plumbing."""
+    emb = _read_embeddings(spark, sf_dir)
+    doubled = emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + F.lit(_EMB_LSH_ID_OFFSET)).alias("vec_id"),
+            "v", "label",
+        )
     )
-    return embed_cosine_pairs(emb, COSINE_T)
+    st = _embed_stats(spark, sf_dir, emb)
+    stats = (2 * st[0], st[1]) if st is not None else None
+    return embed_cosine_pairs(
+        doubled, EMBED_LSH_GATE_T, label_threshold=16, stats=stats)
+
+
+ORACLE_DEDUP_EMBED_LSH = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+              FROM embeddings),
+e AS (SELECT * FROM base
+      UNION ALL
+      SELECT vec_id + {_EMB_LSH_ID_OFFSET}, v, label FROM base)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {EMBED_LSH_GATE_T}
+"""
 
 
 ORACLE_DEDUP_EMBED = f"""
@@ -902,5 +1017,11 @@ ORACLES = {
 
 # outside the 50-entry driver gate — oracle-checked via extra_queries()
 # dedup_simhash rotated OUT of the gate in round 4 (driver-green r2-3)
-EXTRA_QUERIES = {"dedup_simhash": q_dedup_simhash}
-EXTRA_ORACLES = {"dedup_simhash": _oracle_simhash()}
+EXTRA_QUERIES = {
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embed_lsh": q_dedup_embed_lsh,
+}
+EXTRA_ORACLES = {
+    "dedup_simhash": _oracle_simhash(),
+    "dedup_embed_lsh": ORACLE_DEDUP_EMBED_LSH,
+}
