@@ -132,20 +132,24 @@ def main() -> None:
     # starts mid-run is indistinguishable from our own load here — the
     # per-query min-of-3 is the defense for that case.
     contaminated = load_start > 0.5 * cpus
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num,
-                "load_1m_start": round(load_start, 2),
-                "load_1m_end": round(load_end, 2),
-                "host_contended": contaminated,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_query_wall_seconds",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_num,
+            "load_1m_start": round(load_start, 2),
+            "load_1m_end": round(load_end, 2),
+            "host_contended": contaminated,
+        }
     )
+    print(line)
+    # truncation-proof copy: the driver captures stdout through a pipe
+    # that has cut the JSON line mid-way before (BENCH_r05 parsed:null)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as fh:
+        fh.write(line + "\n")
 
 
 if __name__ == "__main__":

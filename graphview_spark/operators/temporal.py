@@ -778,7 +778,8 @@ SELECT event_type,
        (k - k % 10) AS k_decade,
        count(*) AS n, min(k) AS k_min, max(k) AS k_max,
        round(sum(value), 2) AS sum_value
-FROM (SELECT event_type, (props->>'k')::INT AS k, value FROM events)
+FROM (SELECT event_type, TRY_CAST(props->>'k' AS INT) AS k, value
+      FROM events)  -- TRY_CAST mirrors Spark's NULL-on-failure cast
 GROUP BY event_type, (k - k % 10)
 """
 

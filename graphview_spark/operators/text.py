@@ -636,7 +636,9 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     + 1) and the integer round-half-up helper so both engines agree at
     halfway points; the alpha fraction counts purely-alphabetic words
     via the same 3dp exact ratio."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from graphview_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
     words = _words(F.col("text"))
     n_words = F.size(words)
     sum_len = F.length("text") - (n_words - F.lit(1))

@@ -245,19 +245,20 @@ class ScriptRunner:
         if re.match(r"(?is)^\s*BEGIN\s+TRY\b", stmt):
             return self._run_try_catch(stmt, lits)
         m = re.match(
-            r"(?is)^\s*THROW\s*(?:\d+\s*,\s*(?P<msg>\x00\d+\x00)\s*,\s*\d+)?"
+            r"(?is)^\s*THROW\s*"
+            r"(?:\d+\s*,\s*(?P<msg>\x00\d+\x00|@\w+)\s*,\s*\d+)?"
             r"\s*$", stmt)
         if m:
             if m.group("msg"):
-                raise ScriptError(_unmask(m.group("msg"), lits).strip("'"))
+                raise ScriptError(self._msg_arg(m.group("msg"), lits))
             if self._current_error is not None:  # bare THROW re-raises
                 raise self._current_error
             raise ScriptError("THROW outside CATCH requires arguments")
         m = re.match(
-            r"(?is)^\s*RAISERROR\s*\(\s*(?P<msg>\x00\d+\x00)\s*"
+            r"(?is)^\s*RAISERROR\s*\(\s*(?P<msg>\x00\d+\x00|@\w+)\s*"
             r"(?:,\s*\d+\s*,\s*\d+\s*)?\)\s*$", stmt)
         if m:
-            raise ScriptError(_unmask(m.group("msg"), lits).strip("'"))
+            raise ScriptError(self._msg_arg(m.group("msg"), lits))
         m = re.match(r"(?is)^\s*WHILE\b(?P<rest>.+)$", stmt, re.DOTALL)
         if m:
             return self._run_while(m.group("rest"), lits)
@@ -267,6 +268,17 @@ class ScriptRunner:
         # plain dialect statement with variables substituted
         sql = _unmask(_subst_vars(stmt, self.variables), lits)
         return execute_statement(self.g, sql)
+
+    def _msg_arg(self, tok: str, lits) -> str:
+        """THROW/RAISERROR message argument: a masked string literal or
+        a @variable (T-SQL allows either)."""
+        if tok.startswith("@"):
+            name = tok[1:]
+            if name not in self.variables:
+                raise ScriptError(
+                    f"THROW/RAISERROR references undeclared variable @{name}")
+            return str(self.variables[name])
+        return _unmask(tok, lits).strip("'")
 
     def _split_cond_block(self, rest: str) -> tuple[str, str, str]:
         return split_cond_block(rest)

@@ -37,6 +37,12 @@ def get_spark(app_name: str = "graphview_spark", cpus: int | None = None) -> Spa
         # no data-locality to wait for in local mode (and for short OLAP
         # stages on a cluster, a 3s/stage scheduler stall is never worth it)
         .config("spark.locality.wait", "0s")
+        # per-DataFrame-call Python stack capture for error call-sites:
+        # pure driver-side overhead (an inspect pass on EVERY DataFrame
+        # API call — measured ~0.3s on plan-heavy MATCH queries whose
+        # planners issue hundreds of calls). Errors still carry the JVM
+        # context; we only drop the Python-frame decoration.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # the driver's events.parquet stores ts as TIMESTAMP(NANOS); read as
         # long and convert (read_table) — Spark has no nanos timestamp type
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
