@@ -271,6 +271,24 @@ def test_throw_statement_and_bare_rethrow(g):
         )
 
 
+def test_throw_and_raiserror_with_variable_message(g):
+    # T-SQL allows @variable message arguments (THROW 50001, @msg, 1 /
+    # RAISERROR(@msg, 16, 1)) — must raise the variable's VALUE, not
+    # fall through to the SQL executor
+    with pytest.raises(ScriptError, match="boom from var"):
+        g.execute(
+            """DECLARE @msg VARCHAR(100) = 'boom from var';
+               THROW 50001, @msg, 1"""
+        )
+    with pytest.raises(ScriptError, match="raise from var"):
+        g.execute(
+            """DECLARE @msg VARCHAR(100) = 'raise from var';
+               RAISERROR(@msg, 16, 1)"""
+        )
+    with pytest.raises(ScriptError, match="undeclared variable @nope"):
+        g.execute("THROW 50001, @nope, 1")
+
+
 def test_try_catch_with_while_inside(g):
     res = g.execute(
         """DECLARE @i INT = 0;
