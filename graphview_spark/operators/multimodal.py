@@ -189,6 +189,92 @@ def wav_pcm16_decoder(payload: bytes, kind: str) -> list[float]:
     ]
 
 
+def png_decoder(payload: bytes, kind: str) -> list[float]:
+    """A REAL image codec with NO dependencies beyond the stdlib
+    (``zlib`` + ``struct``, like :func:`wav_pcm16_decoder` for audio):
+    decodes non-interlaced 8-bit PNG bytes — grayscale, RGB or RGBA,
+    the overwhelming common case — including full scanline unfiltering
+    (None/Sub/Up/Average/Paeth, PNG spec §9). Returns
+    [width, height, n_channels, mean_luma] with the same Rec.601
+    integer luma weights PIL's ``convert("L")`` uses, so it is a
+    drop-in for :func:`pil_image_decoder` on supported inputs and makes
+    the image leg of the codec seam CI-provable without PIL. Raises on
+    non-PNG bytes, palette/16-bit/interlaced images (dead-letter rows
+    via decode_media); swap in PIL/opencv behind the same signature for
+    the long tail."""
+    import struct
+    import zlib
+
+    if kind != "image":
+        raise ValueError(f"png decoder got kind={kind!r}")
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
+        pos += 8
+        data = payload[pos:pos + ln]
+        pos += ln + 4  # chunk CRC skipped (zlib adler catches corruption)
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, ctype, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={ctype} "
+            f"interlace={interlace}); inject PIL for the long tail")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    prev = bytearray(stride)
+    total_luma = 0
+    p = 0
+    for _y in range(height):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p:p + stride])
+        p += stride
+        if f == 1:    # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 255
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 255
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 255
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        if ch == 1:
+            total_luma += sum(line)
+        else:  # Rec.601 integer weights — PIL convert("L") parity
+            for x in range(0, stride, ch):
+                total_luma += (
+                    line[x] * 299 + line[x + 1] * 587 + line[x + 2] * 114
+                ) // 1000
+        prev = line
+    n_px = width * height
+    return [float(width), float(height), float(ch), total_luma / n_px]
+
+
 def pil_image_decoder(payload: bytes, kind: str) -> list[float]:
     """A REAL image codec behind an import guard: decodes actual PNG/
     JPEG bytes via PIL when the library is installed (raises ImportError

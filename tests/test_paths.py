@@ -163,3 +163,96 @@ def test_path_display_with_edge_attribute_messages(spark):
         f"-[Placed {{prio:null, w:7}}]->{base+3}"
     )
     assert strs == {want}
+
+
+def test_var_length_over_edge_view(spark):
+    """*1..3 traversal over an EDGE VIEW spanning two physical edge
+    columns — the reference devotes a generated-code family to exactly
+    this (EdgeViewGraphViewCodeTemplate.cs:1-1110,
+    EdgeViewBfsScriptTemplate.cs:1-673): the BFS must draw each hop from
+    the UNION of the member edge tables. Chain 1→2 (E1), 2→3 (E2),
+    3→4 (E1), 4→5 (E2): no single member column can walk more than one
+    hop, so every multi-hop row below proves the union is live."""
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [N] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Edge", Reference:"N"] E1 VARBINARY(max),
+            [ColumnRole:"Edge", Reference:"N"] E2 VARBINARY(max) )"""
+    )
+    g.execute("INSERT INTO N(id) VALUES(1),(2),(3),(4),(5)")
+    base = g.catalog.table("N").gid_base()
+
+    def load(edge, pairs):
+        df = spark.createDataFrame(pairs, "a int, b int")
+        g.insert_edges_df(
+            "N", edge,
+            df.select(
+                (F.lit(base) + F.col("a")).cast("long").alias("src"),
+                (F.lit(base) + F.col("b")).cast("long").alias("sink"),
+            ),
+        )
+
+    load("E1", [(1, 2), (3, 4)])
+    load("E2", [(2, 3), (4, 5)])
+    g.execute(
+        """CREATE EDGE VIEW EV AS
+           SELECT * FROM N.E1
+           UNION ALL
+           SELECT * FROM N.E2"""
+    )
+    e = parse_match_paths("x-[EV*1..3]->y").edges[0]
+    rows = var_length_paths(g, e, "N", "N").collect()
+    got = sorted(
+        (r[f"{e.alias}_start"] - base, r[f"{e.alias}_end"] - base,
+         r[f"{e.alias}_hops"]) for r in rows
+    )
+    assert got == sorted([
+        (1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1),
+        (1, 3, 2), (2, 4, 2), (3, 5, 2),
+        (1, 4, 3), (2, 5, 3),
+    ])
+    # per-hop display strings name the PHYSICAL member edge, not the view
+    strs = {r[f"{e.alias}_path_str"] for r in rows}
+    assert (f"{base+1}-[E1]->{base+2}-[E2]->{base+3}-[E1]->{base+4}"
+            in strs)
+
+
+def test_var_length_edge_view_dialect_statement(spark):
+    """The same traversal through the full dialect: MATCH with a
+    *1..3-quantified edge view inside a SELECT statement."""
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [N] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Edge", Reference:"N"] E1 VARBINARY(max),
+            [ColumnRole:"Edge", Reference:"N"] E2 VARBINARY(max) )"""
+    )
+    g.execute("INSERT INTO N(id) VALUES(1),(2),(3),(4),(5)")
+    base = g.catalog.table("N").gid_base()
+    for edge, pairs in (("E1", [(1, 2), (3, 4)]), ("E2", [(2, 3), (4, 5)])):
+        df = spark.createDataFrame(pairs, "a int, b int")
+        g.insert_edges_df(
+            "N", edge,
+            df.select(
+                (F.lit(base) + F.col("a")).cast("long").alias("src"),
+                (F.lit(base) + F.col("b")).cast("long").alias("sink"),
+            ),
+        )
+    g.execute(
+        """CREATE EDGE VIEW EV AS
+           SELECT * FROM N.E1
+           UNION ALL
+           SELECT * FROM N.E2"""
+    )
+    res = g.execute(
+        """SELECT x.id AS sid, y.id AS tid
+           FROM N x, N y
+           MATCH x-[EV*1..3]->y"""
+    )
+    got = sorted((r["sid"], r["tid"]) for r in res.collect())
+    assert got == sorted([
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        (1, 3), (2, 4), (3, 5),
+        (1, 4), (2, 5),
+    ])
