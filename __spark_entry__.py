@@ -34,41 +34,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate records at most ~50 entries in
 # registration order (CORRECTNESS_r02 cut at exactly 50 of 52), so the
 # roster below picks which 50 of the full registry get a driver-verified
-# row this round. Round-5 rotation (VERDICT r4 "Next #1"): the 15
-# queries that had only local-green evidence move IN (plus the new
-# rel_string_split TVF-APPLY query); 16 multi-round driver-green
-# stalwarts (4-round green: dedup_exact/minhash/ngram, match_customers/
-# refer_path, mm_*, rel_pricing_summary, sim_ann_lsh, stream_sessions,
-# text_langid; 3-round green: graph_pagerank/components,
-# match_degree_cols/exists_subquery/join_qualified) move to
-# extra_queries(), where every sweep still oracle-checks them.
+# row this round. Round-6 rotation (VERDICT r5 "Next #3"): the 14
+# queries never yet driver-gated (r1–r5 key union) move IN, plus the
+# two NEW oracle queries that exercise previously oracle-blind legs
+# (dedup_embed_lsh → the hyperplane-LSH candidate path,
+# graph_scc_peel → the FW-BW peel fallback). 16 multi-round
+# driver-green stalwarts (events_asof/range_count/rollup/funnel/
+# retention, match_views/view_degrees, text_stats_quality/corpus/
+# repetition, sim_topk, ml_kmeans, stream_windows,
+# graph_shortest_paths/triangles, dedup_clusters — each ≥2 driver-green
+# rounds) move to extra_queries(), where every sweep still
+# oracle-checks them.
 GATE_ROSTER = [
     # relational dialect
     "rel_pivot", "rel_percentiles", "rel_unpivot", "rel_window_lead_lag",
-    "rel_string_split",
+    "rel_string_split", "rel_grouping_sets", "rel_lateral",
+    "rel_window_dist", "rel_window_ntile",
     # temporal / events
-    "events_asof", "events_range_count", "events_rollup", "events_funnel",
-    "events_retention", "events_gapfill", "events_histogram",
+    "events_gapfill", "events_histogram", "events_anomaly", "events_json",
+    "events_sessionize",
     # MATCH surface
-    "match_views", "match_cte", "match_view_degrees",
+    "match_cte",
     # dedup family
-    "dedup_embed_cosine", "dedup_clusters", "dedup_cross_corpus",
+    "dedup_embed_cosine", "dedup_embed_lsh", "dedup_cross_corpus",
     # text analysis
-    "text_stats_quality", "text_corpus", "text_repetition", "text_pii_scrub",
+    "text_pii_scrub", "text_gopher",
     # sampling
     "sample_split", "sample_group_topk",
     # similarity / ML
-    "sim_topk", "ml_kmeans", "ml_quantize", "ml_outliers",
+    "ml_quantize", "ml_outliers", "ml_knn", "ml_rproject",
     # streaming
-    "stream_windows", "stream_trending",
+    "stream_trending",
     # graph algorithms
-    "graph_shortest_paths", "graph_triangles", "graph_communities",
-    "graph_weighted_paths", "graph_hits", "graph_kcore", "graph_ppr",
-    "graph_node_sim",
+    "graph_communities", "graph_weighted_paths", "graph_hits",
+    "graph_kcore", "graph_ppr", "graph_node_sim", "graph_closeness",
+    "graph_ktruss", "graph_scc", "graph_scc_peel",
     # pipeline
     "pipeline_decontam", "pipeline_pack", "pipeline_quality_quantile",
     "pipeline_mix", "pipeline_chunk_dedup", "pipeline_data_card",
-    "pipeline_temperature_mix",
+    "pipeline_temperature_mix", "pipeline_perplexity",
     # search / retrieval
     "search_bm25", "search_postings", "search_chunks", "search_hybrid",
     # skew handling
