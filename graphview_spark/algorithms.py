@@ -119,10 +119,21 @@ def pagerank(
     """PageRank over (GlobalNodeId) nodes and (src, sink) edges; fixed
     iteration count → deterministic. Dangling mass is redistributed
     uniformly (the standard formulation). ``grid`` snaps each round's
-    ranks to that many decimals (see SCORE_GRID; None disables)."""
+    ranks to that many decimals (see SCORE_GRID; None disables).
+
+    Fixed iterations + no driver-side probe → the per-round checkpoints
+    are LAZY (shallow plans via LogicalRDD, but nothing materializes
+    until the caller's one action walks the chain — zero Python driver
+    syncs in the loop; same pattern as hits())."""
     n = nodes.count()
     ranks = nodes.select("GlobalNodeId").withColumn("rank", F.lit(1.0 / n))
-    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # scanned every round — materialize the edge lineage once
+    edges = edges.select("src", "sink").localCheckpoint(eager=False)
+    degrees = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        # consumed by TWO joins per round — materialize once up front
+        .localCheckpoint(eager=False)
+    )
 
     for _ in range(iterations):
         contribs = (
@@ -157,7 +168,7 @@ def pagerank(
             .join(contribs, "GlobalNodeId", "left")
             .join(F.broadcast(dangling))
             .select("GlobalNodeId", new_rank.alias("rank"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -289,9 +300,20 @@ def hits(
     def _snap(c):
         return F.round(c, grid) if grid is not None else c
 
+    # fixed iteration count and no driver-side convergence probe → every
+    # per-round checkpoint stays LAZY: each round's plan is still
+    # shallow (built on the previous round's LogicalRDD), but nothing
+    # materializes until the caller's single action — zero Python
+    # driver syncs inside the loop (the per-round normalization
+    # broadcasts schedule as internal exchange jobs either way, and
+    # measured ~10% faster under session AQE than under the fixpoint
+    # loops' _loop_regime, so HITS deliberately stays on the session
+    # regime).
     state = nodes.select("GlobalNodeId").select(
         "GlobalNodeId", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    # 2 scans per round × iterations — materialize the edge lineage once
+    edges = edges.select("src", "sink").localCheckpoint(eager=False)
     for _ in range(iterations):
         # checkpoint the raw aggregate: it feeds BOTH the normalization
         # total and the state join — uncheckpointed, the shuffle+agg
@@ -339,7 +361,7 @@ def hits(
                 )).alias("hub"),
                 "auth",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return state
 
@@ -356,7 +378,8 @@ def personalized_pagerank(
     set (uniformly) instead of to all nodes — the standard seeded
     relevance ranking. Same loop shape as :func:`pagerank` (one shuffle
     per round on node id, dangling mass redistributed to the teleport
-    vector, localCheckpoint caps lineage, per-round SCORE_GRID snap)."""
+    vector, per-round SCORE_GRID snap, LAZY per-round checkpoints —
+    shallow plans, one materializing action at the caller)."""
     n_src = sources.count()
     if n_src == 0:
         raise ValueError(
@@ -371,7 +394,11 @@ def personalized_pagerank(
         "GlobalNodeId", F.coalesce(F.col("_p"), F.lit(0.0)).alias("p")
     ).localCheckpoint(eager=True)
     ranks = pref.select("GlobalNodeId", F.col("p").alias("rank"))
-    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges = edges.select("src", "sink").localCheckpoint(eager=False)
+    degrees = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=False)
+    )
 
     for _ in range(iterations):
         contribs = (
@@ -402,7 +429,7 @@ def personalized_pagerank(
             pref.join(contribs, "GlobalNodeId", "left")
             .join(F.broadcast(dangling))
             .select("GlobalNodeId", new_rank.alias("rank"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -659,10 +686,11 @@ def bellman_ford(
     makes the result deterministic and oracle-expressible as unrolled
     CTEs; k rounds give exact distances for all shortest paths of ≤ k
     edges (run diameter-many rounds for the full fixpoint). One
-    join+groupBy shuffle per round on the stable node-id key,
-    checkpointed — same posture as pagerank above."""
+    join+groupBy shuffle per round on the stable node-id key, with
+    LAZY checkpoints (shallow plans, one materializing action at the
+    caller — same posture as pagerank above)."""
     dist = source.select("id", F.lit(0).cast("long").alias("dist"))
-    edges = edges.select("src", "sink", "w").localCheckpoint(eager=True)
+    edges = edges.select("src", "sink", "w").localCheckpoint(eager=False)
     for _ in range(iterations):
         relaxed = (
             edges.join(dist, edges["src"] == dist["id"])
@@ -670,7 +698,7 @@ def bellman_ford(
             .unionByName(dist)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         dist = relaxed
     return dist
@@ -744,13 +772,16 @@ def label_propagation(
     posture as pagerank/components above."""
     from pyspark.sql import Window as W
 
+    # fixed iterations, no driver probe → LAZY checkpoints throughout:
+    # shallow per-round plans, one materializing action at the caller
+    # (same pattern as pagerank/hits)
     sym = (
         edges.select("src", "sink")
         .union(edges.select(F.col("sink").alias("src"), F.col("src").alias("sink")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
-        eager=True
+        eager=False
     )
     for _ in range(iterations):
         counts = (
@@ -772,7 +803,7 @@ def label_propagation(
                 "id",
                 F.coalesce(F.col("__new"), F.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels
 
