@@ -1415,22 +1415,23 @@ def _propagate_fb(lab: DataFrame, e: DataFrame,
     are (h, id) structs so the min travels by hash and carries the
     pivot's id. Fusing the directions halves the per-round job count —
     one join+groupBy shuffle per round on the stable (id, dir) key
-    moves both fixpoints one step. Every round materializes
-    (localCheckpoint): lazily composing rounds re-executes the whole
-    prefix per round, which is exponential. The convergence probe runs
-    every ``_SCC_PROBE_EVERY`` rounds — up to 3 no-op rounds of waste
-    buys a 2→1.25 jobs/round driver-overhead cut, which dominates on
-    fixpoint-deep graphs. Returns (id, f, b)."""
+    moves both fixpoints one step. Per-round checkpoints are LAZY
+    (eager=False): lineage still truncates every round (shallow plans,
+    no exponential recompute), but only the convergence probe — every
+    ``_SCC_PROBE_EVERY`` rounds — actually materializes, so the driver
+    pays ~0.25 jobs/round instead of 1.25. Up to 3 no-op rounds of
+    waste per probe window is the trade, which wins on fixpoint-deep
+    graphs. Returns (id, f, b)."""
     msgs_edges = e.select(
         F.col("src").alias("send"), F.col("sink").alias("recv"),
         F.lit("f").alias("dir"),
     ).unionByName(e.select(
         F.col("sink").alias("send"), F.col("src").alias("recv"),
         F.lit("b").alias("dir"),
-    )).localCheckpoint(eager=True)
+    )).localCheckpoint(eager=False)
     cur = lab.select("id", F.lit("f").alias("dir"), "p").unionByName(
         lab.select("id", F.lit("b").alias("dir"), "p")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     snap = cur
     for i in range(1, max_iter + 1):
         msgs = (
@@ -1450,7 +1451,7 @@ def _propagate_fb(lab: DataFrame, e: DataFrame,
                 F.least(F.col("p"),
                         F.coalesce(F.col("nbr"), F.col("p"))).alias("p"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if i % _SCC_PROBE_EVERY == 0:
             changed = (
@@ -1581,7 +1582,7 @@ def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle):
                     W.partitionBy("f", "b")
                 )
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         peel = (F.col("f") == F.col("b")) | (F.col("n") == 1)
         sccs = (
@@ -1591,10 +1592,10 @@ def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle):
                 F.when(F.col("f") == F.col("b"), F.col("f.pid"))
                 .otherwise(F.col("id")).alias("scc"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         parts.append(sccs)
-        survivors = cls.filter(~peel).localCheckpoint(eager=True)
+        survivors = cls.filter(~peel).localCheckpoint(eager=False)
         remaining = survivors.select("id")
         # class restriction: only same-(f,b)-class edges can sit inside
         # a still-unresolved SCC. Node-sized side tables: plain
@@ -1613,7 +1614,7 @@ def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle):
             .filter((F.col("_fs") == F.col("_ft"))
                     & (F.col("_bs") == F.col("_bt")))
             .select("src", "sink")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(f"SCC did not converge in {max_rounds} rounds")
 
