@@ -707,6 +707,103 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# duplicated-content ratio (cross-document span duplication)
+# --------------------------------------------------------------------------
+
+DUP_SPAN_N = 5      # words per duplicated-content n-gram
+DUP_SPAN_T = 0.5    # flag docs with ≥ this fraction duplicated
+
+
+def duplicated_ngram_fraction(
+    docs: DataFrame, n: int = DUP_SPAN_N, threshold: float = DUP_SPAN_T,
+) -> DataFrame:
+    """Per-document duplicated-content ratio — the cross-document span
+    dedup signal (the RefinedWeb/MassiveWeb "fraction of duplicated
+    content" filter, the unstructured-text analog of Falcon's
+    duplicated-line removal): for each doc, the fraction of its
+    DISTINCT word ``n``-grams that also occur in at least one OTHER
+    document. Boilerplate, mirrored pages and template farms score
+    high; unique prose scores ~0.
+
+    Plan shape at 100 TB: one explode pass over the corpus → gram
+    doc-frequency groupBy (grams are distinct per doc, so a plain
+    COUNT is the document frequency — fully map-side combinable) → one
+    gram-keyed join back → per-doc count aggregate. Three shuffles,
+    all on high-cardinality keys; the corpus text itself never
+    shuffles, only (doc_id, gram) pairs. The ratio uses the exact
+    integer round-half-up identity so both engines agree at halfway
+    points. Returns (doc_id, n_grams, n_dup, dup_fraction, flagged)
+    for every doc; gram-less docs (< n words) score 0.0."""
+    from pyspark.sql import Window as W
+
+    from graphview_spark.operators.pipeline import _word_ngrams
+    from graphview_spark.plans import lazy as _lazy
+
+    # pinned: BOTH the doc-frequency aggregate and the join side read
+    # the exploded grams — unmaterialized, the corpus tokenizes twice
+    grams = _lazy.pin(docs.select(
+        "doc_id", F.explode(_word_ngrams(F.col("text"), n)).alias("gram")
+    ))
+    # doc frequency as a gram-partitioned window count: ONE shuffle on
+    # gram (vs groupBy + join back = two), then the per-doc aggregate
+    per_doc = (
+        grams.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("gram")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("df") >= 2, 1)).alias("n_dup"),
+        )
+    )
+    frac = F.when(
+        F.col("n_grams") > 0, _ratio_r(F.col("n_dup"), F.col("n_grams"))
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0).cast("long")).alias("n_dup"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_dup",
+            frac.alias("dup_fraction"),
+            (frac >= threshold).alias("flagged"),
+        )
+    )
+
+
+def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicated_ngram_fraction(docs)
+
+
+def _oracle_dup_spans() -> str:
+    from graphview_spark.operators.pipeline import _sql_word_ngrams
+
+    g = _sql_word_ngrams(DUP_SPAN_N)
+    ratio = _sql_ratio_r("n_dup", "n_grams")
+    frac = f"CASE WHEN coalesce(n_grams, 0) > 0 THEN {ratio} ELSE 0.0 END"
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (SELECT doc_id, unnest({g}) AS gram FROM w),
+dfc AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         count(*) FILTER (df >= 2) AS n_dup
+  FROM grams g JOIN dfc USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_dup, 0) AS n_dup,
+       {frac} AS dup_fraction,
+       {frac} >= {DUP_SPAN_T} AS flagged
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_stats_quality": q_text_stats_quality,
     "text_langid": q_text_langid,
@@ -724,6 +821,7 @@ ORACLES = {
 # outside the 50-entry driver gate — oracle-checked via extra_queries()
 EXTRA_QUERIES = {
     "text_gopher": q_text_gopher,
+    "text_dup_spans": q_text_dup_spans,
     "text_pii_scrub": q_text_pii_scrub,
     # rotated OUT of the driver gate in round 4 (driver-green rounds 2-3)
     "text_fingerprint": q_text_fingerprint,
@@ -731,6 +829,7 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "text_gopher": _oracle_gopher(),
+    "text_dup_spans": _oracle_dup_spans(),
     "text_pii_scrub": _oracle_pii_scrub(),
     "text_fingerprint": _oracle_fingerprint(),
     "text_normalize": ORACLE_TEXT_NORMALIZE,
