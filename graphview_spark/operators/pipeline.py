@@ -583,6 +583,89 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_pipeline_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document — one order up from
+    q_pipeline_perplexity (CCNet's KenLM scoring is an n-gram LM; the
+    bigram captures local fluency the unigram cannot: scrambled text
+    scores near-unigram, fluent text much lower). Add-one smoothing on
+    the conditional: p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) /
+    (c_ctx(w_{i-1}) + V), where c_ctx counts the token as a bigram
+    CONTEXT (positions 1..n-1) and V is the full unigram vocab.
+
+    Bigrams come straight off the split array with one map-only
+    transform (no lag window, so no extra doc-keyed shuffle); counts
+    are map-side-combinable groupBys broadcast back onto the bigram
+    stream; the same integer micro-nat snap as the unigram makes the
+    per-doc sum order-independent. Docs with < 2 tokens have no
+    transitions and are excluded (mirrored by the oracle)."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    bigs = (
+        docs.filter(F.size(words) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - 1),
+                    lambda i: F.struct(
+                        F.element_at(words, i).alias("prev"),
+                        F.element_at(words, i + 1).alias("cur"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.prev").alias("prev"),
+                F.col("bg.cur").alias("cur"))
+    )
+    from graphview_spark.plans import lazy as _lazy
+
+    # pinned: the bigram stream feeds THREE consumers (bigram counts,
+    # context counts, the scored join) — unmaterialized it would
+    # re-tokenize the corpus three times
+    bigs = _lazy.pin(bigs)
+    cb = bigs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    cc = bigs.groupBy("prev").agg(F.count(F.lit(1)).alias("cc"))
+    vocab = (
+        docs.select(F.explode(words).alias("token"))
+        .agg(F.count_distinct("token").alias("V"))
+    )
+    nll = F.round(
+        -F.log((F.col("cb") + 1) / (F.col("cc") + F.col("V"))) * 1e6, 0
+    ).cast("long")
+    scored = (
+        bigs.join(F.broadcast(cb), ["prev", "cur"])
+        .join(F.broadcast(cc), "prev")
+        .join(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.exp(F.sum("nll") / (F.count(F.lit(1)) * F.lit(1e6))), 4
+        ).alias("perplexity"),
+    )
+
+
+ORACLE_PIPELINE_PERPLEXITY_BIGRAM = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+big AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                      i -> [w[i], w[i + 1]])) AS bg
+        FROM w WHERE len(w) >= 2),
+b AS (SELECT doc_id, bg[1] AS prev, bg[2] AS cur FROM big),
+cb AS (SELECT prev, cur, count(*) AS cb FROM b GROUP BY prev, cur),
+cc AS (SELECT prev, count(*) AS cc FROM b GROUP BY prev),
+v AS (SELECT count(DISTINCT token) AS V
+      FROM (SELECT unnest(w) AS token FROM w)),
+s AS (SELECT b.doc_id,
+             round(-ln((cb.cb + 1) / (cc.cc + v.V)) * 1e6)::BIGINT AS nll
+      FROM b JOIN cb USING (prev, cur) JOIN cc USING (prev) CROSS JOIN v)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(exp(sum(nll) / (count(*) * 1000000.0)), 4) AS perplexity
+FROM s GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "pipeline_decontam": q_pipeline_decontam,
     "pipeline_pack": q_pipeline_pack,
@@ -603,10 +686,12 @@ ORACLES = {
 
 # outside the 50-entry driver gate — oracle-checked via extra_queries()
 EXTRA_QUERIES = {
+    "pipeline_perplexity_bigram": q_pipeline_perplexity_bigram,
     "pipeline_temperature_mix": q_pipeline_temperature_mix,
     "pipeline_perplexity": q_pipeline_perplexity,
 }
 EXTRA_ORACLES = {
+    "pipeline_perplexity_bigram": ORACLE_PIPELINE_PERPLEXITY_BIGRAM,
     "pipeline_temperature_mix": _oracle_temperature_mix(),
     "pipeline_perplexity": ORACLE_PIPELINE_PERPLEXITY,
 }
