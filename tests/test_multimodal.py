@@ -240,6 +240,26 @@ def _png_bytes(width, height, pixel_rows, ctype=2, filters=None):
             ]
         elif f == 2:    # Up
             line = [(flat[i] - prev[i]) & 255 for i in range(len(flat))]
+        elif f == 3:    # Average
+            line = [
+                (flat[i] - (((flat[i - ch] if i >= ch else 0)
+                             + prev[i]) >> 1)) & 255
+                for i in range(len(flat))
+            ]
+        elif f == 4:    # Paeth
+            def paeth(a, b, c):
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                return a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+            line = [
+                (flat[i] - paeth(
+                    flat[i - ch] if i >= ch else 0,
+                    prev[i],
+                    prev[i - ch] if i >= ch else 0,
+                )) & 255
+                for i in range(len(flat))
+            ]
         raw.extend(line)
         prev = flat
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
@@ -257,11 +277,15 @@ def test_decode_media_stdlib_png_codec(spark):
 
     rgb_rows = [[(10, 20, 30)] * 5] * 3                      # 5x3 solid
     gray_rows = [[0, 255], [128, 64]]                        # 2x2 gradient
-    filt_rows = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    filt_rows = [
+        [(1, 2, 3), (200, 5, 6)], [(7, 250, 9), (10, 11, 12)],
+        [(90, 13, 77), (3, 140, 220)], [(255, 0, 128), (64, 32, 16)],
+    ]
     rows = [
         (1, "image", _png_bytes(5, 3, rgb_rows)),
         (2, "image", _png_bytes(2, 2, gray_rows, ctype=0)),
-        (3, "image", _png_bytes(2, 2, filt_rows, filters=[1, 2])),
+        # every non-trivial filter type: Sub, Up, Average, Paeth
+        (3, "image", _png_bytes(2, 4, filt_rows, filters=[1, 2, 3, 4])),
         (4, "image", b"not-a-png"),                          # dead letter
         (5, "audio", _png_bytes(2, 2, gray_rows, ctype=0)),  # wrong kind
     ]
@@ -279,7 +303,7 @@ def test_decode_media_stdlib_png_codec(spark):
     assert out[3]["error"] is None
     ref = decode_media(
         spark.createDataFrame(
-            [(3, "image", _png_bytes(2, 2, filt_rows))],
+            [(3, "image", _png_bytes(2, 4, filt_rows))],
             "media_id long, kind string, payload binary",
         ),
         png_decoder,
