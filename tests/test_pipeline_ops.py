@@ -205,3 +205,19 @@ def test_embed_cosine_lsh_path_equals_exact(spark):
     l_rows = sorted(map(tuple, lsh.collect()))
     assert len(e_rows) >= 42 * 3  # every triple pairs up
     assert e_rows == l_rows
+
+
+def test_embed_lsh_gate_id_offset_clears_real_ids(spark, sf_dir):
+    """The dedup_embed_lsh gate query clones the corpus at
+    vec_id + _EMB_LSH_ID_OFFSET; a real id at or past the offset would
+    silently merge a clone with a different vector. Guarded here so
+    testdata growth can't invalidate the construction."""
+    from pyspark.sql import functions as F
+
+    from graphview_spark.operators.dedup import (
+        _EMB_LSH_ID_OFFSET,
+        _read_embeddings,
+    )
+
+    mx = _read_embeddings(spark, sf_dir).agg(F.max("vec_id")).first()[0]
+    assert mx < _EMB_LSH_ID_OFFSET
