@@ -31,7 +31,10 @@ def get_spark(app_name: str = "graphview_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # local mode = one JVM for driver AND executors; checkpoint
+        # blocks from long query sweeps live here too, and storage
+        # eviction churn shows up as late-sweep slowdowns at 24g
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # no data-locality to wait for in local mode (and for short OLAP
