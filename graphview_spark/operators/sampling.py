@@ -152,6 +152,112 @@ SELECT doc_id, source, rk::INT AS rk FROM r WHERE rk <= {GROUP_SAMPLE_K}
 """
 
 
+# --------------------------------------------------------------------------
+# leakage-safe split — hash-split by NEAR-DUP CLUSTER, not by document.
+# Splitting near-duplicates across train and test silently inflates
+# eval scores (the classic contamination mode dedup papers warn about);
+# keying the split hash on the cluster id pins every near-dup family to
+# ONE split by construction.
+# --------------------------------------------------------------------------
+
+def cluster_safe_split(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Per-row split assignment keyed on ``coalesce(cluster_id,
+    doc_id)``: documents in the same near-dup cluster share a hash key,
+    hence a split — leakage-free by construction, no post-hoc repair
+    join. Unclustered docs (the overwhelming majority) hash their own
+    id, so the 80/10/10 proportions are preserved. ``clusters`` is any
+    (doc_id, cluster_id) frame — dedup_clusters output, or a coarser
+    grouping like URL host. Map-only after one broadcast-size left join
+    (the cluster table scales with duplicate mass, not corpus size)."""
+    keyed = docs.join(
+        F.broadcast(clusters.select("doc_id", "cluster_id")),
+        "doc_id", "left",
+    ).withColumn(
+        "split_key",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")),
+    )
+    return assign_split(keyed, "split_key")
+
+
+def q_sample_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: leakage-safe 80/10/10 report — per split: docs,
+    near-dup-clustered docs, and char volume. Reuses the T=0.7
+    MinHash-LSH cluster assignment (shared signature artifact).
+    tests/test_pipeline_ops.py additionally asserts the structural
+    guarantee directly: zero verified near-dup pairs straddle splits."""
+    from graphview_spark.operators.dedup import (
+        MINHASH_JACCARD_T,
+        N_BANDS,
+        _lsh_verified_pairs,
+        dedup_clusters,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(spark, sf_dir, N_BANDS, MINHASH_JACCARD_T)
+    clusters = dedup_clusters(pairs)
+    return (
+        cluster_safe_split(docs, clusters)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.col("cluster_id")).alias("n_clustered"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def _oracle_cluster_split(rounds: int = 6) -> str:
+    """Same unrolled propagate+compress component labels as the
+    dedup_clusters oracle (near-dup clusters are near-cliques, diameter
+    ~2 ≪ 2^6), then the md5 bucket split keyed on the component."""
+    from graphview_spark.operators.dedup import (
+        MINHASH_JACCARD_T,
+        N_BANDS,
+        _oracle_lsh_verified,
+    )
+
+    pair_sql = _oracle_lsh_verified(N_BANDS, MINHASH_JACCARD_T)
+    parts = [
+        f"pairs AS MATERIALIZED ({pair_sql})",
+        "sym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "cnodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM sym)",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM cnodes)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"l{i - 1}"
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT n.id, "
+            f"least(n.label, coalesce(min(l.label), n.label)) AS label "
+            f"FROM {prev} n LEFT JOIN sym e ON e.b = n.id "
+            f"LEFT JOIN {prev} l ON l.id = e.a "
+            f"GROUP BY n.id, n.label)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT a.id, "
+            f"coalesce(b.label, a.label) AS label "
+            f"FROM p{i} a LEFT JOIN p{i} b ON b.id = a.label)"
+        )
+    cases = "\n       ".join(
+        f"WHEN bucket >= {lo} AND bucket < {hi} THEN '{name}'"
+        for name, lo, hi in SPLITS
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+comp AS (SELECT id AS doc_id, label AS cluster_id FROM l{rounds}),
+k AS (SELECT d.doc_id, d.n_chars, c.cluster_id,
+             coalesce(c.cluster_id, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+b AS (SELECT *, {_sql_bucket('split_key')} AS bucket FROM k)
+SELECT CASE {cases} END AS split,
+       count(*) AS n_docs,
+       count(cluster_id) AS n_clustered,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM b GROUP BY split
+"""
+    )
+
+
 QUERIES = {
     "sample_split": q_sample_split,
 }
@@ -161,5 +267,11 @@ ORACLES = {
 }
 
 # outside the 50-entry driver gate — oracle-checked via extra_queries()
-EXTRA_QUERIES = {"sample_group_topk": q_sample_group_topk}
-EXTRA_ORACLES = {"sample_group_topk": _oracle_group_topk()}
+EXTRA_QUERIES = {
+    "sample_group_topk": q_sample_group_topk,
+    "sample_cluster_split": q_sample_cluster_split,
+}
+EXTRA_ORACLES = {
+    "sample_group_topk": _oracle_group_topk(),
+    "sample_cluster_split": _oracle_cluster_split(),
+}

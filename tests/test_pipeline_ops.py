@@ -221,3 +221,49 @@ def test_embed_lsh_gate_id_offset_clears_real_ids(spark, sf_dir):
 
     mx = _read_embeddings(spark, sf_dir).agg(F.max("vec_id")).first()[0]
     assert mx < _EMB_LSH_ID_OFFSET
+
+
+def test_cluster_safe_split_no_cross_split_pairs(spark, sf_dir):
+    """The leakage guarantee itself: no verified near-dup pair may
+    straddle two splits (same cluster → same hash key → same split)."""
+    from pyspark.sql import functions as F
+
+    from graphview_spark.operators.dedup import (
+        MINHASH_JACCARD_T,
+        N_BANDS,
+        _lsh_verified_pairs,
+        dedup_clusters,
+    )
+    from graphview_spark.operators.sampling import cluster_safe_split
+    from graphview_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(spark, sf_dir, N_BANDS, MINHASH_JACCARD_T)
+    assert pairs.count() > 0  # the guarantee must be load-bearing
+    assigned = cluster_safe_split(docs, dedup_clusters(pairs)).select(
+        "doc_id", "split")
+    a = assigned.select(F.col("doc_id").alias("doc_a"),
+                        F.col("split").alias("split_a"))
+    b = assigned.select(F.col("doc_id").alias("doc_b"),
+                        F.col("split").alias("split_b"))
+    cross = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert cross == 0
+    # and the naive doc-keyed split DOES leak on this corpus, proving
+    # the operator changes behavior where it matters
+    from graphview_spark.operators.sampling import assign_split
+
+    naive = assign_split(docs, "doc_id").select("doc_id", "split")
+    na = naive.select(F.col("doc_id").alias("doc_a"),
+                      F.col("split").alias("split_a"))
+    nb = naive.select(F.col("doc_id").alias("doc_b"),
+                      F.col("split").alias("split_b"))
+    naive_cross = (
+        pairs.join(na, "doc_a").join(nb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert naive_cross > 0
