@@ -85,13 +85,35 @@ def main() -> None:
 
     qs = dict(qs)
     qs["dedup_signatures"] = _q_sig_build
+
+    # Same artifact discipline for the Refers distance closure: built
+    # ONCE per app and shared by graph_closeness + graph_betweenness
+    # (algorithms._REFERS_CLOSURE_CACHE), so the build is timed as its
+    # own entry (cache cleared each run) and the consumers as their
+    # INCREMENTAL cost on top of it.
+    from graphview_spark import algorithms as _alg
+    from graphview_spark.graph_queries import tpch_graph as _tpch
+
+    def _clear_closure(spark, sf_dir):
+        _alg._REFERS_CLOSURE_CACHE.clear()
+
+    def _q_closure_build(spark, sf_dir):
+        D, _ = _alg._cached_refers_closure(
+            spark, sf_dir, _tpch(spark, sf_dir))
+        return D
+
+    qs["graph_closure_build"] = _q_closure_build
     pre_run = {
         "dedup_signatures": _clear_all,
         "dedup_minhash_lsh": _clear_pairs,
         "dedup_ngram_jaccard": _clear_pairs,
+        "graph_closure_build": _clear_closure,
     }
     i = names.index("dedup_exact") if "dedup_exact" in names else len(names)
     names.insert(i, "dedup_signatures")
+    j = (names.index("graph_closeness")
+         if "graph_closeness" in names else len(names))
+    names.insert(j, "graph_closure_build")
 
     # Bench self-defense (VERDICT r4 "What's wrong #3": four apparent
     # regressions in BENCH_r04 were host load, adjudicated by idle

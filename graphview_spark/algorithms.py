@@ -1724,6 +1724,43 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
 CLOSENESS_SEEDS = 8
 
 
+# (app, sf_dir) → (distance-closure frame, complete) for the Refers
+# graph — closeness AND betweenness consume the identical closure, so
+# it is built once per app and shared, the same session-artifact
+# discipline as the MinHash signature cache (operators/dedup.py).
+_REFERS_CLOSURE_CACHE: dict[tuple[str, str], tuple[DataFrame, bool]] = {}
+
+
+def _refers_edges(g):
+    nodes = g.nodes["Customer"]
+    key = nodes.select("GlobalNodeId", "c_custkey")
+    return (
+        g.edge_with_id("Customer.Refers")
+        .join(key.select(F.col("GlobalNodeId").alias("src"),
+                         F.col("c_custkey").alias("src_key")), "src")
+        .join(key.select(F.col("GlobalNodeId").alias("sink"),
+                         F.col("c_custkey").alias("sink_key")), "sink")
+        .select(F.col("src_key").alias("src"),
+                F.col("sink_key").alias("sink"))
+    )
+
+
+def _cached_refers_closure(spark, sf_dir: str, g) -> tuple[DataFrame, bool]:
+    from graphview_spark.plans import lazy as _lazy
+
+    if _lazy.is_lazy():  # plan audit: full pipeline, no cache, no jobs
+        return _distance_closure(_refers_edges(g))
+    ckey = (spark.sparkContext.applicationId, sf_dir)
+    hit = _REFERS_CLOSURE_CACHE.get(ckey)
+    if hit is None:
+        D, complete = _distance_closure(_refers_edges(g))
+        if complete:
+            D = D.localCheckpoint(eager=True)
+        hit = (D, complete)
+        _REFERS_CLOSURE_CACHE[ckey] = hit
+    return hit
+
+
 def q_graph_closeness(spark, sf_dir: str) -> DataFrame:
     """Closeness centrality for the first 8 customers over the Refers
     tree: n_reach (reachable nodes), sum_dist (total hop distance) and
@@ -1740,15 +1777,7 @@ def q_graph_closeness(spark, sf_dir: str) -> DataFrame:
     g = tpch_graph(spark, sf_dir)
     nodes = g.nodes["Customer"]
     key = nodes.select("GlobalNodeId", "c_custkey")
-    edges = (
-        g.edge_with_id("Customer.Refers")
-        .join(key.select(F.col("GlobalNodeId").alias("src"),
-                         F.col("c_custkey").alias("src_key")), "src")
-        .join(key.select(F.col("GlobalNodeId").alias("sink"),
-                         F.col("c_custkey").alias("sink_key")), "sink")
-        .select(F.col("src_key").alias("src"), F.col("sink_key").alias("sink"))
-    )
-    D, complete = _distance_closure(edges)
+    D, complete = _cached_refers_closure(spark, sf_dir, g)
     if complete:
         seed_rows = D.filter(F.col("src") <= CLOSENESS_SEEDS)
     else:  # bounded-memory fallback: one frontier BFS per sampled seed
@@ -1831,6 +1860,95 @@ agg AS (
 )
 SELECT seed AS c_custkey, n_reach, sum_dist, {ratio} AS closeness
 FROM agg
+"""
+
+
+def seed_betweenness(
+    d_all: DataFrame, seeds_pred, budget_ok: bool = True,
+) -> DataFrame:
+    """Seed-sampled betweenness from a complete distance closure: node
+    v lies on a shortest s→t path iff dist(s,v) + dist(v,t) = dist(s,t)
+    (v ∉ {s, t}); count qualifying (s, t) pairs per v over sampled
+    sources s. On unique-shortest-path graphs (trees, forests of
+    referral/ownership edges — the shapes these queries derive) this IS
+    Brandes betweenness restricted to sampled sources; with multiple
+    shortest paths it counts each pair once per through-node (the
+    stress-indicator variant) rather than σ-fractionally — the
+    σ-weighted refinement needs per-pair path counts, which the closure
+    deliberately does not carry.
+
+    Plan: two joins of the seed-filtered closure slice against the full
+    closure — (s,v) ⋈ᵥ (v,t) ⋈ₛ,ₜ (s,t) — then one count per v. Join
+    volume is Σᵥ reach_in_from_seeds(v)·reach_out(v), bounded by the
+    closure budget that produced ``d_all``."""
+    if not budget_ok:
+        raise ValueError(
+            "seed_betweenness needs a complete distance closure; the "
+            "edge budget tripped — sample fewer seeds or run per-seed "
+            "Brandes accumulation (forward BFS + reverse dependency "
+            "pass per seed), the bounded-memory alternative"
+        )
+    sv = d_all.filter(seeds_pred(F.col("src"))).select(
+        F.col("src").alias("s"), F.col("sink").alias("v"),
+        F.col("dist").alias("d1"),
+    )
+    st = d_all.filter(seeds_pred(F.col("src"))).select(
+        F.col("src").alias("s"), F.col("sink").alias("t"),
+        F.col("dist").alias("d"),
+    )
+    vt = d_all.select(
+        F.col("src").alias("v"), F.col("sink").alias("t"),
+        F.col("dist").alias("d2"),
+    )
+    through = (
+        sv.join(vt, "v")
+        .join(st, ["s", "t"])
+        .filter(F.col("d1") + F.col("d2") == F.col("d"))
+        .filter(F.col("v") != F.col("t"))  # v == s impossible: d1 ≥ 1
+    )
+    return through.groupBy("v").agg(
+        F.count(F.lit(1)).alias("betweenness"))
+
+
+def q_graph_betweenness(spark, sf_dir: str) -> DataFrame:
+    """Betweenness for the Refers tree's interior nodes w.r.t. the
+    CLOSENESS_SEEDS sampled sources — the remaining classic centrality
+    (degree/closeness/PageRank/HITS/k-core live elsewhere in the
+    family). Reuses the same min-plus distance closure as
+    q_graph_closeness; paths in the tree are unique, so the count is
+    exact Brandes betweenness for the seed set (see seed_betweenness).
+    Output: every node on ≥1 seed-pair shortest path, with its pair
+    count."""
+    from graphview_spark.graph_queries import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    D, complete = _cached_refers_closure(spark, sf_dir, g)
+    bt = seed_betweenness(
+        D, lambda c: c <= CLOSENESS_SEEDS, budget_ok=complete)
+    return bt.select(
+        F.col("v").alias("c_custkey"), "betweenness",
+    )
+
+
+def _oracle_betweenness() -> str:
+    from graphview_spark.graph_queries import _ORACLE_REFERS
+
+    return f"""
+WITH RECURSIVE refers AS ({_ORACLE_REFERS}),
+d AS (
+  SELECT src, sink, 1 AS dist FROM refers
+  UNION
+  SELECT d.src, e.sink, d.dist + 1 FROM d JOIN refers e ON e.src = d.sink
+),
+sv AS (SELECT src AS s, sink AS v, dist AS d1 FROM d
+       WHERE src <= {CLOSENESS_SEEDS}),
+st AS (SELECT src AS s, sink AS t, dist AS dd FROM d
+       WHERE src <= {CLOSENESS_SEEDS}),
+vt AS (SELECT src AS v, sink AS t, dist AS d2 FROM d)
+SELECT sv.v AS c_custkey, count(*) AS betweenness
+FROM sv JOIN vt USING (v) JOIN st ON st.s = sv.s AND st.t = vt.t
+WHERE sv.d1 + vt.d2 = st.dd AND sv.v <> vt.t
+GROUP BY sv.v
 """
 
 
@@ -1988,6 +2106,7 @@ FROM sizes
 
 
 EXTRA_QUERIES: dict = {
+    "graph_betweenness": q_graph_betweenness,
     "graph_scc_peel": q_graph_scc_peel,
     "graph_kcore": q_graph_kcore,
     "graph_ppr": q_graph_ppr,
@@ -1997,6 +2116,7 @@ EXTRA_QUERIES: dict = {
     "graph_closeness": q_graph_closeness,
 }
 EXTRA_ORACLES: dict = {
+    "graph_betweenness": _oracle_betweenness(),
     "graph_scc_peel": _oracle_scc_peel(),
     "graph_kcore": _oracle_kcore(),
     "graph_ppr": _oracle_ppr(),
