@@ -11,6 +11,8 @@ wall seconds.
 from __future__ import annotations
 
 import json
+
+import pandas as pd  # noqa: F401 — pandas_udf type-hint resolution
 import os
 import sys
 import time
@@ -60,8 +62,16 @@ def main() -> None:
             n.startswith(p) for p in exclude
         ):
             names.append(n)
-    # warmup: spin up the JVM + parquet footer reads (not timed)
+    # warmup: spin up the JVM + parquet footer reads, AND the Python
+    # worker pool (the Arrow-batched queries would otherwise pay ~2s of
+    # one-time worker spinup inside their min-of-3) — not timed
     qs[names[0]](spark, sf_dir).limit(1).collect()
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+    spark.range(32, numPartitions=32).select(_warm("id")).collect()
 
     # The MinHash family is benchmarked the way a pipeline runs it: the
     # per-document signature table is a materialized artifact built ONCE
