@@ -75,8 +75,11 @@ def var_length_paths(
     seed = edges
     if start_nodes is not None:
         key = start_nodes.columns[0]
+        # no broadcast hint: start_nodes is caller-provided and can be any
+        # size (e.g. "all customers in a region"); AQE broadcast-converts
+        # the semi join when runtime stats show it small.
         seed = edges.join(
-            F.broadcast(start_nodes),
+            start_nodes,
             edges["src"] == start_nodes[key],
             "left_semi",
         )
@@ -158,7 +161,7 @@ def var_length_paths(
         if start_nodes is not None:
             key = start_nodes.columns[0]
             src_nodes = src_nodes.join(
-                F.broadcast(start_nodes),
+                start_nodes,
                 src_nodes["start"] == start_nodes[key],
                 "left_semi",
             )

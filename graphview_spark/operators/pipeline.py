@@ -82,10 +82,14 @@ def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = DECONTAM_N) -
 
     Plan shape: the benchmark's distinct n-grams (small) broadcast into
     an inner join against the corpus's exploded n-grams — per-doc match
-    counts aggregate map-side, and only the (tiny) contaminated-id list
-    shuffles; the clean corpus joins that list broadcast, so the corpus
-    itself is never repartitioned. Returns every train row with
-    (doc_id, n_shared_ngrams, contaminated)."""
+    counts aggregate map-side, and only the contaminated-id list
+    shuffles. The benchmark gram set keeps a broadcast hint (benchmarks
+    are fixtures — provably bounded); the contaminated-id list does NOT
+    (its size scales with contamination mass, which is data-dependent) —
+    AQE broadcast-converts that join when runtime stats show it small,
+    so at small contamination the corpus is still never repartitioned.
+    Returns every train row with (doc_id, n_shared_ngrams,
+    contaminated)."""
     bench_grams = (
         benchmark.select(F.explode(_word_ngrams(F.col("text"), n)).alias("gram"))
         .distinct()
@@ -100,7 +104,7 @@ def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = DECONTAM_N) -
     )
     return (
         train.select("doc_id")
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
@@ -540,10 +544,14 @@ def q_pipeline_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme, same discipline as the integer-exact ratios in text.py.
 
     Scale: token counts are one map-side-combinable groupBy; (N, V) is
-    a 1-row broadcast; the count table joins back onto the exploded
-    tokens — broadcast here (vocab ≪ corpus; a 100 TB deployment with
-    a vocab past the broadcast threshold shuffles on token instead, and
-    hot stopword keys are exactly what AQE skew-join splits); the final
+    a 1-row broadcast (provably bounded, so the hint is kept); the
+    count table joins back onto the exploded tokens WITHOUT a broadcast
+    hint — its size is the corpus vocabulary, which grows with the
+    corpus (billions of distinct tokens at 100 TB), and ``F.broadcast``
+    is a hint AQE cannot override, so forcing it would OOM executors at
+    scale. Catalyst/AQE still picks a broadcast join at small SF from
+    runtime stats; at scale it degrades to a shuffle join on token, and
+    hot stopword keys are exactly what AQE skew-join splits. The final
     per-doc aggregate shuffles once on doc_id."""
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -557,7 +565,7 @@ def q_pipeline_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.log((F.col("c") + 1) / (F.col("N") + F.col("V"))) * 1e6, 0
     ).cast("long")
     scored = (
-        tok.join(F.broadcast(counts), "token")
+        tok.join(counts, "token")
         .join(F.broadcast(tot))
         .select("doc_id", nll.alias("nll"))
     )
@@ -594,10 +602,15 @@ def q_pipeline_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bigrams come straight off the split array with one map-only
     transform (no lag window, so no extra doc-keyed shuffle); counts
-    are map-side-combinable groupBys broadcast back onto the bigram
-    stream; the same integer micro-nat snap as the unigram makes the
-    per-doc sum order-independent. Docs with < 2 tokens have no
-    transitions and are excluded (mirrored by the oracle)."""
+    are map-side-combinable groupBys joined back onto the bigram
+    stream WITHOUT broadcast hints — the bigram count table scales
+    super-linearly with corpus vocabulary (the worst of the LM count
+    tables at 100 TB), so the joins must be free to stay shuffle joins
+    on (prev, cur)/(prev); AQE broadcast-converts them at small SF from
+    runtime sizes. Only the 1-row V aggregate keeps a hint. The same
+    integer micro-nat snap as the unigram makes the per-doc sum
+    order-independent. Docs with < 2 tokens have no transitions and are
+    excluded (mirrored by the oracle)."""
     docs = read_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     bigs = (
@@ -633,8 +646,8 @@ def q_pipeline_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.log((F.col("cb") + 1) / (F.col("cc") + F.col("V"))) * 1e6, 0
     ).cast("long")
     scored = (
-        bigs.join(F.broadcast(cb), ["prev", "cur"])
-        .join(F.broadcast(cc), "prev")
+        bigs.join(cb, ["prev", "cur"])
+        .join(cc, "prev")
         .join(F.broadcast(vocab))
         .select("doc_id", nll.alias("nll"))
     )

@@ -167,10 +167,15 @@ def cluster_safe_split(docs: DataFrame, clusters: DataFrame) -> DataFrame:
     join. Unclustered docs (the overwhelming majority) hash their own
     id, so the 80/10/10 proportions are preserved. ``clusters`` is any
     (doc_id, cluster_id) frame — dedup_clusters output, or a coarser
-    grouping like URL host. Map-only after one broadcast-size left join
-    (the cluster table scales with duplicate mass, not corpus size)."""
+    grouping like URL host. Map-only after one left join. The cluster
+    table is NOT broadcast-hinted: its size scales with duplicate mass
+    (often 30%+ of a web corpus), not a constant, and a forced
+    ``F.broadcast`` cannot be overridden by AQE — at 100 TB it would
+    OOM executors. AQE still broadcast-converts the join when runtime
+    stats show it small; otherwise it is a plain shuffle join on
+    doc_id."""
     keyed = docs.join(
-        F.broadcast(clusters.select("doc_id", "cluster_id")),
+        clusters.select("doc_id", "cluster_id"),
         "doc_id", "left",
     ).withColumn(
         "split_key",

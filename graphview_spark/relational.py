@@ -86,16 +86,19 @@ GROUP BY l_returnflag, l_linestatus
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer ⋈ orders ⋈ lineitem, group, order, limit (SURVEY §2.3/§2.5).
 
-    customer is small relative to lineitem at every SF → broadcast; the
-    orders⋈lineitem join shuffles on orderkey, which is also the grouping
-    key, so the groupBy reuses the shuffle partitioning.
+    customer scales linearly with SF, so it carries NO forced broadcast
+    hint — Catalyst's static file-size stats (and AQE at runtime) pick
+    a broadcast join at every SF where it fits, and degrade to a
+    shuffle join when it doesn't. The orders⋈lineitem join shuffles on
+    orderkey, which is also the grouping key, so the groupBy reuses the
+    shuffle partitioning.
     """
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -128,9 +131,13 @@ LIMIT 10
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-table join with dual join condition on nationkey (SURVEY §2.3).
 
-    region/nation/supplier broadcast; the fact-side joins shuffle once on
-    orderkey. The c_nationkey = s_nationkey condition is the classic Q5
-    'local supplier' constraint — an extra equi predicate, not a shuffle.
+    region/nation keep forced broadcast hints (fixed 5/25-row dimension
+    tables — provably bounded at any SF); supplier and customer scale
+    linearly with SF so they carry NO hint — Catalyst/AQE broadcasts
+    them while they fit and falls back to shuffle joins when they
+    don't. The fact-side joins shuffle once on orderkey. The
+    c_nationkey = s_nationkey condition is the classic Q5 'local
+    supplier' constraint — an extra equi predicate, not a shuffle.
     """
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
@@ -143,7 +150,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(
             cust,
             (orders.o_custkey == cust.c_custkey)
