@@ -34,20 +34,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate records at most ~50 entries in
 # registration order (CORRECTNESS_r02 cut at exactly 50 of 52), so the
 # roster below picks which 50 of the full registry get a driver-verified
-# row this round. Round-6 rotation (VERDICT r5 "Next #3"): the 14
-# queries never yet driver-gated (r1–r5 key union) move IN, plus the
-# two NEW oracle queries that exercise previously oracle-blind legs
-# (dedup_embed_lsh → the hyperplane-LSH candidate path,
-# graph_scc_peel → the FW-BW peel fallback). 16 multi-round
-# driver-green stalwarts (events_asof/range_count/rollup/funnel/
-# retention, match_views/view_degrees, text_stats_quality/corpus/
-# repetition, sim_topk, ml_kmeans, stream_windows,
-# graph_shortest_paths/triangles, dedup_clusters — each ≥2 driver-green
-# rounds) move to extra_queries(), where every sweep still
-# oracle-checks them.
+# row this round. Round-7 rotation (VERDICT r6 "Next #2"): the four
+# round-6-born queries with no driver row in any round move IN
+# (text_dup_spans, sample_cluster_split, graph_betweenness,
+# pipeline_perplexity_bigram — after this round the whole registry is
+# driver-verified somewhere). Four multi-round-green stalwarts move to
+# extra_queries() (rel_pivot, rel_unpivot, rel_percentiles,
+# rel_window_lead_lag — each driver-green r1–r6), where every local
+# sweep still oracle-checks them.
 GATE_ROSTER = [
     # relational dialect
-    "rel_pivot", "rel_percentiles", "rel_unpivot", "rel_window_lead_lag",
     "rel_string_split", "rel_grouping_sets", "rel_lateral",
     "rel_window_dist", "rel_window_ntile",
     # temporal / events
@@ -58,9 +54,9 @@ GATE_ROSTER = [
     # dedup family
     "dedup_embed_cosine", "dedup_embed_lsh", "dedup_cross_corpus",
     # text analysis
-    "text_pii_scrub", "text_gopher",
+    "text_pii_scrub", "text_gopher", "text_dup_spans",
     # sampling
-    "sample_split", "sample_group_topk",
+    "sample_split", "sample_group_topk", "sample_cluster_split",
     # similarity / ML
     "ml_quantize", "ml_outliers", "ml_knn", "ml_rproject",
     # streaming
@@ -68,11 +64,12 @@ GATE_ROSTER = [
     # graph algorithms
     "graph_communities", "graph_weighted_paths", "graph_hits",
     "graph_kcore", "graph_ppr", "graph_node_sim", "graph_closeness",
-    "graph_ktruss", "graph_scc", "graph_scc_peel",
+    "graph_ktruss", "graph_scc", "graph_scc_peel", "graph_betweenness",
     # pipeline
     "pipeline_decontam", "pipeline_pack", "pipeline_quality_quantile",
     "pipeline_mix", "pipeline_chunk_dedup", "pipeline_data_card",
     "pipeline_temperature_mix", "pipeline_perplexity",
+    "pipeline_perplexity_bigram",
     # search / retrieval
     "search_bm25", "search_postings", "search_chunks", "search_hybrid",
     # skew handling
