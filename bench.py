@@ -75,12 +75,16 @@ def main() -> None:
 
     # The MinHash family is benchmarked the way a pipeline runs it: the
     # per-document signature table is a materialized artifact built ONCE
-    # (timed as its own entry, cache cleared before each timed run), and
-    # the three consumers (T=0.7 pairs, T=0.5 n-gram pairs, clustering)
-    # are timed as their INCREMENTAL cost on top of it. Pair caches are
-    # cleared before each pair-query run so band-join + verify work is
-    # really re-executed; dedup_clusters keeps the pair cache warm —
-    # clustering consumes the pair generator's output by design.
+    # (timed as its own entry, cache cleared before each timed run), the
+    # T=0.7 pair graph is ALSO a shared artifact (dedup_pair_build, pair
+    # cache cleared each run, signatures warm), and the consumers
+    # (dedup_minhash_lsh = the pair graph itself, dedup_clusters,
+    # dedup_cross_corpus) are timed as their INCREMENTAL cost on a warm
+    # pair cache — VERDICT r6 "What's wrong #4": roster rotation used to
+    # decide which consumer paid the cold build. dedup_ngram_jaccard
+    # (T=0.5, different band shape) still clears the pair cache so its
+    # own band-join + verify is really re-executed; it runs LAST in the
+    # family so the clear can't leak cold cost into the T=0.7 consumers.
     from graphview_spark.operators import dedup as _dedup
 
     def _clear_all(spark, sf_dir):
@@ -93,8 +97,13 @@ def main() -> None:
     def _q_sig_build(spark, sf_dir):
         return _dedup.cached_signatures(spark, sf_dir)
 
+    def _q_pair_build(spark, sf_dir):
+        return _dedup._lsh_verified_pairs(
+            spark, sf_dir, _dedup.N_BANDS, _dedup.MINHASH_JACCARD_T)
+
     qs = dict(qs)
     qs["dedup_signatures"] = _q_sig_build
+    qs["dedup_pair_build"] = _q_pair_build
 
     # Same artifact discipline for the Refers distance closure: built
     # ONCE per app and shared by graph_closeness + graph_betweenness
@@ -115,12 +124,23 @@ def main() -> None:
     qs["graph_closure_build"] = _q_closure_build
     pre_run = {
         "dedup_signatures": _clear_all,
-        "dedup_minhash_lsh": _clear_pairs,
+        "dedup_pair_build": _clear_pairs,
         "dedup_ngram_jaccard": _clear_pairs,
         "graph_closure_build": _clear_closure,
     }
-    i = names.index("dedup_exact") if "dedup_exact" in names else len(names)
-    names.insert(i, "dedup_signatures")
+    # Canonical artifact-family order, roster-rotation-proof: builders
+    # first, consumers after, cache-clearing variants last.
+    _DEDUP_ORDER = [
+        "dedup_exact", "dedup_signatures", "dedup_pair_build",
+        "dedup_minhash_lsh", "dedup_clusters", "dedup_cross_corpus",
+        "dedup_ngram_jaccard", "dedup_simhash",
+    ]
+    fam = [n for n in _DEDUP_ORDER
+           if n in names or n in ("dedup_signatures", "dedup_pair_build")]
+    first = min((names.index(n) for n in fam if n in names),
+                default=len(names))
+    names = [n for n in names if n not in fam]
+    names[first:first] = fam
     j = (names.index("graph_closeness")
          if "graph_closeness" in names else len(names))
     names.insert(j, "graph_closure_build")
@@ -135,8 +155,7 @@ def main() -> None:
     # Each query runs three times; we report the steady-state (min) time
     # so the number reflects the plan, not one-off codegen/file-listing/
     # JIT noise or this host's multi-second scheduling spikes.
-    timings: dict[str, float] = {}
-    for name in names:
+    def _time_query(name: str) -> float:
         best = float("inf")
         n = 0
         for _ in range(3):
@@ -146,14 +165,45 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             n = df.count()
             best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {round(best, 3)}s ({n} rows)", file=sys.stderr)
+        return best
 
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(_time_query(name), 3)
+
+    # End-of-sweep outlier pass (VERDICT r6 "What's wrong #2": in-sweep
+    # contamination — load arriving mid-run, or the sweep's own
+    # accumulated state — is invisible to the start-of-run loadavg flag
+    # and misstated ~10 queries in BENCH_r06 by 2-6x). Any query whose
+    # min-of-3 exceeds 1.5x its previous BENCH_LOCAL entry is re-timed
+    # with a fresh min-of-3 at the end of the sweep; both numbers are
+    # recorded so noise self-adjudicates, and the better one is reported
+    # (a re-time can only confirm or beat a *minimum*: if even the idle
+    # re-time stays slow, the regression is real and stays visible).
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf
+    prior_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    prior: dict[str, float] = {}
+    try:
+        with open(prior_path) as fh:
+            _prev = json.load(fh)
+        if _prev.get("sf") == sf_num:  # priors only comparable at same SF
+            prior = _prev.get("queries", {})
+    except (OSError, ValueError):
+        pass
+    retimed: dict[str, dict[str, float]] = {}
+    for name in names:
+        p = prior.get(name)
+        if p and timings[name] > 1.5 * p:
+            again = round(_time_query(name), 3)
+            retimed[name] = {"recorded": timings[name], "retimed": again}
+            timings[name] = min(timings[name], again)
+
     load_end = os.getloadavg()[0]
     # Anything substantially above half the cores at START means another
     # process was competing before we spawned a single task (or our
@@ -174,6 +224,7 @@ def main() -> None:
             "load_1m_start": round(load_start, 2),
             "load_1m_end": round(load_end, 2),
             "host_contended": contaminated,
+            "retimed": retimed,
         }
     )
     print(line)
