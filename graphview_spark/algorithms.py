@@ -1866,8 +1866,135 @@ FROM agg
 """
 
 
+def brandes_betweenness(
+    seeds: DataFrame, edges: DataFrame, max_depth: int = 60
+) -> DataFrame:
+    """σ-weighted Brandes betweenness restricted to a sampled source
+    set (Brandes 2001, "A Faster Algorithm for Betweenness
+    Centrality"), with ALL sources advanced together as one
+    (seed, node)-keyed frontier — not one driver loop per seed, so the
+    round count is the graph depth regardless of how many seeds are
+    sampled, and per-round work is one shuffle on (seed, node).
+
+    Forward pass: multi-source BFS carrying σ (the number of shortest
+    s→v paths, summed across predecessors when fronts meet — the
+    groupBy below). Reverse pass: walk the recorded levels deepest-
+    first accumulating δ_s(v) = Σ_{w ∈ succ(v)} (σ_sv/σ_sw)(1 + δ_s(w))
+    where succ(v) = BFS-tree successors (edge v→w with w settled one
+    level deeper for the same seed). Betweenness(v) = Σ_s δ_s(v), the
+    source level excluded.
+
+    Memory is bounded by the per-level frontier (≤ |seeds|·|V| rows
+    total across levels, in practice far less), NOT by the all-pairs
+    distance closure — this is the bounded-memory leg that
+    ``seed_betweenness`` degrades to when the closure budget trips,
+    mirroring q_graph_closeness's per-seed-BFS fallback. Reference
+    analog: iterative computation via T-SQL WHILE loops is GraphView's
+    advertised path for algorithms (/root/reference/README.md:16).
+
+    ``seeds``: one-column DataFrame of source node ids. ``edges``:
+    (src, sink) directed. Returns (v, betweenness double) for every v
+    with δ > 0. On unique-shortest-path graphs every σ is 1 and each
+    δ_s(v) is the integer count of targets behind v, so the result
+    coincides exactly with the closure pair count; on multi-path
+    graphs it is the σ-fractional centrality (property-tested against
+    brute-force Brandes in tests/test_property_closure.py)."""
+    sid = seeds.columns[0]
+    edges = (
+        edges.select("src", "sink").distinct().localCheckpoint(eager=True)
+    )
+    lvl = (
+        seeds.select(F.col(sid).alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("id"),
+                F.lit(1.0).alias("sigma"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [lvl]
+    settled = lvl.select("s", "id").localCheckpoint(eager=True)
+    for _ in range(max_depth):
+        frontier = levels[-1]
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select("s", F.col("sink").alias("id"), "sigma")
+            .groupBy("s", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(settled, ["s", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        settled = settled.unionByName(
+            nxt.select("s", "id")).localCheckpoint(eager=True)
+    # reverse sweep: δ at the deepest level is 0; each shallower level
+    # joins its BFS-tree successors one level down. Lazy checkpoints
+    # keep the δ-chain's plan linear; the final aggregate materializes.
+    spark = seeds.sparkSession
+    zero = F.lit(0.0).alias("delta")
+    deltas = levels[-1].select("s", "id", zero)
+    acc = [deltas] if len(levels) > 1 else []
+    for d in range(len(levels) - 2, -1, -1):
+        cur = levels[d]
+        succ = (
+            levels[d + 1].join(deltas, ["s", "id"])
+            .select("s", F.col("id").alias("w"),
+                    F.col("sigma").alias("sigma_w"), "delta")
+        )
+        contrib = (
+            cur.join(edges, cur["id"] == edges["src"])
+            .select("s", "id", "sigma", F.col("sink").alias("w"))
+            .join(succ, ["s", "w"])
+            .groupBy("s", "id")
+            .agg(F.sum(
+                F.col("sigma") / F.col("sigma_w") * (1 + F.col("delta"))
+            ).alias("delta"))
+        )
+        deltas = (
+            cur.select("s", "id")
+            .join(contrib, ["s", "id"], "left")
+            .select("s", "id", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=False)
+        )
+        if d >= 1:  # level 0 is the sources themselves: excluded
+            acc.append(deltas)
+    if not acc:
+        return spark.createDataFrame([], "v long, betweenness double")
+    out = acc[0]
+    for a in acc[1:]:
+        out = out.unionByName(a)
+    return (
+        out.groupBy(F.col("id").alias("v"))
+        .agg(F.sum("delta").alias("betweenness"))
+        .filter(F.col("betweenness") > 0)
+    )
+
+
+def betweenness(
+    seeds: DataFrame, edges: DataFrame, variant: str = "brandes",
+    budget_factor: int = 32,
+) -> DataFrame:
+    """Public seed-sampled betweenness surface.
+
+    variant="brandes" (default): σ-weighted Brandes via batched
+    multi-seed BFS (``brandes_betweenness``) — (v, betweenness double).
+    variant="stress": pair-count through-node centrality from the
+    min-plus distance closure (``seed_betweenness``); when the closure
+    edge budget trips, degrades to the Brandes leg (documented there) —
+    (v, betweenness long). The gate queries use "stress" on graphs with
+    unique shortest paths, where the two variants coincide exactly."""
+    if variant == "brandes":
+        return brandes_betweenness(seeds, edges)
+    if variant != "stress":
+        raise ValueError(f"unknown betweenness variant: {variant!r}")
+    D, complete = _distance_closure(edges, budget_factor=budget_factor)
+    return seed_betweenness(
+        D, seeds, budget_ok=complete, edges=edges, seeds=seeds)
+
+
 def seed_betweenness(
     d_all: DataFrame, seeds_pred, budget_ok: bool = True,
+    edges: DataFrame | None = None, seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Seed-sampled betweenness from a complete distance closure: node
     v lies on a shortest s→t path iff dist(s,v) + dist(v,t) = dist(s,t)
@@ -1878,24 +2005,53 @@ def seed_betweenness(
     shortest paths it counts each pair once per through-node (the
     stress-indicator variant) rather than σ-fractionally — the
     σ-weighted refinement needs per-pair path counts, which the closure
-    deliberately does not carry.
+    deliberately does not carry. ``betweenness(variant="brandes")`` is
+    the σ-weighted alternative.
+
+    ``seeds_pred`` is either a Column-predicate callable or a
+    one-column seed DataFrame (filtered via semi-join — no literal
+    predicate needed, no driver collect).
+
+    Bounded-memory fallback: when ``budget_ok`` is False (the closure
+    edge budget tripped, so ``d_all`` is incomplete and the pair count
+    would silently undercount), and ``edges``+``seeds`` are provided,
+    the computation degrades to ``brandes_betweenness`` — per-level
+    BFS memory instead of all-pairs closure memory, mirroring
+    q_graph_closeness's per-seed-BFS fallback. The Brandes result is
+    rounded to the closure path's long schema; on unique-shortest-path
+    graphs the values are identical integers, on multi-path graphs the
+    fallback reports the (rounded) σ-weighted centrality rather than
+    the stress pair count — the principled quantity, noted here so the
+    semantics switch is explicit.
 
     Plan: two joins of the seed-filtered closure slice against the full
     closure — (s,v) ⋈ᵥ (v,t) ⋈ₛ,ₜ (s,t) — then one count per v. Join
     volume is Σᵥ reach_in_from_seeds(v)·reach_out(v), bounded by the
     closure budget that produced ``d_all``."""
     if not budget_ok:
-        raise ValueError(
-            "seed_betweenness needs a complete distance closure; the "
-            "edge budget tripped — sample fewer seeds or run per-seed "
-            "Brandes accumulation (forward BFS + reverse dependency "
-            "pass per seed), the bounded-memory alternative"
-        )
-    sv = d_all.filter(seeds_pred(F.col("src"))).select(
+        if edges is None or seeds is None:
+            raise ValueError(
+                "seed_betweenness: the closure edge budget tripped and "
+                "no (edges, seeds) were provided for the bounded-memory "
+                "Brandes fallback — pass them, or rebuild the closure "
+                "with a larger budget_factor"
+            )
+        bt = brandes_betweenness(seeds, edges)
+        return bt.select(
+            "v", F.round("betweenness").cast("long").alias("betweenness"))
+
+    def _seed_slice(frame):
+        if callable(seeds_pred):
+            return frame.filter(seeds_pred(F.col("src")))
+        s = seeds_pred.select(
+            F.col(seeds_pred.columns[0]).alias("src")).distinct()
+        return frame.join(s, "src", "left_semi")
+
+    sv = _seed_slice(d_all).select(
         F.col("src").alias("s"), F.col("sink").alias("v"),
         F.col("dist").alias("d1"),
     )
-    st = d_all.filter(seeds_pred(F.col("src"))).select(
+    st = _seed_slice(d_all).select(
         F.col("src").alias("s"), F.col("sink").alias("t"),
         F.col("dist").alias("d"),
     )
@@ -1926,8 +2082,12 @@ def q_graph_betweenness(spark, sf_dir: str) -> DataFrame:
 
     g = tpch_graph(spark, sf_dir)
     D, complete = _cached_refers_closure(spark, sf_dir, g)
+    edges = _refers_edges(g)
+    seeds = edges.select("src").filter(
+        F.col("src") <= CLOSENESS_SEEDS).distinct()
     bt = seed_betweenness(
-        D, lambda c: c <= CLOSENESS_SEEDS, budget_ok=complete)
+        D, lambda c: c <= CLOSENESS_SEEDS, budget_ok=complete,
+        edges=edges, seeds=seeds)
     return bt.select(
         F.col("v").alias("c_custkey"), "betweenness",
     )
@@ -2108,8 +2268,80 @@ FROM sizes
 """
 
 
+_BFS_BT_SEED_MAX = 9  # block 0 fully seeded + half of block 1: varied counts
+
+
+def q_graph_betweenness_bfs(spark, sf_dir: str) -> DataFrame:
+    """Drives the bounded-memory Brandes fallback of seed_betweenness
+    END-TO-END under an oracle — the leg q_graph_betweenness's Refers
+    tree never reaches because its closure fits the budget. Same
+    derived graph as q_graph_scc_peel (80 directed 6-cycles over
+    c_custkey ≤ 480): budget_factor=2 trips the min-plus closure at the
+    second squaring, so seed_betweenness degrades to the batched
+    multi-seed Brandes BFS (forward σ pass + reverse δ accumulation).
+    Directed cycles have UNIQUE shortest paths, so the σ-weighted
+    accumulation is integral and equals the closure pair count the
+    DuckDB oracle computes (depth-capped recursive closure + min-dist
+    fold). Seeds ≤ 9 leave block 1 partially seeded, so per-node counts
+    vary (1..10) rather than collapsing to one constant."""
+    from graphview_spark.session import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    b = _PEEL_CYCLE
+    edges = (
+        cust.filter(F.col("c_custkey") <= _PEEL_EDGE_MAX)
+        .select(
+            F.col("c_custkey").alias("src"),
+            (F.expr(f"(c_custkey - 1) div {b}") * b
+             + F.pmod(F.col("c_custkey"), F.lit(b)) + 1
+             ).alias("sink"),
+        )
+    )
+    seeds = cust.filter(F.col("c_custkey") <= _BFS_BT_SEED_MAX).select(
+        F.col("c_custkey").alias("s"))
+    D, complete = _distance_closure(edges, budget_factor=2)
+    bt = seed_betweenness(
+        D, seeds, budget_ok=complete, edges=edges, seeds=seeds)
+    return bt.select(F.col("v").alias("c_custkey"), "betweenness")
+
+
+def _oracle_betweenness_bfs() -> str:
+    """Depth-capped recursive distance closure (dist < cycle length
+    bounds the recursion on the cyclic graph) + min-dist fold, then the
+    same through-node pair count as _oracle_betweenness with the
+    cycle-specific guards: t ≠ s and v ≠ s (the closure of a cycle
+    contains (x, x, L) self-pairs that Brandes never visits — its BFS
+    settles the source at distance 0)."""
+    b = _PEEL_CYCLE
+    return f"""
+WITH RECURSIVE cyc AS (
+  SELECT c_custkey AS src,
+         ((c_custkey - 1) // {b}) * {b}
+           + ((c_custkey - 1) % {b} + 1) % {b} + 1 AS sink
+  FROM customer WHERE c_custkey <= {_PEEL_EDGE_MAX}
+),
+d AS (
+  SELECT src, sink, 1 AS dist FROM cyc
+  UNION
+  SELECT d.src, e.sink, d.dist + 1 FROM d JOIN cyc e ON e.src = d.sink
+  WHERE d.dist < {b}
+),
+dm AS (SELECT src, sink, min(dist) AS dist FROM d GROUP BY src, sink),
+sv AS (SELECT src AS s, sink AS v, dist AS d1 FROM dm
+       WHERE src <= {_BFS_BT_SEED_MAX} AND sink <> src),
+st AS (SELECT src AS s, sink AS t, dist AS dd FROM dm
+       WHERE src <= {_BFS_BT_SEED_MAX} AND sink <> src),
+vt AS (SELECT src AS v, sink AS t, dist AS d2 FROM dm)
+SELECT sv.v AS c_custkey, count(*) AS betweenness
+FROM sv JOIN vt USING (v) JOIN st ON st.s = sv.s AND st.t = vt.t
+WHERE sv.d1 + vt.d2 = st.dd AND sv.v <> vt.t
+GROUP BY sv.v
+"""
+
+
 EXTRA_QUERIES: dict = {
     "graph_betweenness": q_graph_betweenness,
+    "graph_betweenness_bfs": q_graph_betweenness_bfs,
     "graph_scc_peel": q_graph_scc_peel,
     "graph_kcore": q_graph_kcore,
     "graph_ppr": q_graph_ppr,
@@ -2120,6 +2352,7 @@ EXTRA_QUERIES: dict = {
 }
 EXTRA_ORACLES: dict = {
     "graph_betweenness": _oracle_betweenness(),
+    "graph_betweenness_bfs": _oracle_betweenness_bfs(),
     "graph_scc_peel": _oracle_scc_peel(),
     "graph_kcore": _oracle_kcore(),
     "graph_ppr": _oracle_ppr(),

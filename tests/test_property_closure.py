@@ -96,3 +96,125 @@ def test_scc_matches_bruteforce(spark, raw_edges):
         .collect()
     }
     assert got == ref_scc
+
+
+def _brute_brandes(edges, seeds):
+    """Reference σ-weighted Brandes (per-seed BFS forward σ pass +
+    reverse δ accumulation, plain Python floats)."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s, t in sorted(set(edges)):
+        adj[s].append(t)
+    bt = defaultdict(float)
+    for s in seeds:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = [s]
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    dq.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in order}
+        for v in reversed(order):
+            for w in adj[v]:
+                if dist.get(w) == dist[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        for v in order:
+            if v != s:
+                bt[v] += delta[v]
+    return {v: x for v, x in bt.items() if x > 0}
+
+
+@given(edges_strategy)
+@prop_settings
+def test_brandes_betweenness_matches_bruteforce(spark, raw_edges):
+    """Batched multi-seed Brandes (one (seed,node)-keyed frontier, σ
+    summed where fronts meet, reverse δ walk over recorded levels) vs
+    the textbook per-seed reference — random digraphs routinely contain
+    multiple shortest paths, exercising the σ-fractional case the
+    closure pair count deliberately does not handle."""
+    from graphview_spark.algorithms import brandes_betweenness
+
+    edges = sorted(set(raw_edges))
+    nodes = sorted({x for e in edges for x in e})
+    seeds = nodes[::2]  # every other node: sampled-source semantics
+    if not seeds:
+        return
+    ref = _brute_brandes(edges, seeds)
+    e = spark.createDataFrame(edges, "src long, sink long")
+    sdf = spark.createDataFrame([(n,) for n in seeds], "s long")
+    got = {
+        r["v"]: r["betweenness"]
+        for r in brandes_betweenness(sdf, e).collect()
+    }
+    assert set(got) == set(ref)
+    for v, x in ref.items():
+        assert abs(got[v] - x) < 1e-6, (v, got[v], x)
+
+
+def test_brandes_sigma_fractional_diamond(spark):
+    """Pinned multi-shortest-path fixture: s→{a,b}→t (two shortest s→t
+    paths) gives a and b betweenness 1/2 each under σ-weighting — the
+    stress pair count would say 1 for both."""
+    from graphview_spark.algorithms import betweenness
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "src long, sink long")
+    seeds = spark.createDataFrame([(0,)], "s long")
+    got = {
+        r["v"]: r["betweenness"]
+        for r in betweenness(seeds, e, variant="brandes").collect()
+    }
+    assert got == {1: 0.5, 2: 0.5}
+
+
+@given(edges_strategy)
+@prop_settings
+def test_seed_betweenness_fallback_matches_closure_on_trees(spark, raw_edges):
+    """On unique-shortest-path graphs the budget-tripped Brandes
+    fallback must equal the closure pair count exactly. Forests are
+    built from the random edges by keeping one parent per child and
+    forcing src < sink (acyclic, unique paths)."""
+    from graphview_spark.algorithms import (
+        _distance_closure, seed_betweenness)
+
+    by_child = {}
+    for s, t in sorted(set(raw_edges)):
+        a, b = min(s, t), max(s, t)
+        if a != b:
+            by_child.setdefault(b, a)
+    edges = sorted((p, c) for c, p in by_child.items())
+    if not edges:
+        return
+    nodes = sorted({x for e in edges for x in e})
+    e = spark.createDataFrame(edges, "src long, sink long")
+    sdf = spark.createDataFrame([(n,) for n in nodes], "s long")
+    D, complete = _distance_closure(e, budget_factor=10 ** 6)
+    assert complete
+    closure_path = {
+        (r["v"], r["betweenness"])
+        for r in seed_betweenness(D, sdf, budget_ok=True).collect()
+    }
+    fallback = {
+        (r["v"], r["betweenness"])
+        for r in seed_betweenness(
+            D, sdf, budget_ok=False, edges=e, seeds=sdf).collect()
+    }
+    assert fallback == closure_path
+
+
+def test_seed_betweenness_budget_trip_without_fallback_raises(spark):
+    from graphview_spark.algorithms import seed_betweenness
+    import pytest
+
+    D = spark.createDataFrame([(1, 2, 1)], "src long, sink long, dist long")
+    with pytest.raises(ValueError, match="budget tripped"):
+        seed_betweenness(D, lambda c: c <= 1, budget_ok=False)
