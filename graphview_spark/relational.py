@@ -409,6 +409,39 @@ GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
 """
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with GROUPING() disambiguation (SURVEY
+    §2.4 grouping-sets/cube/rollup row — the CUBE specialization,
+    VERDICT r6 "What's missing #3"; native in Spark's DataFrame API and
+    in DuckDB). All four grouping sets — (prio, status), (prio),
+    (status), () — aggregate in ONE shuffle (Catalyst expands the
+    grouping sets then aggregates once); the grouping ids distinguish a
+    real NULL group key from a rolled-up one. The dialect spelling
+    ``GROUP BY CUBE (a, b)`` passes through the T-SQL translator's
+    GROUP BY clause verbatim (tests/test_dialect_robustness.py)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority)::INT AS g_prio,
+       GROUPING(o_orderstatus)::INT  AS g_status,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS rev
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery (SURVEY §2.3 — the relational form
     the reference's CROSS APPLY translates to): per-nation customer
@@ -1113,6 +1146,7 @@ EXTRA_QUERIES = {
     "rel_window_ntile": q_window_ntile,
     "rel_window_dist": q_window_dist,
     "rel_grouping_sets": q_grouping_sets,
+    "rel_cube": q_cube,
     "rel_lateral": q_lateral,
 }
 
@@ -1143,6 +1177,7 @@ EXTRA_ORACLES = {
     "rel_window_ntile": ORACLE_WINDOW_NTILE,
     "rel_window_dist": ORACLE_WINDOW_DIST,
     "rel_grouping_sets": ORACLE_GROUPING_SETS,
+    "rel_cube": ORACLE_CUBE,
     "rel_lateral": ORACLE_LATERAL,
 }
 

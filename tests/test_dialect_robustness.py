@@ -533,3 +533,23 @@ def test_offset_fetch_paging(g):
         "SELECT 'OFFSET 9 ROWS' AS s FROM People WHERE id = 1"
     ).collect()[0]["s"]
     assert got == "OFFSET 9 ROWS"
+
+
+def test_group_by_cube_passthrough(g):
+    """GROUP BY CUBE (and ROLLUP) reach Spark SQL verbatim through the
+    translator's GROUP BY clause — the CUBE surface of SURVEY §2.4's
+    grouping-sets row (VERDICT r6 'What's missing #3')."""
+    rows = g.execute(
+        "SELECT A.name AS src, COUNT(*) AS n FROM People A, People B "
+        "MATCH A-[Knows]->B GROUP BY CUBE (A.name)"
+    ).collect()
+    got = {(r["src"], r["n"]) for r in rows}
+    assert got == {("A", 1), (None, 1)}
+    rows = g.execute(
+        "SELECT A.name AS src, B.name AS dst, COUNT(*) AS n "
+        "FROM People A, People B MATCH A-[Knows]->B "
+        "GROUP BY ROLLUP (A.name, B.name)"
+    ).collect()
+    assert {(r["src"], r["dst"], r["n"]) for r in rows} == {
+        ("A", "B", 1), ("A", None, 1), (None, None, 1),
+    }
