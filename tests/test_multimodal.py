@@ -333,3 +333,219 @@ def test_png_decoder_matches_pil_if_available(spark):
     pils = pil_image_decoder(buf.getvalue(), "image")
     assert ours[:3] == pils[:3]
     assert abs(ours[3] - pils[3]) <= 1.0   # rounding-mode slack
+
+
+# ---------------------------------------------------------------------------
+# stdlib baseline-JPEG decoder — fixtures built by a minimal hand-rolled
+# encoder (SOI/DQT/SOF0/DHT/SOS + Huffman entropy coding with byte
+# stuffing), so the decode path is CI-proven with no image library at all
+# ---------------------------------------------------------------------------
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman code assignment (ITU T.81 C.2): symbol ->
+    (code, length)."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            i += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bytes = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.bytes.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.bytes.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:  # pad with 1s per spec
+            self.put(1, 1)
+        return bytes(self.bytes)
+
+
+# tiny tables: DC symbols 0..3 at length 2 (covers |diff| < 8); AC: the
+# single EOB symbol at length 1
+_DC_BITS = [0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = [0, 1, 2, 3]
+_AC_BITS = [1] + [0] * 15
+_AC_VALS = [0x00]
+
+
+def _jpeg_bytes(width, height, components, q_dc=16):
+    """Minimal baseline JFIF: every 8x8 block is DC-only (uniform).
+    ``components`` = list of (comp_id, h_samp, v_samp, quant_id,
+    dc_table_id, ac_table_id, [quantized DC values in MCU scan order]).
+    """
+    import struct
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: table 0 (and 1 if any component uses it), q[0]=q_dc rest 1
+    qids = sorted({c[3] for c in components})
+    for qid in qids:
+        tbl = bytes([q_dc] + [1] * 63)
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+        out += bytes([qid]) + tbl
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(components), 8,
+                                     height, width, len(components))
+    for cid, hs, vs, qid, _dt, _at, _dcs in components:
+        out += bytes([cid, (hs << 4) | vs, qid])
+    # DHT: one DC + one AC table per distinct id used
+    for tc, tid in sorted({(0, c[4]) for c in components}
+                          | {(1, c[5]) for c in components}):
+        bits, vals = (_DC_BITS, _DC_VALS) if tc == 0 else (_AC_BITS, _AC_VALS)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out += bytes([(tc << 4) | tid]) + bytes(bits) + bytes(vals)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(components),
+                                     len(components))
+    for cid, _hs, _vs, _qid, dt, at, _dcs in components:
+        out += bytes([cid, (dt << 4) | at])
+    out += b"\x00\x3f\x00"  # Ss/Se/Ah-Al (baseline fixed)
+    # entropy data: MCU-interleaved DC-only blocks
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    hmax = max(c[1] for c in components)
+    vmax = max(c[2] for c in components)
+    mcus = (-(-width // (8 * hmax))) * (-(-height // (8 * vmax)))
+    w = _BitWriter()
+    pred = {c[0]: 0 for c in components}
+    idx = {c[0]: 0 for c in components}
+    for _ in range(mcus):
+        for cid, hs, vs, _qid, _dt, _at, dcs in components:
+            for _ in range(hs * vs):
+                dc = dcs[idx[cid]]
+                idx[cid] += 1
+                diff = dc - pred[cid]
+                pred[cid] = dc
+                size = abs(diff).bit_length()
+                code, ln = dc_codes[size]
+                w.put(code, ln)
+                if size:
+                    v = diff if diff >= 0 else diff + (1 << size) - 1
+                    w.put(v, size)
+                code, ln = ac_codes[0x00]  # EOB
+                w.put(code, ln)
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def test_jpeg_decoder_grayscale_two_blocks():
+    """16x8 grayscale, two DC-only blocks: quantized DCs 5 and 2 with
+    q=16 give block means 80/8+128=138 and 32/8+128=132 -> mean 135."""
+    from graphview_spark.operators.multimodal import jpeg_decoder
+
+    payload = _jpeg_bytes(16, 8, [(1, 1, 1, 0, 0, 0, [5, 2])])
+    assert jpeg_decoder(payload, "image") == [16.0, 8.0, 1.0, 135.0]
+
+
+def test_jpeg_decoder_edge_coverage_weighting():
+    """12x8: the second block covers only 4 of its 8 columns, so the
+    mean weights it at half: (138*64 + 132*32) / 96 = 136."""
+    from graphview_spark.operators.multimodal import jpeg_decoder
+
+    payload = _jpeg_bytes(12, 8, [(1, 1, 1, 0, 0, 0, [5, 2])])
+    assert jpeg_decoder(payload, "image") == [12.0, 8.0, 1.0, 136.0]
+
+
+def test_jpeg_decoder_color_420_sampling():
+    """16x16 YCbCr 4:2:0 (one MCU: four Y blocks + Cb + Cr): the
+    sampling-factor MCU walk and per-component Huffman table selection.
+    Y DCs [5, 2, 5, 2] -> mean (138+132+138+132)/4 = 135; chroma blocks
+    decode (and are skipped for luma)."""
+    from graphview_spark.operators.multimodal import jpeg_decoder
+
+    payload = _jpeg_bytes(16, 16, [
+        (1, 2, 2, 0, 0, 0, [5, 2, 5, 2]),
+        (2, 1, 1, 1, 1, 1, [3]),
+        (3, 1, 1, 1, 1, 1, [-2]),
+    ])
+    assert jpeg_decoder(payload, "image") == [16.0, 16.0, 3.0, 135.0]
+
+
+def test_jpeg_decoder_rejects_progressive():
+    import struct
+
+    import pytest
+
+    from graphview_spark.operators.multimodal import jpeg_decoder
+
+    bad = (b"\xff\xd8" + b"\xff\xc2"
+           + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError, match="SOF2"):
+        jpeg_decoder(bad, "image")
+
+
+def test_image_decoder_dispatch_and_dead_letter(spark):
+    """The composite image leg end-to-end WITHOUT PIL: PNG bytes route
+    to the stdlib PNG decoder, JPEG bytes to the stdlib JPEG decoder,
+    unknown bytes become counted dead-letter rows (not job failures) —
+    the PIL-less-cluster degradation contract, with decode_metrics as
+    the data-card accounting."""
+    from graphview_spark.operators.multimodal import (
+        decode_media,
+        decode_metrics,
+        image_decoder,
+    )
+
+    png = _png_bytes(4, 2, [[(10, 20, 30)] * 4] * 2)
+    jpg = _jpeg_bytes(16, 8, [(1, 1, 1, 0, 0, 0, [5, 2])])
+    rows = [
+        (1, "image", bytearray(png)),
+        (2, "image", bytearray(jpg)),
+        (3, "image", bytearray(b"GIF89a not supported here")),
+        (4, "image", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r for r in
+           decode_media(df, image_decoder).collect()}
+    assert out[1]["error"] is None and out[1]["feature"][:3] == [4.0, 2.0, 3.0]
+    assert out[2]["error"] is None
+    assert out[2]["feature"] == [16.0, 8.0, 1.0, 135.0]
+    assert out[3]["feature"] is None and "dead-letter" in out[3]["error"]
+    assert out[4]["feature"] is None and out[4]["error"] is not None
+    m = {(r["kind"], r["error_class"]): r["n"]
+         for r in decode_metrics(decode_media(df, image_decoder)).collect()}
+    assert m[("image", None)] == 2
+    assert m[("image", "ValueError")] == 2
+
+
+def test_jpeg_decoder_matches_pil_if_available():
+    """When PIL IS installed, the stdlib JPEG decoder's dims/components
+    agree with PIL on the same bytes, and the DC-derived mean luma is
+    within 1 gray level of PIL's pixel mean (clamping aside, DC-only
+    blocks reconstruct exactly)."""
+    import io
+
+    import pytest
+
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    from PIL import Image
+
+    from graphview_spark.operators.multimodal import jpeg_decoder
+
+    payload = _jpeg_bytes(16, 8, [(1, 1, 1, 0, 0, 0, [5, 2])])
+    got = jpeg_decoder(payload, "image")
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    pixels = list(img.convert("L").getdata())
+    assert (got[0], got[1]) == (float(img.width), float(img.height))
+    assert abs(got[3] - sum(pixels) / len(pixels)) <= 1.0
