@@ -11,11 +11,14 @@ wall seconds.
 from __future__ import annotations
 
 import json
-
-import pandas as pd  # noqa: F401 — pandas_udf type-hint resolution
 import os
 import sys
 import time
+
+try:  # optional: only the Python-worker warmup UDF needs pandas
+    import pandas as pd  # noqa: F401 — pandas_udf type-hint resolution
+except ImportError:  # pragma: no cover - env-dependent
+    pd = None
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -66,12 +69,13 @@ def main() -> None:
     # worker pool (the Arrow-batched queries would otherwise pay ~2s of
     # one-time worker spinup inside their min-of-3) — not timed
     qs[names[0]](spark, sf_dir).limit(1).collect()
-    from pyspark.sql.functions import pandas_udf as _pudf
+    if pd is not None:
+        from pyspark.sql.functions import pandas_udf as _pudf
 
-    @_pudf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-    spark.range(32, numPartitions=32).select(_warm("id")).collect()
+        @_pudf("long")
+        def _warm(s: pd.Series) -> pd.Series:
+            return s
+        spark.range(32, numPartitions=32).select(_warm("id")).collect()
 
     # The MinHash family is benchmarked the way a pipeline runs it: the
     # per-document signature table is a materialized artifact built ONCE

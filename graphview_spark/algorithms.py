@@ -51,7 +51,19 @@ def _loop_regime(spark):
     at cluster scale the loop body is data-dominated and AQE's skew
     splitting matters more than its scheduling overhead. Yields a
     ``size(n_rows)`` callable the loop invokes before building each
-    round's plan; session config is restored on exit."""
+    round's plan; session config is restored on exit.
+
+    Concurrency contract (ADVICE r6 #1): this mutates SESSION-GLOBAL
+    conf, so it assumes a single-threaded driver — the repo's execution
+    model throughout (one query at a time per SparkSession; the driver
+    gate, bench harness and tests all run queries serially). A
+    concurrent query on the same session would inherit the loop regime
+    for actions scheduled inside the window. Corollary for loop
+    authors: the regime only governs actions EXECUTED inside the
+    context — a lazily-checkpointed frame that escapes materializes
+    under the restored session conf, so materialize any frame whose
+    shuffle shape matters (e.g. the closure handed to the per-app
+    cache) with an eager action BEFORE the context exits."""
     conf = spark.conf
     prev_aqe = conf.get("spark.sql.adaptive.enabled")
     prev_parts = conf.get("spark.sql.shuffle.partitions")
@@ -1631,7 +1643,8 @@ def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle):
 
 
 def _distance_closure(e: DataFrame, budget_factor: int = 32,
-                      max_squarings: int = 12
+                      max_squarings: int = 12,
+                      materialize: bool = False
                       ) -> tuple[DataFrame, bool]:
     """Min-plus path-doubling: D ← min(D, D∘D) with dist summed along
     the composition — k squarings give exact shortest distances for
@@ -1650,7 +1663,17 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
     round compose — exactness by the same path-splitting argument, with
     "fresh" meaning the half's final exact value just arrived) and the
     non-eager checkpoint whose materializing action IS the fixpoint
-    probe (one job per squaring). Runs under _loop_regime."""
+    probe (one job per squaring). Runs under _loop_regime;
+    ``materialize=True`` eager-checkpoints the result BEFORE the regime
+    exits, so a closure that outlives the call (the per-app cache)
+    materializes under the loop's shuffle shape, not the restored
+    session conf (the _loop_regime escape caveat)."""
+    def _finish(frame, complete):
+        out = frame.select("src", "sink", "dist")
+        if materialize and complete:
+            out = out.localCheckpoint(eager=True)
+        return out, complete
+
     with _loop_regime(e.sparkSession) as size_shuffle:
         # seed covers dist ≤ 2 exactly (min over the 1-hop ∪ 2-hop
         # union): the first squaring rides the seed materialization.
@@ -1681,7 +1704,11 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
         )
         n = d.agg(F.count(F.lit(1))).first()[0]
         n_delta = n
-        budget = budget_factor * max(n, 1)
+        # budget on the RAW distinct-edge count (ADVICE r6 #2: basing
+        # it on the post-dist≤2-fold row count silently ~doubled the
+        # effective budget, tripping the bounded-memory fallback later
+        # than budget_factor advertises)
+        budget = budget_factor * max(n_e, 1)
         for i in range(max_squarings):
             size_shuffle(n)
             delta = d.filter(F.col("fresh") == 1)
@@ -1725,11 +1752,11 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
             row = d2.agg(F.count(F.lit(1)), F.sum("fresh")).first()
             n2, n_fresh = row[0], row[1]
             if n_fresh == 0:
-                return d.select("src", "sink", "dist"), True
+                return _finish(d, True)
             d, n, n_delta = d2, n2, n_fresh
             if n > budget:
-                return d.select("src", "sink", "dist"), False
-        return d.select("src", "sink", "dist"), False
+                return _finish(d, False)
+        return _finish(d, False)
 
 
 CLOSENESS_SEEDS = 8
@@ -1764,9 +1791,10 @@ def _cached_refers_closure(spark, sf_dir: str, g) -> tuple[DataFrame, bool]:
     ckey = (spark.sparkContext.applicationId, sf_dir)
     hit = _REFERS_CLOSURE_CACHE.get(ckey)
     if hit is None:
-        D, complete = _distance_closure(_refers_edges(g))
-        if complete:
-            D = D.localCheckpoint(eager=True)
+        from graphview_spark.session import evict_dead_app_entries
+
+        evict_dead_app_entries(_REFERS_CLOSURE_CACHE, ckey[0])
+        D, complete = _distance_closure(_refers_edges(g), materialize=True)
         hit = (D, complete)
         _REFERS_CLOSURE_CACHE[ckey] = hit
     return hit

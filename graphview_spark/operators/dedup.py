@@ -26,7 +26,13 @@ Scale design (the whole point of these operators):
 
 from __future__ import annotations
 
-import pandas as pd  # noqa: F401 — pandas_udf type-hint resolution
+try:  # optional: ONLY the LSH bucketing seam needs pandas — a
+    # pandas-less environment must still import the query registry
+    # (ADVICE r6 #3); module-level because pandas_udf resolves the
+    # seam's pd.Series type hints in this module's globals
+    import pandas as pd
+except ImportError:  # pragma: no cover - env-dependent
+    pd = None  # type: ignore[assignment]
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -251,6 +257,10 @@ def cached_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     sigs = _SIG_CACHE.get(key)
     if sigs is None:
+        from graphview_spark.session import evict_dead_app_entries
+
+        evict_dead_app_entries(_SIG_CACHE, key[0])
+        evict_dead_app_entries(_PAIR_CACHE, key[0])
         docs = read_spread(spark, sf_dir, "documents", "doc_id")
         sigs = minhash_signatures(docs).localCheckpoint(eager=True)
         _SIG_CACHE[key] = sigs
@@ -575,6 +585,10 @@ def _table_buckets_col(v: Column, planes: list[list[list[float]]]) -> Column:
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    if pd is None:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "pandas is required for the embedding-LSH bucketing leg")
+
     W = np.asarray(planes, dtype=np.float64)      # (tables, bits, dim)
     tables, bits, dim = W.shape
     flat = W.reshape(tables * bits, dim)
@@ -582,7 +596,19 @@ def _table_buckets_col(v: Column, planes: list[list[list[float]]]) -> Column:
 
     @pandas_udf("array<int>")
     def _buckets(vs: pd.Series) -> pd.Series:
-        V = np.vstack(vs.to_numpy())              # (batch, dim)
+        # validate before vstack: a NULL or wrong-length embedding row
+        # would otherwise kill the task with an opaque numpy traceback
+        # (ADVICE r6 #4); name the row so dead letters are diagnosable
+        arrs = vs.to_numpy()
+        for i, a in enumerate(arrs):
+            if a is None or len(a) != dim:
+                raise ValueError(
+                    f"embedding row in batch position {i} is "
+                    f"{'NULL' if a is None else f'length {len(a)}'}, "
+                    f"expected a {dim}-dim vector; filter or impute "
+                    "dirty vectors before LSH bucketing"
+                )
+        V = np.vstack(arrs)                       # (batch, dim)
         signs = (V @ flat.T >= 0).reshape(len(V), tables, bits)
         bk = (signs * powers).sum(axis=2).astype(np.int32)
         return pd.Series(list(bk))
@@ -745,6 +771,9 @@ def _embed_stats(spark: SparkSession, sf_dir: str,
     key = (spark.sparkContext.applicationId, sf_dir)
     st = _EMB_STAT_CACHE.get(key)
     if st is None:
+        from graphview_spark.session import evict_dead_app_entries
+
+        evict_dead_app_entries(_EMB_STAT_CACHE, key[0])
         row = (
             emb.groupBy("label")
             .agg(F.count(F.lit(1)).alias("_n"),
