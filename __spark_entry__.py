@@ -38,13 +38,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-6-born queries with no driver row in any round move IN
 # (text_dup_spans, sample_cluster_split, graph_betweenness,
 # pipeline_perplexity_bigram — after this round the whole registry is
-# driver-verified somewhere). Four multi-round-green stalwarts move to
-# extra_queries() (rel_pivot, rel_unpivot, rel_percentiles,
-# rel_window_lead_lag — each driver-green r1–r6), where every local
-# sweep still oracle-checks them.
+# driver-verified somewhere), PLUS the two queries born THIS round so
+# they don't wait a round for a driver row (rel_cube — the CUBE
+# surface; graph_betweenness_bfs — the budget-tripped Brandes fallback
+# leg). Six multi-round-green stalwarts move to extra_queries()
+# (rel_pivot, rel_unpivot, rel_percentiles, rel_window_lead_lag,
+# sample_split, search_postings — each driver-green ≥2 rounds), where
+# every local sweep still oracle-checks them.
 GATE_ROSTER = [
     # relational dialect
-    "rel_string_split", "rel_grouping_sets", "rel_lateral",
+    "rel_string_split", "rel_grouping_sets", "rel_cube", "rel_lateral",
     "rel_window_dist", "rel_window_ntile",
     # temporal / events
     "events_gapfill", "events_histogram", "events_anomaly", "events_json",
@@ -56,7 +59,7 @@ GATE_ROSTER = [
     # text analysis
     "text_pii_scrub", "text_gopher", "text_dup_spans",
     # sampling
-    "sample_split", "sample_group_topk", "sample_cluster_split",
+    "sample_group_topk", "sample_cluster_split",
     # similarity / ML
     "ml_quantize", "ml_outliers", "ml_knn", "ml_rproject",
     # streaming
@@ -65,13 +68,14 @@ GATE_ROSTER = [
     "graph_communities", "graph_weighted_paths", "graph_hits",
     "graph_kcore", "graph_ppr", "graph_node_sim", "graph_closeness",
     "graph_ktruss", "graph_scc", "graph_scc_peel", "graph_betweenness",
+    "graph_betweenness_bfs",
     # pipeline
     "pipeline_decontam", "pipeline_pack", "pipeline_quality_quantile",
     "pipeline_mix", "pipeline_chunk_dedup", "pipeline_data_card",
     "pipeline_temperature_mix", "pipeline_perplexity",
     "pipeline_perplexity_bigram",
     # search / retrieval
-    "search_bm25", "search_postings", "search_chunks", "search_hybrid",
+    "search_bm25", "search_chunks", "search_hybrid",
     # skew handling
     "skew_salted_agg",
 ]
@@ -92,6 +96,7 @@ def _registry() -> tuple[
         sampling,
         search,
         similarity,
+        sketch,
         skew,
         temporal,
         text,
@@ -101,7 +106,7 @@ def _registry() -> tuple[
     mods = [
         relational, temporal, graph_queries, dedup, text, sampling,
         similarity, clustering, multimodal, streaming_events, algorithms,
-        pipeline, search, skew,
+        pipeline, search, sketch, skew,
     ]
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

@@ -1,0 +1,200 @@
+"""Cardinality sketches (SURVEY §2.9 — net-new, the "novel sketch"
+class a 100 TB training-data pipeline needs).
+
+HyperLogLog over a deterministic md5-derived hash: estimating the
+distinct-token (vocabulary) count of a corpus shard is exactly the
+statistic the LM-perplexity operators need sized WITHOUT the
+vocabulary-sized shuffle a ``countDistinct`` pays — the register table
+is ONE map-side-combinable groupBy whose output is at most ``m`` rows
+per group, and registers MERGE across shards/corpora/days with a plain
+``max`` (the union query proves merge(sketch(A), sketch(B)) ==
+sketch(A ∪ B) value-for-value).
+
+Everything is deterministic and oracle-checkable, unlike the builtin
+``approx_count_distinct`` (whose HLL++ register layout DuckDB cannot
+replicate): the hash is the repo's standard
+``conv(substring(md5(w), 1, 15), 16, 10)`` 60-bit integer (identical
+in DuckDB via digit folding — operators/dedup.py), the register value
+is an integer leading-zero rank, the estimator's power-of-two sums are
+dyadic rationals (exact in double on both engines), and the final
+estimate is rounded to a long. The one transcendental (ln in the
+small-range correction) sits ~10 orders of magnitude above the
+rounding grid, the same exposure class as the LM perplexity snaps.
+
+Reference: Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog: the
+analysis of a near-optimal cardinality estimation algorithm" (AofA
+2007). The reference repo has no sketch surface (GraphView delegates
+aggregation to SQL Server); this is parity-plus for the pipeline
+story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphview_spark.session import read_table
+
+HLL_M = 256            # registers: low 8 bits of the hash
+HLL_REST_BITS = 52     # 60-bit hash minus the 8 bucket bits
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)   # standard bias constant
+
+
+def _hash60(col: Column) -> Column:
+    """The repo-standard 60-bit md5 hash (dedup.py's idiom)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group HLL register table: (group..., bucket, m) where
+    ``m`` = max leading-zero rank observed in the bucket. ONE
+    map-side-combinable shuffle; output ≤ HLL_M rows per group
+    regardless of input cardinality — the whole point at 100 TB.
+    Register tables merge across shards with groupBy(bucket).max(m)."""
+    withh = df.select(*group_cols, _hash60(F.col(value_col)).alias("_h"))
+    rest = F.expr(f"_h div {HLL_M}")  # integer div: top 52 hash bits
+    rho = F.when(rest == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+        # leading-zero rank: bin() length is floor(log2)+1, exactly
+        F.lit(HLL_REST_BITS + 1) - F.length(F.bin(rest))
+    )
+    return (
+        withh.select(
+            *group_cols,
+            (F.col("_h") % HLL_M).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """HLL estimate from a register table: raw estimator
+    αm²/Σ2^(−M_j) (empty registers contribute 2⁰ = 1), with the
+    standard small-range correction m·ln(m/V) when E ≤ 2.5m and V > 0
+    empty registers remain. All sums are dyadic-rational-exact;
+    returns (group..., n_registers, est_distinct long)."""
+    m = HLL_M
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s"),
+    )
+    e_raw = (
+        F.lit(HLL_ALPHA * m * m)
+        / (F.col("_s") + (F.lit(m) - F.col("n_registers")))
+    )
+    v = F.lit(m) - F.col("n_registers")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        "n_registers",
+        F.round(est, 0).cast("long").alias("est_distinct"),
+    )
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "")
+
+
+def q_sketch_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary-size estimate: HLL over the token
+    stream. One register shuffle (≤ 256 rows/language out) + a tiny
+    estimate aggregate — vs the token-vocabulary-sized shuffle of an
+    exact countDistinct, the operator this sketch replaces at scale."""
+    regs = hll_registers(_tokens(spark, sf_dir), ["lang"], "w")
+    return hll_estimate(regs, ["lang"])
+
+
+def q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability end-to-end: per-language sketches built on the two
+    doc_id-parity HALVES of the corpus, merged register-wise
+    (groupBy(bucket).max), then estimated. The DuckDB oracle computes
+    the whole-corpus sketch DIRECTLY (no halves) — the two formulations
+    agree value-for-value exactly when register merge is lossless,
+    which is the property that lets per-shard/per-day sketches roll up
+    without re-reading the corpus."""
+    tok = _tokens(spark, sf_dir).withColumn(
+        "half", (F.col("doc_id") % 2).cast("int"))
+    regs = hll_registers(tok, ["lang", "half"], "w")
+    merged = regs.groupBy("lang", "bucket").agg(F.max("m").alias("m"))
+    return hll_estimate(merged, ["lang"])
+
+
+def _sql_hll(group_by_half: bool = False) -> str:
+    """DuckDB mirror: same hash, same register math, same estimator."""
+    from graphview_spark.operators.dedup import _sql_hex15_to_int
+
+    m = HLL_M
+    rb = HLL_REST_BITS
+    halves = (
+        "SELECT lang, doc_id % 2 AS half, h FROM h0"
+        if group_by_half else "SELECT lang, h FROM h0"
+    )
+    merge = (
+        # per-half registers, then lossless max-merge (mirrors the
+        # Spark side); identical to direct registers by construction
+        f"r0 AS (SELECT lang, half, h % {m} AS bucket, "
+        f"max(CASE WHEN h // {m} = 0 THEN {rb + 1} "
+        f"ELSE {rb + 1} - length(printf('%b', h // {m})) END) AS m "
+        "FROM hh GROUP BY lang, half, bucket), "
+        "r AS (SELECT lang, bucket, max(m) AS m FROM r0 "
+        "GROUP BY lang, bucket)"
+        if group_by_half else
+        f"r AS (SELECT lang, h % {m} AS bucket, "
+        f"max(CASE WHEN h // {m} = 0 THEN {rb + 1} "
+        f"ELSE {rb + 1} - length(printf('%b', h // {m})) END) AS m "
+        "FROM hh GROUP BY lang, bucket)"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+h0 AS (
+  SELECT doc_id, lang, {_sql_hex15_to_int('w')} AS h
+  FROM tok WHERE w <> ''
+),
+hh AS ({halves}),
+{merge},
+agg AS (
+  SELECT lang, count(*) AS n_registers,
+         sum(power(2.0, -m)) AS s
+  FROM r GROUP BY lang
+),
+est AS (
+  SELECT lang, n_registers,
+         {HLL_ALPHA!r}::DOUBLE * {m} * {m}
+           / (s + ({m} - n_registers)) AS e_raw,
+         {m} - n_registers AS v
+  FROM agg
+)
+SELECT lang, n_registers,
+       round(CASE WHEN e_raw <= {2.5 * m} AND v > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / v)
+                  ELSE e_raw END)::BIGINT AS est_distinct
+FROM est
+"""
+
+
+QUERIES = {}
+ORACLES = {}
+EXTRA_QUERIES = {
+    "sketch_distinct_hll": q_sketch_distinct_hll,
+    "sketch_hll_union": q_sketch_hll_union,
+}
+EXTRA_ORACLES = {
+    "sketch_distinct_hll": _sql_hll(group_by_half=False),
+    # NOTE: the union oracle is the DIRECT whole-corpus sketch — the
+    # Spark side goes through the per-half merge; equality IS the
+    # mergeability proof
+    "sketch_hll_union": _sql_hll(group_by_half=False),
+}
