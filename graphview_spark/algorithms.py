@@ -1936,37 +1936,49 @@ def brandes_betweenness(
     graphs it is the σ-fractional centrality (property-tested against
     brute-force Brandes in tests/test_property_closure.py)."""
     sid = seeds.columns[0]
-    edges = (
-        edges.select("src", "sink").distinct().localCheckpoint(eager=True)
-    )
-    lvl = (
-        seeds.select(F.col(sid).alias("s"))
-        .distinct()
-        .select("s", F.col("s").alias("id"),
-                F.lit(1.0).alias("sigma"))
-        .localCheckpoint(eager=True)
-    )
-    levels = [lvl]
-    settled = lvl.select("s", "id").localCheckpoint(eager=True)
-    for _ in range(max_depth):
-        frontier = levels[-1]
-        nxt = (
-            frontier.join(edges, frontier["id"] == edges["src"])
-            .select("s", F.col("sink").alias("id"), "sigma")
-            .groupBy("s", "id")
-            .agg(F.sum("sigma").alias("sigma"))
-            .join(settled, ["s", "id"], "left_anti")
+    spark = seeds.sparkSession
+    with _loop_regime(spark) as size_shuffle:
+        edges = (
+            edges.select("src", "sink").distinct()
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
-            break
-        levels.append(nxt)
-        settled = settled.unionByName(
-            nxt.select("s", "id")).localCheckpoint(eager=True)
+        size_shuffle(edges.count())
+        lvl = (
+            seeds.select(F.col(sid).alias("s"))
+            .distinct()
+            .select("s", F.col("s").alias("id"),
+                    F.lit(1.0).alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        levels = [lvl]
+        # settled = plain union of already-checkpointed level frames:
+        # no checkpoint of its own (the lineage is just LogicalRDD
+        # unions, nothing recomputes), and the per-level count() probe
+        # doubles as the checkpoint-materializing action — ONE job per
+        # BFS level (count computes every partition, so the lazy
+        # checkpoint is fully cached; isEmpty would leave partitions
+        # unmaterialized)
+        settled = lvl.select("s", "id")
+        for _ in range(max_depth):
+            frontier = levels[-1]
+            nxt = (
+                frontier.join(edges, frontier["id"] == edges["src"])
+                .select("s", F.col("sink").alias("id"), "sigma")
+                .groupBy("s", "id")
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(settled, ["s", "id"], "left_anti")
+                .localCheckpoint(eager=False)
+            )
+            if nxt.count() == 0:
+                break
+            levels.append(nxt)
+            settled = settled.unionByName(nxt.select("s", "id"))
     # reverse sweep: δ at the deepest level is 0; each shallower level
     # joins its BFS-tree successors one level down. Lazy checkpoints
-    # keep the δ-chain's plan linear; the final aggregate materializes.
-    spark = seeds.sparkSession
+    # keep the δ-chain's plan linear; the caller's single action
+    # materializes the chain (outside the loop regime: one analytical
+    # plan where AQE earns its keep — the loop-regime caveat applies
+    # only to the per-level probe jobs above).
     zero = F.lit(0.0).alias("delta")
     deltas = levels[-1].select("s", "id", zero)
     acc = [deltas] if len(levels) > 1 else []
