@@ -371,10 +371,14 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language vocabulary size (exact distinct tokens) and token
     volume — the canonical expensive distinct-aggregation: explode →
     two-level shuffle (partial distinct per partition, then merge). The
-    HLL sketch variant (``approx_count_distinct``) is the 100 TB path —
-    one pass, mergeable state, no exact-distinct shuffle — asserted
-    within rsd bounds in tests/test_text_vocab.py (approximate values
-    are engine-specific, so the exact form is the oracle-gated one)."""
+    HLL sketch variant is the 100 TB path — one pass, mergeable state,
+    no exact-distinct shuffle. Two forms exist: the builtin
+    ``approx_count_distinct`` (asserted within rsd bounds in
+    tests/test_text_vocab.py; its HLL++ registers are engine-specific,
+    so it can't be oracle-gated) and operators/sketch.py's
+    deterministic md5-register HLL (``sketch_distinct_hll``), which IS
+    oracle-gated and whose register tables merge losslessly across
+    shards (``sketch_hll_union``)."""
     from graphview_spark.operators.dedup import read_spread
 
     docs = read_spread(spark, sf_dir, "documents", "doc_id")
