@@ -324,8 +324,12 @@ def hits(
         raise ValueError("hits needs at least one iteration")
     import math
 
-    # 2 scans per round × iterations — materialize the edge lineage once
-    edges = edges.select("src", "sink").localCheckpoint(eager=True)
+    from graphview_spark.plans import lazy as _lazy
+
+    # 2 scans per round × iterations — materialize the edge lineage
+    # once (pin: pass-through under the lazy plan audit, so auditing
+    # graph_hits neither runs a job nor truncates the audited plan)
+    edges = _lazy.pin(edges.select("src", "sink"))
     if scale is None:
         n_e = edges.count()
         scale = math.ldexp(1.0, max(n_e - 1, 1).bit_length())
