@@ -314,6 +314,9 @@ def jpeg_decoder(payload: bytes, kind: str) -> list[float]:
             raise ValueError(f"bad JPEG marker stream at byte {pos}")
         m = payload[pos + 1]
         pos += 2
+        if m == 0xFF:  # fill byte (T.81 B.1.1.2: FF padding before a
+            pos -= 1   # marker is legal); re-sync on the next byte
+            continue
         if m == 0x01 or 0xD0 <= m <= 0xD9:  # TEM/RSTn/SOI/EOI: bare
             continue
         (ln,) = struct.unpack(">H", payload[pos:pos + 2])

@@ -53,6 +53,8 @@ def hll_registers(
     map-side-combinable shuffle; output ≤ HLL_M rows per group
     regardless of input cardinality — the whole point at 100 TB.
     Register tables merge across shards with groupBy(bucket).max(m)."""
+    if "_h" in group_cols:
+        raise ValueError("group column name '_h' is reserved here")
     withh = df.select(*group_cols, _hash60(F.col(value_col)).alias("_h"))
     rest = F.expr(f"_h div {HLL_M}")  # integer div: top 52 hash bits
     rho = F.when(rest == 0, F.lit(HLL_REST_BITS + 1)).otherwise(

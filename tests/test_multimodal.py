@@ -549,3 +549,15 @@ def test_jpeg_decoder_matches_pil_if_available():
     pixels = list(img.convert("L").getdata())
     assert (got[0], got[1]) == (float(img.width), float(img.height))
     assert abs(got[3] - sum(pixels) / len(pixels)) <= 1.0
+
+
+def test_jpeg_decoder_tolerates_fill_bytes():
+    """T.81 B.1.1.2 allows 0xFF fill padding before any marker; the
+    parser re-syncs instead of misreading a segment length."""
+    from graphview_spark.operators.multimodal import jpeg_decoder
+
+    payload = _jpeg_bytes(16, 8, [(1, 1, 1, 0, 0, 0, [5, 2])])
+    # inject two fill bytes before the SOF0 marker
+    i = payload.index(b"\xff\xc0")
+    padded = payload[:i] + b"\xff\xff" + payload[i:]
+    assert jpeg_decoder(padded, "image") == [16.0, 8.0, 1.0, 135.0]
