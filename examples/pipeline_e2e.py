@@ -16,10 +16,16 @@ modules contributed plans).
                               benchmark slice
       5. quality filter       keep docs at/above the per-lang median
                               quality score
-      6. split                deterministic 80/10/10 hash split, keep
-                              train
+      6. split                LEAKAGE-SAFE 80/10/10: keyed on the
+                              near-dup clusters from stage 2, so no
+                              near-duplicate pair straddles splits;
+                              keep train
       7. pack                 concat-and-chunk into 2048-token
                               sequences over 8 shards
+      8. report               per-language vocabulary-size estimate of
+                              the packed train set via the
+                              deterministic HLL sketch (≤256 register
+                              rows/language — no vocab-sized shuffle)
 
 Run: python examples/pipeline_e2e.py [sf_dir]
 """
@@ -48,7 +54,11 @@ def run_pipeline(spark, sf_dir: str) -> dict[str, DataFrame]:
         decontaminate,
         pack_sequences,
     )
-    from graphview_spark.operators.sampling import assign_split
+    from graphview_spark.operators.sampling import cluster_safe_split
+    from graphview_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
     from graphview_spark.operators.text import quality_milli_col
     from graphview_spark.session import read_table
 
@@ -96,12 +106,23 @@ def run_pipeline(spark, sf_dir: str) -> dict[str, DataFrame]:
     )
     stages["quality"] = docs
 
-    # 6. deterministic split, keep train
-    docs = assign_split(docs, "doc_id").filter(F.col("split") == "train")
+    # 6. leakage-safe deterministic split: near-dup cluster members
+    #    (stage 2's clusters) land in the SAME split, so a train doc
+    #    can never be a near-duplicate of an eval doc; keep train
+    docs = cluster_safe_split(docs, clusters).filter(
+        F.col("split") == "train")
     stages["train_split"] = docs
 
     # 7. pack into fixed-budget sequences
     stages["packed"] = pack_sequences(docs)
+
+    # 8. data-card report: per-language vocabulary estimate of the
+    #    train set (deterministic HLL — bounded register shuffle)
+    tok = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    stages["vocab_report"] = hll_estimate(
+        hll_registers(tok, ["lang"], "w"), ["lang"])
     return stages
 
 

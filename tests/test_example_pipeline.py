@@ -35,3 +35,22 @@ def test_pipeline_e2e_stages(spark):
     packed = stages["packed"]
     assert packed.count() == counts["train_split"]
     assert packed.select("doc_id").distinct().count() == counts["train_split"]
+
+
+def test_pipeline_e2e_round7_stages(spark):
+    """Round-7 composition: the split is keyed on stage 2's near-dup
+    clusters (leakage-safe by construction) and the vocab report is
+    the bounded-output HLL sketch."""
+    from pipeline_e2e import run_pipeline
+
+    stages = run_pipeline(spark, "/root/testdata/sf0.001")
+    splits = {
+        r["split"]
+        for r in stages["train_split"].select("split").distinct().collect()
+    }
+    assert splits == {"train"}
+    report = stages["vocab_report"].collect()
+    assert report, "vocab report must cover at least one language"
+    for r in report:
+        assert r["est_distinct"] > 0
+        assert r["n_registers"] <= 256
