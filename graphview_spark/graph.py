@@ -36,6 +36,31 @@ from graphview_spark.ddl import parse_create_node_table
 EDGE_META_COLS = ("src", "edge_id", "sink")
 
 
+class _ShadowedCounts(dict):
+    """Edge-count cache that forwards invalidation to the sampling-table
+    cache: any pop/clear/overwrite of a count (DML, TRUNCATE, rollback,
+    ClearData) also drops that edge's sampling tables.
+    ``update_statistics`` bypasses the forwarding with
+    ``dict.__setitem__`` when it stores an estimate DERIVED from the
+    live sample (the sample must survive its own estimate)."""
+
+    def __init__(self, shadow: dict):
+        super().__init__()
+        self._shadow = shadow
+
+    def pop(self, key, *default):
+        self._shadow.pop(key, None)
+        return super().pop(key, *default)
+
+    def clear(self):
+        self._shadow.clear()
+        super().clear()
+
+    def __setitem__(self, key, value):
+        self._shadow.pop(key, None)
+        super().__setitem__(key, value)
+
+
 class GraphViewError(RuntimeError):
     """Engine-level error — the analog of the reference's
     GraphViewException (GraphView/GraphViewException.cs)."""
@@ -147,8 +172,13 @@ class GraphDatabase:
         self._edge_batch: dict[str, int] = {}          # "Table.Edge" -> next _ord
         # cheap cached cardinalities for the MATCH planner's greedy join
         # order (the reference's AverageDegree statistics,
-        # MatchGraphInterface.cs:47-189); invalidated by DML
-        self._edge_counts: dict[str, int] = {}
+        # MatchGraphInterface.cs:47-189); invalidated by DML. The edge
+        # count cache forwards every invalidation (pop/clear/overwrite)
+        # to the sampling-table cache, so a sample can never outlive
+        # the data it was drawn from.
+        self._edge_samples: dict[str, dict[float, DataFrame]] = {}
+        self._edge_counts: dict[str, int] = _ShadowedCounts(
+            self._edge_samples)
         self._node_counts: dict[str, int] = {}
         # materialized degree aggregates (the reference keeps degrees as
         # STORED columns, GraphViewParser.cs:1041-1056; we materialize on
@@ -746,7 +776,84 @@ class GraphDatabase:
             self._node_counts[name] = n
         return n
 
-    def update_statistics(self, table_name: str | None = None) -> dict:
+    _SAMPLING_DENOM = 1_000_000
+
+    def sampling_table(
+        self, qualified: str, fraction: float = 0.001
+    ) -> DataFrame:
+        """Reference parity — the per-edge-column sampling table
+        (`<schema>_<table>_<edge>_Sampling` of decoded (Src, EdgeId,
+        Sink, attrs), GraphViewConnection.cs:1036-1050; refreshed by
+        UpdateTableStatistics, GraphViewConnection.cs:2933-2993): a
+        MATERIALIZED sample of the decoded edge frame. Two deliberate
+        differences from the reference: the sample is deterministic —
+        md5(src:edge_id) bucketing, not the reference's
+        CHECKSUM(NEWID()) LocalNodeId — so refreshes are reproducible
+        and testable; and it is an in-memory localCheckpoint keyed by
+        (edge, fraction) rather than a SQL table, invalidated by every
+        path that invalidates the count caches (DML, TRUNCATE,
+        rollback, ClearData — see _ShadowedCounts). Scale: the filter
+        is map-only over the decoded frame and the materialized sample
+        holds fraction·|E| rows."""
+        if not 0 < fraction <= 1:
+            raise GraphViewError(
+                f"sampling fraction must be in (0, 1], got {fraction}")
+        per_edge = self._edge_samples.setdefault(qualified, {})
+        hit = per_edge.get(fraction)
+        if hit is not None:
+            return hit
+        df = self.edge_with_id(qualified)
+        key = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("src"), F.col("edge_id"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long") % self._SAMPLING_DENOM
+        sample = df.filter(
+            key < int(fraction * self._SAMPLING_DENOM)
+        ).localCheckpoint(eager=True)
+        per_edge[fraction] = sample
+        return sample
+
+    def edge_histogram(
+        self, qualified: str, buckets: int = 64, fraction: float = 0.001
+    ) -> DataFrame:
+        """The reference's optimizer histograms, from the sampling
+        table (Statistics.cs builds per-edge histograms over sampled
+        sink GlobalNodeIds for join selectivity): equi-width buckets
+        over the sample's sink-id range, counts scaled by 1/fraction to
+        full-table estimates. Returns (bucket, lo, hi, est_edges) —
+        est_edges for a predicate's id range is the selectivity input
+        a cost-based planner consumes; our greedy MATCH order uses the
+        avg-degree summary, with AQE correcting at runtime (SURVEY
+        §4.2)."""
+        s = self.sampling_table(qualified, fraction)
+        row = s.agg(F.min("sink").alias("lo"), F.max("sink").alias("hi")
+                    ).first()
+        if row["lo"] is None:
+            return self.spark.createDataFrame(
+                [], "bucket int, lo long, hi long, est_edges long")
+        lo, hi = row["lo"], row["hi"]
+        width = max((hi - lo) // buckets + 1, 1)
+        b = F.floor((F.col("sink") - F.lit(lo)) / F.lit(width)).cast("int")
+        return (
+            s.groupBy(b.alias("bucket"))
+            .agg(F.round(F.count(F.lit(1)) / fraction, 0)
+                 .cast("long").alias("est_edges"))
+            .select(
+                "bucket",
+                (F.lit(lo) + F.col("bucket").cast("long") * width)
+                .alias("lo"),
+                (F.lit(lo) + (F.col("bucket") + 1).cast("long") * width - 1)
+                .alias("hi"),
+                "est_edges",
+            )
+        )
+
+    def update_statistics(
+        self, table_name: str | None = None,
+        sample_fraction: float | None = None,
+    ) -> dict:
         """Refresh the planner's cached statistics (reference:
         UpdateTableStatistics / UpdateEdgeAverageDegree,
         GraphViewConnection.cs:2747-2931, which maintain per-edge average
@@ -755,10 +862,16 @@ class GraphDatabase:
         (matching/planner.py:148-153); they self-populate lazily and DML
         invalidates them, so this call is only needed to force an eager
         refresh (e.g. after bulk load, before a planning-heavy batch).
-        Returns {table: rows} ∪ {edge: (rows, avg_out_degree)}. The
-        reference's SAMPLING TABLES themselves stay deliberately absent:
-        runtime re-planning (AQE) replaces estimate correction, SURVEY
-        §4.2."""
+        Returns {table: rows} ∪ {edge: (rows, avg_out_degree)}.
+
+        ``sample_fraction`` switches edge statistics to the reference's
+        actual sampling-table mechanism: edge row counts (and the
+        average degrees derived from them) are ESTIMATED as
+        sample_count / fraction from :meth:`sampling_table` instead of
+        exact scans — at 100 TB an exact edge count is a full pass,
+        the estimate touches fraction·|E| rows. Node counts stay exact
+        (the reference samples only edge columns). Estimates populate
+        the same planner caches the exact path fills."""
         tables = (
             [self.catalog.table(table_name)]
             if table_name
@@ -771,7 +884,15 @@ class GraphDatabase:
             out[t.name] = n
             for e in t.edges.values():
                 self._edge_counts.pop(e.qualified, None)
-                ne = self.edge_count(e.qualified)
+                if sample_fraction is not None:
+                    ns = self.sampling_table(
+                        e.qualified, sample_fraction).count()
+                    ne = int(round(ns / sample_fraction))
+                    # the estimate is DERIVED from the live sample:
+                    # bypass _ShadowedCounts' invalidation forwarding
+                    dict.__setitem__(self._edge_counts, e.qualified, ne)
+                else:
+                    ne = self.edge_count(e.qualified)
                 out[e.qualified] = (ne, round(ne / n, 4) if n else 0.0)
         return out
 

@@ -187,16 +187,162 @@ FROM est
 """
 
 
+# --------------------------------------------------------------------------
+# Count-Min sketch — the frequency sibling of the HLL cardinality
+# sketch: approximate per-token counts (heavy hitters, boilerplate and
+# stopword detection) from a cell table of at most depth×width rows per
+# group, built in ONE map-side-combinable shuffle and merged across
+# shards by plain SUM. Deterministic md5 row-hashes, integer cells —
+# oracle-replicable exactly. Classic guarantee: estimates never
+# undercount and overcount by ≤ (e/width)·N with probability
+# 1−exp(−depth) (Cormode & Muthukrishnan 2005).
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(token: Column, row_i: int) -> Column:
+    """Row-i bucket: the repo-standard md5 hash, salted with the row
+    index, modulo the width."""
+    return (
+        _hash60(F.concat(F.lit(f"{row_i}:"), token)) % CMS_WIDTH
+    )
+
+
+def cms_cells(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group CMS cell table (group..., r, c, n): each value
+    increments one bucket per hash row. One explode (depth small and
+    fixed) + one map-side-combinable groupBy; output is bounded by
+    depth×width rows per group regardless of input size. Cell tables
+    merge across shards by summing n."""
+    coords = F.array(*[
+        F.struct(
+            F.lit(i).alias("r"),
+            _cms_bucket(F.col(value_col), i).alias("c"),
+        )
+        for i in range(CMS_DEPTH)
+    ])
+    return (
+        df.select(*group_cols, F.explode(coords).alias("rc"))
+        .groupBy(*group_cols, F.col("rc.r").alias("r"),
+                 F.col("rc.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame, group_cols: list[str], probes: list[str]
+) -> DataFrame:
+    """Point-query the sketch for a probe set: min over the depth rows
+    of each probe's cell (0 when the cell is empty — the group never
+    saw a colliding value). Returns (group..., token, est long)."""
+    spark = cells.sparkSession
+    pdf = spark.createDataFrame([(t,) for t in probes], "token string")
+    coords = pdf.select(
+        "token",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("r"),
+                _cms_bucket(F.col("token"), i).alias("c"),
+            )
+            for i in range(CMS_DEPTH)
+        ])).alias("rc"),
+    ).select("token", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    groups = cells.select(*group_cols).distinct()
+    base = groups.crossJoin(coords)
+    return (
+        base.join(cells, [*group_cols, "r", "c"], "left")
+        .groupBy(*group_cols, "token")
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est"))
+    )
+
+
+# fixed probe set for the gate queries: three corpus heavy hitters +
+# one token that never occurs (its estimate is pure collision noise,
+# bounded by the CMS error guarantee — and deterministic, so the
+# oracle reproduces it exactly)
+CMS_PROBES = ["join", "hash", "scan", "zz_absent_token"]
+
+
+def q_sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language approximate token counts for a fixed probe set via
+    Count-Min — the one-pass bounded-state replacement for an exact
+    per-token count at corpus scale."""
+    cells = cms_cells(_tokens(spark, sf_dir), ["lang"], "w")
+    return cms_estimate(cells, ["lang"], CMS_PROBES)
+
+
+def q_sketch_cms_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS mergeability end-to-end: per-half cell tables summed
+    register-wise, then point-queried. The oracle computes the
+    whole-corpus cells directly — equality proves the SUM merge is
+    lossless (counts are linear), the property that lets per-shard
+    sketches roll up without re-reading the corpus."""
+    tok = _tokens(spark, sf_dir).withColumn(
+        "half", (F.col("doc_id") % 2).cast("int"))
+    cells = cms_cells(tok, ["lang", "half"], "w")
+    merged = cells.groupBy("lang", "r", "c").agg(F.sum("n").alias("n"))
+    return cms_estimate(merged, ["lang"], CMS_PROBES)
+
+
+def _sql_cms() -> str:
+    """DuckDB mirror: same salted hash, same cells, same min-of-rows
+    point query (direct whole-corpus form — also the union oracle)."""
+    from graphview_spark.operators.dedup import _sql_hex15_to_int
+
+    d, w = CMS_DEPTH, CMS_WIDTH
+    probe_rows = ", ".join(f"('{t}')" for t in CMS_PROBES)
+    row_selects = " UNION ALL ".join(
+        f"SELECT lang, w AS tok, {i} AS r, "
+        f"{_sql_hex15_to_int(repr(str(i)+':') + ' || w')} % {w} AS c "
+        "FROM tok"
+        for i in range(d)
+    )
+    probe_coords = " UNION ALL ".join(
+        f"SELECT token, {i} AS r, "
+        f"{_sql_hex15_to_int(repr(str(i)+':') + ' || token')} % {w} AS c "
+        "FROM probes"
+        for i in range(d)
+    )
+    return f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+  WHERE TRUE
+),
+tok2 AS (SELECT lang, w FROM tok WHERE w <> ''),
+coords AS ({row_selects.replace('FROM tok', 'FROM tok2')}),
+cells AS (
+  SELECT lang, r, c, count(*) AS n FROM coords GROUP BY lang, r, c
+),
+probes(token) AS (VALUES {probe_rows}),
+pc AS ({probe_coords}),
+base AS (SELECT DISTINCT lang FROM cells),
+pointq AS (
+  SELECT b.lang, p.token, p.r, p.c, coalesce(cl.n, 0) AS n
+  FROM base b CROSS JOIN pc p
+  LEFT JOIN cells cl ON cl.lang = b.lang AND cl.r = p.r AND cl.c = p.c
+)
+SELECT lang, token, min(n) AS est FROM pointq GROUP BY lang, token
+"""
+
+
 QUERIES = {}
 ORACLES = {}
 EXTRA_QUERIES = {
     "sketch_distinct_hll": q_sketch_distinct_hll,
     "sketch_hll_union": q_sketch_hll_union,
+    "sketch_cms_counts": q_sketch_cms_counts,
+    "sketch_cms_union": q_sketch_cms_union,
 }
 EXTRA_ORACLES = {
     "sketch_distinct_hll": _sql_hll(group_by_half=False),
-    # NOTE: the union oracle is the DIRECT whole-corpus sketch — the
+    # NOTE: the union oracles are the DIRECT whole-corpus sketch — the
     # Spark side goes through the per-half merge; equality IS the
     # mergeability proof
     "sketch_hll_union": _sql_hll(group_by_half=False),
+    "sketch_cms_counts": _sql_cms(),
+    "sketch_cms_union": _sql_cms(),
 }

@@ -1,0 +1,106 @@
+"""Sampling tables + optimizer histograms — the reference's per-edge
+`_Sampling` table mechanism (GraphViewConnection.cs:1036-1050,
+refresh 2933-2993; Statistics.cs histograms), re-expressed as
+deterministic md5-bucketed samples with scaled estimates.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def g(spark):
+    from graphview_spark.graph_queries import tpch_graph
+
+    return tpch_graph(spark, "/root/testdata/sf0.01")
+
+
+REFERS = "Customer.Refers"
+
+
+def test_sample_is_deterministic_and_cached(g):
+    s1 = g.sampling_table(REFERS, fraction=0.5)
+    s2 = g.sampling_table(REFERS, fraction=0.5)
+    assert s1 is s2  # cache hit
+    rows = sorted((r["src"], r["edge_id"], r["sink"]) for r in s1.collect())
+    fresh = sorted(
+        (r["src"], r["edge_id"], r["sink"])
+        for r in g.sampling_table(REFERS, fraction=0.5).collect()
+    )
+    assert rows == fresh
+    n_total = g.edge_count(REFERS)
+    n_sample = len(rows)
+    assert 0 < n_sample < n_total
+    # md5 bucketing: sample size within ±20% of fraction at ~1.5k edges
+    assert abs(n_sample - 0.5 * n_total) / (0.5 * n_total) < 0.20
+
+
+def test_estimated_statistics_close_to_exact(g):
+    exact = g.edge_count(REFERS)
+    stats = g.update_statistics("Customer", sample_fraction=0.5)
+    est, avg_deg = stats[REFERS]
+    assert abs(est - exact) / exact < 0.20
+    # the estimate landed in the planner cache (no exact scan happened)
+    assert g.edge_count(REFERS) == est
+    # refreshing without a fraction restores the exact count
+    g.update_statistics("Customer")
+    assert g.edge_count(REFERS) == exact
+
+
+def test_histogram_buckets_cover_and_sum(g):
+    hist = g.edge_histogram(REFERS, buckets=16, fraction=0.5).collect()
+    assert 1 <= len(hist) <= 16
+    est_total = sum(r["est_edges"] for r in hist)
+    exact = g.edge_count(REFERS)
+    assert abs(est_total - exact) / exact < 0.25
+    for r in hist:
+        assert r["lo"] <= r["hi"]
+        assert r["est_edges"] > 0
+
+
+def test_dml_invalidates_sample(spark):
+    from graphview_spark.graph import GraphDatabase
+
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [P](
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Edge", Reference:"P"] E VARBINARY(max))"""
+    )
+    g.execute("INSERT INTO P(id) VALUES (1),(2),(3)")
+    g.execute("INSERT EDGE INTO P.E SELECT a, b FROM P a, P b "
+              "WHERE a.id = 1 AND b.id = 2")
+    s1 = g.sampling_table("P.E", fraction=1.0)
+    assert s1.count() == 1
+    g.execute("INSERT EDGE INTO P.E SELECT a, b FROM P a, P b "
+              "WHERE a.id = 2 AND b.id = 3")
+    s2 = g.sampling_table("P.E", fraction=1.0)
+    assert s2 is not s1  # DML invalidated the cached sample
+    assert s2.count() == 2
+
+
+def test_truncate_invalidates_sample(spark):
+    from graphview_spark.graph import GraphDatabase
+
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [Q](
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Edge", Reference:"Q"] E VARBINARY(max))"""
+    )
+    g.execute("INSERT INTO Q(id) VALUES (1),(2)")
+    g.execute("INSERT EDGE INTO Q.E SELECT a, b FROM Q a, Q b "
+              "WHERE a.id = 1 AND b.id = 2")
+    assert g.sampling_table("Q.E", fraction=1.0).count() == 1
+    g.execute("TRUNCATE TABLE Q")
+    assert g.sampling_table("Q.E", fraction=1.0).count() == 0
+
+
+def test_bad_fraction_rejected(g):
+    from graphview_spark.graph import GraphViewError
+
+    with pytest.raises(GraphViewError, match="fraction"):
+        g.sampling_table(REFERS, fraction=0.0)
+    with pytest.raises(GraphViewError, match="fraction"):
+        g.sampling_table(REFERS, fraction=1.5)

@@ -87,3 +87,68 @@ def test_grouped_estimates_independent(spark):
     }
     assert abs(rows["big"] - 10_000) / 10_000 < 0.20
     assert abs(rows["small"] - 100) / 100 < 0.20
+
+
+def test_cms_never_undercounts_and_bounds_error(spark):
+    """CMS guarantees: est >= exact always; overcount <= (e/width)*N in
+    expectation (assert a loose deterministic 4x slack on this fixed
+    dataset — the hash is md5, so the values never change run to run)."""
+    import math
+
+    from graphview_spark.operators.sketch import (
+        CMS_WIDTH,
+        cms_cells,
+        cms_estimate,
+    )
+
+    n, vocab = 40_000, 500
+    df = spark.range(n).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("w"), (F.col("id") % vocab)).cast("string").alias("w"),
+    )
+    exact = {r["w"]: r["c"] for r in
+             df.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()}
+    probes = ["w0", "w1", "w250", "w499", "nope"]
+    cells = cms_cells(df, ["g"], "w")
+    est = {r["token"]: r["est"] for r in
+           cms_estimate(cells, ["g"], probes).collect()}
+    bound = 4 * math.e / CMS_WIDTH * n
+    for t in probes:
+        truth = exact.get(t, 0)
+        assert est[t] >= truth, (t, est[t], truth)
+        assert est[t] - truth <= bound, (t, est[t], truth, bound)
+
+
+def test_cms_merge_equals_direct(spark):
+    """Counts are linear, so summing per-shard cell tables is a
+    lossless merge — estimates identical to the direct sketch."""
+    from graphview_spark.operators.sketch import cms_cells, cms_estimate
+
+    a = spark.range(5_000).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("w"), (F.col("id") % 100)).cast("string").alias("w"))
+    b = spark.range(3_000).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("w"), (F.col("id") % 37)).cast("string").alias("w"))
+    probes = ["w0", "w5", "w36", "w99"]
+    direct = {r["token"]: r["est"] for r in cms_estimate(
+        cms_cells(a.unionByName(b), ["g"], "w"), ["g"], probes).collect()}
+    merged_cells = (
+        cms_cells(a, ["g"], "w").unionByName(cms_cells(b, ["g"], "w"))
+        .groupBy("g", "r", "c").agg(F.sum("n").alias("n"))
+    )
+    via_merge = {r["token"]: r["est"] for r in
+                 cms_estimate(merged_cells, ["g"], probes).collect()}
+    assert via_merge == direct
+
+
+def test_cms_cell_table_bounded(spark):
+    from graphview_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_cells,
+    )
+
+    df = spark.range(30_000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("w"))
+    assert cms_cells(df, ["g"], "w").count() <= CMS_DEPTH * CMS_WIDTH
