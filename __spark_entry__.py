@@ -44,7 +44,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # leg). Six multi-round-green stalwarts move to extra_queries()
 # (rel_pivot, rel_unpivot, rel_percentiles, rel_window_lead_lag,
 # sample_split, search_postings — each driver-green ≥2 rounds), where
-# every local sweep still oracle-checks them.
+# every local sweep still oracle-checks them. Round-8 rotation
+# candidates (born late in round 7, no driver row yet): the four
+# sketch queries (sketch_distinct_hll, sketch_hll_union,
+# sketch_cms_counts, sketch_cms_union).
 GATE_ROSTER = [
     # relational dialect
     "rel_string_split", "rel_grouping_sets", "rel_cube", "rel_lateral",

@@ -34,14 +34,21 @@ def read_input(
     sep: str = ",",
     header: bool = True,
     columns: list[str] | None = None,
+    line_sep: str | None = None,
 ) -> DataFrame:
     """Read a bulk-load input file: ``csv`` (the reference's delimited
     format), ``jsonl`` (line-delimited JSON — the training-corpus
     interchange staple), or ``parquet``. All three split by file blocks
     and read distributed; csv/jsonl types resolve at the cast below, so
-    no inferSchema pass over the data."""
+    no inferSchema pass over the data. ``sep``/``line_sep`` are the
+    reference's FIELDTERMINATOR/ROWTERMINATOR pair
+    (BulkInsert.cs:156-202 — its custom reader KMP-matches arbitrary
+    row terminators; Spark's csv lineSep covers the 1-2 char forms,
+    which is every terminator the tutorials use)."""
     if fmt == "csv":
-        df = spark.read.csv(path, sep=sep, header=header, inferSchema=False)
+        opts = {"lineSep": line_sep} if line_sep else {}
+        df = spark.read.options(**opts).csv(
+            path, sep=sep, header=header, inferSchema=False)
         if not header:
             if columns is None:
                 raise ValueError(
@@ -73,6 +80,7 @@ def bulk_insert_nodes(
     header: bool = True,
     columns: list[str] | None = None,
     fmt: str = "csv",
+    line_sep: str | None = None,
 ) -> int:
     """Load a delimited/JSONL/parquet file into a node table.
 
@@ -83,7 +91,7 @@ def bulk_insert_nodes(
     """
     t = g.catalog.table(table_name)
     df = read_input(g.spark, path, fmt=fmt, sep=sep, header=header,
-                    columns=columns)
+                    columns=columns, line_sep=line_sep)
     props = {p.lower(): (p, typ) for p, typ in t.properties}
     sel = []
     seen = set()

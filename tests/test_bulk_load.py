@@ -196,3 +196,27 @@ def test_update_statistics_refresh(spark):
     stats = g.update_statistics("S")
     assert stats["S"] == 4
     assert stats["S.E"] == (3, 0.75)
+
+
+def test_bulk_load_custom_row_terminator(spark, tmp_path):
+    """ROWTERMINATOR parity (BulkInsert.cs:156-202): load a CSV whose
+    rows end with ';' instead of newlines."""
+    from graphview_spark.graph import GraphDatabase
+    from graphview_spark.sources.bulk import bulk_insert_nodes
+
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [RT](
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Property"] name VARCHAR(20))"""
+    )
+    p = tmp_path / "rows.csv"
+    p.write_text("1,alpha;2,beta;3,gamma;")
+    n = bulk_insert_nodes(
+        g, "RT", str(p), header=False, columns=["id", "name"],
+        line_sep=";",
+    )
+    assert n == 3
+    got = {(r["id"], r["name"]) for r in
+           g.execute("SELECT id, name FROM RT").collect()}
+    assert got == {(1, "alpha"), (2, "beta"), (3, "gamma")}
