@@ -296,6 +296,7 @@ def hits(
     edges: DataFrame,
     iterations: int = 5,
     scale: float | None = None,
+    grid: int | None = None,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg), exact-arithmetic
     formulation. HITS is scale-invariant — normalizing every half-step
@@ -319,7 +320,17 @@ def hits(
     assembled once at the end). All checkpoints lazy; the caller's
     single action materializes the whole 2×iterations-stage chain.
     Fixed iteration count → deterministic and oracle-checkable as
-    unrolled CTEs."""
+    unrolled CTEs.
+
+    Exactness bound: the dyadic numerators are path counts, so the
+    no-snap guarantee holds while the number of ≤2·iterations-edge
+    paths into any node stays under 2⁵³ — every sparse/moderate graph,
+    but a very dense graph (avg degree ≳ 40 at 5 iterations) can
+    exceed the double mantissa, where sums regress to partition-order
+    float addition. For that regime pass ``grid`` (e.g. SCORE_GRID) to
+    snap each half-step's scores — the pre-round-7 discipline: drift
+    is absorbed per round before it compounds, at the cost of the
+    bit-exactness the default mode has."""
     if iterations < 1:
         raise ValueError("hits needs at least one iteration")
     import math
@@ -334,6 +345,9 @@ def hits(
         n_e = edges.count()
         scale = math.ldexp(1.0, max(n_e - 1, 1).bit_length())
     inv = 1.0 / scale  # exact: scale is a power of two
+
+    def _step(c):
+        return F.round(c, grid) if grid is not None else c
     # non-zero support frames: (GlobalNodeId, score). hub starts at 1.0
     # on every node with an outgoing edge — nodes without one have hub
     # multiplied into nothing, and their own hub is re-derived from
@@ -348,13 +362,13 @@ def hits(
         auth = (
             edges.join(hub, edges["src"] == hub["GlobalNodeId"])
             .groupBy(F.col("sink").alias("GlobalNodeId"))
-            .agg((F.sum("score") * inv).alias("score"))
+            .agg(_step(F.sum("score") * inv).alias("score"))
             .localCheckpoint(eager=False)
         )
         hub = (
             edges.join(auth, edges["sink"] == auth["GlobalNodeId"])
             .groupBy(F.col("src").alias("GlobalNodeId"))
-            .agg((F.sum("score") * inv).alias("score"))
+            .agg(_step(F.sum("score") * inv).alias("score"))
             .localCheckpoint(eager=False)
         )
     # single L1 normalization + full-node assembly, once: nodes outside
@@ -1963,6 +1977,7 @@ def brandes_betweenness(
         # checkpoint is fully cached; isEmpty would leave partitions
         # unmaterialized)
         settled = lvl.select("s", "id")
+        exhausted = False
         for _ in range(max_depth):
             frontier = levels[-1]
             nxt = (
@@ -1974,9 +1989,20 @@ def brandes_betweenness(
                 .localCheckpoint(eager=False)
             )
             if nxt.count() == 0:
+                exhausted = True
                 break
             levels.append(nxt)
             settled = settled.unionByName(nxt.select("s", "id"))
+        if not exhausted:
+            # a silent cut would UNDERCOUNT every node's betweenness
+            # (nodes beyond the horizon never contribute δ); the
+            # closure leg signals incompleteness via its budget flag,
+            # this leg signals it by refusing
+            raise ValueError(
+                f"brandes_betweenness: BFS frontier still live after "
+                f"max_depth={max_depth} levels — the graph is deeper "
+                "than the horizon; raise max_depth"
+            )
     # reverse sweep: δ at the deepest level is 0; each shallower level
     # joins its BFS-tree successors one level down. Lazy checkpoints
     # keep the δ-chain's plan linear; the caller's single action
@@ -2024,7 +2050,7 @@ def brandes_betweenness(
 
 def betweenness(
     seeds: DataFrame, edges: DataFrame, variant: str = "brandes",
-    budget_factor: int = 32,
+    budget_factor: int = 32, max_depth: int = 60,
 ) -> DataFrame:
     """Public seed-sampled betweenness surface.
 
@@ -2036,17 +2062,19 @@ def betweenness(
     (v, betweenness long). The gate queries use "stress" on graphs with
     unique shortest paths, where the two variants coincide exactly."""
     if variant == "brandes":
-        return brandes_betweenness(seeds, edges)
+        return brandes_betweenness(seeds, edges, max_depth=max_depth)
     if variant != "stress":
         raise ValueError(f"unknown betweenness variant: {variant!r}")
     D, complete = _distance_closure(edges, budget_factor=budget_factor)
     return seed_betweenness(
-        D, seeds, budget_ok=complete, edges=edges, seeds=seeds)
+        D, seeds, budget_ok=complete, edges=edges, seeds=seeds,
+        max_depth=max_depth)
 
 
 def seed_betweenness(
     d_all: DataFrame, seeds_pred, budget_ok: bool = True,
     edges: DataFrame | None = None, seeds: DataFrame | None = None,
+    max_depth: int = 60,
 ) -> DataFrame:
     """Seed-sampled betweenness from a complete distance closure: node
     v lies on a shortest s→t path iff dist(s,v) + dist(v,t) = dist(s,t)
@@ -2088,7 +2116,7 @@ def seed_betweenness(
                 "Brandes fallback — pass them, or rebuild the closure "
                 "with a larger budget_factor"
             )
-        bt = brandes_betweenness(seeds, edges)
+        bt = brandes_betweenness(seeds, edges, max_depth=max_depth)
         return bt.select(
             "v", F.round("betweenness").cast("long").alias("betweenness"))
 
@@ -2099,11 +2127,17 @@ def seed_betweenness(
             F.col(seeds_pred.columns[0]).alias("src")).distinct()
         return frame.join(s, "src", "left_semi")
 
-    sv = _seed_slice(d_all).select(
+    # (s, s, L) closure self-pairs — cycles introduce them — are NOT
+    # Brandes targets or through-nodes (its BFS settles the source at
+    # distance 0 and never revisits), so both seed slices exclude them;
+    # without this guard the stress count and the Brandes fallback
+    # disagree on cyclic graphs even with unique shortest paths.
+    no_self = F.col("sink") != F.col("src")
+    sv = _seed_slice(d_all).filter(no_self).select(
         F.col("src").alias("s"), F.col("sink").alias("v"),
         F.col("dist").alias("d1"),
     )
-    st = _seed_slice(d_all).select(
+    st = _seed_slice(d_all).filter(no_self).select(
         F.col("src").alias("s"), F.col("sink").alias("t"),
         F.col("dist").alias("d"),
     )
@@ -2115,7 +2149,7 @@ def seed_betweenness(
         sv.join(vt, "v")
         .join(st, ["s", "t"])
         .filter(F.col("d1") + F.col("d2") == F.col("d"))
-        .filter(F.col("v") != F.col("t"))  # v == s impossible: d1 ≥ 1
+        .filter(F.col("v") != F.col("t"))  # v == s excluded above: d1 ≥ 1
     )
     return through.groupBy("v").agg(
         F.count(F.lit(1)).alias("betweenness"))

@@ -765,7 +765,10 @@ class GraphDatabase:
         n = self._edge_counts.get(qualified)
         if n is None:
             n = self.edges[qualified].count()
-            self._edge_counts[qualified] = n
+            # lazy cache POPULATION, not a data change: bypass
+            # _ShadowedCounts' invalidation forwarding so counting an
+            # edge table doesn't evict its freshly built sampling table
+            dict.__setitem__(self._edge_counts, qualified, n)
         return n
 
     def node_count(self, table_name: str) -> int:
@@ -798,6 +801,13 @@ class GraphDatabase:
         if not 0 < fraction <= 1:
             raise GraphViewError(
                 f"sampling fraction must be in (0, 1], got {fraction}")
+        if int(fraction * self._SAMPLING_DENOM) == 0:
+            # below the hash-bucketing resolution the filter would keep
+            # NOTHING, and update_statistics would then cache a 0-row
+            # estimate the planner believes
+            raise GraphViewError(
+                f"sampling fraction {fraction} is below the 1/"
+                f"{self._SAMPLING_DENOM} bucketing resolution")
         per_edge = self._edge_samples.setdefault(qualified, {})
         hit = per_edge.get(fraction)
         if hit is not None:

@@ -281,21 +281,28 @@ def jpeg_decoder(payload: bytes, kind: str) -> list[float]:
     the JPEG leg of the image codec seam, CI-provable without PIL
     (VERDICT r6 "What's missing #4"; JPEG is the dominant web image
     format at corpus scale). Full baseline entropy decode: DQT/DHT
-    parsing with canonical Huffman reconstruction, multi-component MCUs
-    with arbitrary sampling factors (4:4:4, 4:2:0, ...), byte
-    unstuffing (FF 00) and restart markers. Returns
-    [width, height, n_components, mean_luma].
+    parsing with canonical Huffman reconstruction, interleaved
+    multi-component MCUs with arbitrary sampling factors (4:4:4,
+    4:2:0, ...), NON-interleaved scans (ns=1 — T.81 allows each
+    component its own scan; the MCU is then one 8×8 block of that
+    component's plane in raster order) and any number of scans per
+    image, byte unstuffing (FF 00), fill bytes (FF padding before
+    markers) and restart markers with per-scan/per-restart DC
+    predictor resets. Returns [width, height, n_components,
+    mean_luma].
 
-    ``mean_luma`` comes from the dequantized DC coefficients: the mean
-    of an IDCT'd 8×8 block is exactly DC/8 + 128 (every AC basis
-    function integrates to zero over the block), so the luma average
-    needs no IDCT, no dequantized ACs and no chroma work — blocks are
-    coverage-weighted so right/bottom padding blocks don't bias
-    non-multiple-of-8 images. Matches a full decoder's plane mean up to
-    per-pixel [0,255] clamping. Rejects progressive (SOF2)/arithmetic/
-    12-bit/hierarchical streams with a descriptive error —
-    ``decode_media`` turns those into counted dead-letter rows; inject
-    PIL/opencv behind the same signature for the long tail."""
+    ``mean_luma`` comes from the dequantized DC coefficients of the
+    luma component (the FIRST component in SOF — Y in every JFIF
+    stream): the mean of an IDCT'd 8×8 block is exactly DC/8 + 128
+    (every AC basis function integrates to zero over the block), so
+    the luma average needs no IDCT, no dequantized ACs and no chroma
+    work — blocks are coverage-weighted so right/bottom padding blocks
+    don't bias non-multiple-of-8 images. Matches a full decoder's
+    plane mean up to per-pixel [0,255] clamping. Rejects progressive
+    (SOF2)/arithmetic/12-bit/hierarchical streams with a descriptive
+    error — ``decode_media`` turns those into counted dead-letter
+    rows; inject PIL/opencv behind the same signature for the long
+    tail."""
     import struct
 
     if kind != "image":
@@ -307,7 +314,123 @@ def jpeg_decoder(payload: bytes, kind: str) -> list[float]:
     comps: list[dict] = []
     width = height = 0
     restart = 0
-    scomps: list[tuple[int, int, int]] = []
+    luma_sum = 0.0
+    covered = 0
+    saw_scan = False
+
+    def _decode_scan(start_pos: int, scomps) -> int:
+        """Entropy-decode one scan starting at ``start_pos``; returns
+        the byte position after the scan's last (byte-aligned) bit."""
+        nonlocal luma_sum, covered
+        by_id = {c["id"]: c for c in comps}
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        luma = comps[0]  # first SOF component is Y in JFIF streams
+        lw = -(-width * luma["h"] // hmax)
+        lh = -(-height * luma["v"] // vmax)
+        lq = qt[luma["tq"]][0]
+        state = [start_pos, 0, 0]  # byte pos, bit buffer, bits left
+
+        def _bit() -> int:
+            p, buf, n = state
+            if n == 0:
+                b = payload[p]
+                p += 1
+                if b == 0xFF:
+                    nxt = payload[p]
+                    if nxt == 0x00:
+                        p += 1
+                    else:
+                        raise ValueError(
+                            f"unexpected marker FF{nxt:02X} inside scan")
+                buf, n = b, 8
+            n -= 1
+            state[0], state[1], state[2] = p, buf, n
+            return (buf >> n) & 1
+
+        def _decode(table) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | _bit()
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code in JPEG scan")
+
+        def _extend(size: int) -> int:
+            if size == 0:
+                return 0
+            v = 0
+            for _ in range(size):
+                v = (v << 1) | _bit()
+            if v < (1 << (size - 1)):
+                v -= (1 << size) - 1
+            return v
+
+        # the scan's minimum coded units: interleaved (ns>1) = one MCU
+        # of h×v blocks per component; non-interleaved (ns=1) = one
+        # block of that component's own plane, raster order (T.81 A.2)
+        mcus: list[list[tuple]] = []
+        if len(scomps) > 1:
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    unit = []
+                    for cid, dct, act in scomps:
+                        comp = by_id[cid]
+                        for vy in range(comp["v"]):
+                            for vx in range(comp["h"]):
+                                unit.append((
+                                    cid, dct, act,
+                                    mx * comp["h"] + vx,
+                                    my * comp["v"] + vy,
+                                ))
+                    mcus.append(unit)
+        else:
+            cid, dct, act = scomps[0]
+            comp = by_id[cid]
+            pw = -(-width * comp["h"] // hmax)
+            ph = -(-height * comp["v"] // vmax)
+            for by in range(-(-ph // 8)):
+                for bx in range(-(-pw // 8)):
+                    mcus.append([(cid, dct, act, bx, by)])
+        pred = {cid: 0 for cid, _, _ in scomps}
+        for i, unit in enumerate(mcus):
+            if restart and i and i % restart == 0:
+                # byte-align, consume RSTn, reset DC predictors
+                state[2] = 0
+                p = state[0]
+                if payload[p] != 0xFF or not (
+                        0xD0 <= payload[p + 1] <= 0xD7):
+                    raise ValueError("missing JPEG restart marker")
+                state[0] = p + 2
+                for cid in pred:
+                    pred[cid] = 0
+            for cid, dct, act, bx, by in unit:
+                s = _decode(huff[(0, dct)])
+                pred[cid] += _extend(s)
+                if cid == luma["id"]:
+                    cw = min(8, max(lw - 8 * bx, 0))
+                    chh = min(8, max(lh - 8 * by, 0))
+                    if cw and chh:
+                        mean = pred[cid] * lq / 8.0 + 128.0
+                        luma_sum += mean * cw * chh
+                        covered += cw * chh
+                k = 1
+                while k < 64:  # skip ACs (not needed for means)
+                    rs = _decode(huff[(1, act)])
+                    r, size = rs >> 4, rs & 15
+                    if size == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    _extend(size)
+                    k += 1
+        return state[0]  # byte-aligned: partial bits are padding
+
     pos = 2
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -317,7 +440,9 @@ def jpeg_decoder(payload: bytes, kind: str) -> list[float]:
         if m == 0xFF:  # fill byte (T.81 B.1.1.2: FF padding before a
             pos -= 1   # marker is legal); re-sync on the next byte
             continue
-        if m == 0x01 or 0xD0 <= m <= 0xD9:  # TEM/RSTn/SOI/EOI: bare
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD8:  # TEM/RSTn/SOI: bare
             continue
         (ln,) = struct.unpack(">H", payload[pos:pos + 2])
         seg = payload[pos + 2:pos + ln]
@@ -363,112 +488,20 @@ def jpeg_decoder(payload: bytes, kind: str) -> list[float]:
                 huff[(tc, th)] = table
         elif m == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg[:2])
-        elif m == 0xDA:  # SOS — entropy-coded data follows
+        elif m == 0xDA:  # SOS — decode this scan, then keep parsing
+            if not comps or width == 0:
+                raise ValueError("JPEG scan before SOF")
             ns = seg[0]
+            scomps = []
             for k in range(ns):
                 cid, tt = seg[1 + 2 * k], seg[2 + 2 * k]
                 scomps.append((cid, tt >> 4, tt & 15))
-            pos += ln
-            break
+            pos = _decode_scan(pos + ln, scomps)
+            saw_scan = True
+            continue
         pos += ln
-    if not comps or not scomps or width == 0:
+    if not comps or not saw_scan or width == 0:
         raise ValueError("JPEG missing SOF/SOS")
-    by_id = {c["id"]: c for c in comps}
-    luma_id = scomps[0][0]  # first scan component is Y by convention
-
-    # bit reader over the entropy stream: FF 00 unstuffing; restart
-    # markers are consumed explicitly at interval boundaries
-    state = [pos, 0, 0]  # byte pos, bit buffer, bits available
-
-    def _bit() -> int:
-        p, buf, n = state
-        if n == 0:
-            b = payload[p]
-            p += 1
-            if b == 0xFF:
-                nxt = payload[p]
-                if nxt == 0x00:
-                    p += 1
-                else:
-                    raise ValueError(
-                        f"unexpected marker FF{nxt:02X} inside scan")
-            buf, n = b, 8
-        n -= 1
-        state[0], state[1], state[2] = p, buf, n
-        return (buf >> n) & 1
-
-    def _decode(table) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | _bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in JPEG scan")
-
-    def _extend(size: int) -> int:
-        if size == 0:
-            return 0
-        v = 0
-        for _ in range(size):
-            v = (v << 1) | _bit()
-        if v < (1 << (size - 1)):
-            v -= (1 << size) - 1
-        return v
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-    luma = by_id[luma_id]
-    # luma plane dims (== image dims whenever Y carries the max
-    # sampling factor, i.e. every common subsampling)
-    lw = -(-width * luma["h"] // hmax)
-    lh = -(-height * luma["v"] // vmax)
-    lq = qt[luma["tq"]][0]
-    pred = {cid: 0 for cid, _, _ in scomps}
-    luma_sum = 0.0
-    covered = 0
-    n_mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and n_mcu and n_mcu % restart == 0:
-                # byte-align, consume RSTn, reset DC predictors
-                state[2] = 0
-                p = state[0]
-                if payload[p] != 0xFF or not (0xD0 <= payload[p + 1] <= 0xD7):
-                    raise ValueError("missing JPEG restart marker")
-                state[0] = p + 2
-                for cid in pred:
-                    pred[cid] = 0
-            n_mcu += 1
-            for cid, dct, act in scomps:
-                comp = by_id[cid]
-                for vy in range(comp["v"]):
-                    for vx in range(comp["h"]):
-                        s = _decode(huff[(0, dct)])
-                        pred[cid] += _extend(s)
-                        if cid == luma_id:
-                            bx = mx * comp["h"] + vx
-                            by = my * comp["v"] + vy
-                            cw = min(8, max(lw - 8 * bx, 0))
-                            chh = min(8, max(lh - 8 * by, 0))
-                            if cw and chh:
-                                mean = pred[cid] * lq / 8.0 + 128.0
-                                luma_sum += mean * cw * chh
-                                covered += cw * chh
-                        k = 1
-                        while k < 64:  # skip ACs (not needed for means)
-                            rs = _decode(huff[(1, act)])
-                            r, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            _extend(size)
-                            k += 1
     return [
         float(width), float(height), float(len(comps)),
         luma_sum / covered if covered else 0.0,

@@ -124,6 +124,7 @@ def bulk_insert_edges(
     sink_id_col: str | None = None,
     attr_cols: list[str] | None = None,
     fmt: str = "csv",
+    line_sep: str | None = None,
 ) -> int:
     """Load (srcNodeId, sinkNodeId, attrs...) rows into an edge column.
 
@@ -142,7 +143,9 @@ def bulk_insert_edges(
     if not header and fmt == "csv" and src_id_col is None:
         # the reference's null columnList (BulkInsertEdge(..., null, ...)):
         # positional file layout (srcId, sinkId, attrs in declared order)
-        raw = g.spark.read.csv(path, sep=sep, header=False, inferSchema=False)
+        opts = {"lineSep": line_sep} if line_sep else {}
+        raw = g.spark.read.options(**opts).csv(
+            path, sep=sep, header=False, inferSchema=False)
         attr_names = [n for n, _ in e.attributes]
         names = ["__file_src", "__file_sink"] + attr_names[: len(raw.columns) - 2]
         if len(names) != len(raw.columns):
@@ -152,7 +155,8 @@ def bulk_insert_edges(
             )
         df = raw.toDF(*names)
     else:
-        df = read_input(g.spark, path, fmt=fmt, sep=sep, header=header)
+        df = read_input(g.spark, path, fmt=fmt, sep=sep, header=header,
+                        line_sep=line_sep)
     cols = df.columns
     src_c = src_id_col or cols[0]
     sink_c = sink_id_col or cols[1]

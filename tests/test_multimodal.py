@@ -561,3 +561,67 @@ def test_jpeg_decoder_tolerates_fill_bytes():
     i = payload.index(b"\xff\xc0")
     padded = payload[:i] + b"\xff\xff" + payload[i:]
     assert jpeg_decoder(padded, "image") == [16.0, 8.0, 1.0, 135.0]
+
+
+def _jpeg_bytes_multiscan(width, height, components, q_dc=16):
+    """Non-interleaved variant: one SOS per component (legal baseline,
+    T.81 A.2 — the MCU is then a single block of that component's plane
+    in raster order)."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    qids = sorted({c[3] for c in components})
+    for qid in qids:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+        out += bytes([qid]) + bytes([q_dc] + [1] * 63)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(components), 8,
+                                     height, width, len(components))
+    for cid, hs, vs, qid, _dt, _at, _dcs in components:
+        out += bytes([cid, (hs << 4) | vs, qid])
+    for tc, tid in sorted({(0, c[4]) for c in components}
+                          | {(1, c[5]) for c in components}):
+        bits, vals = (_DC_BITS, _DC_VALS) if tc == 0 else (_AC_BITS, _AC_VALS)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out += bytes([(tc << 4) | tid]) + bytes(bits) + bytes(vals)
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    hmax = max(c[1] for c in components)
+    vmax = max(c[2] for c in components)
+    for cid, hs, vs, _qid, dt, at, dcs in components:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
+        out += bytes([cid, (dt << 4) | at]) + b"\x00\x3f\x00"
+        pw = -(-width * hs // hmax)
+        ph = -(-height * vs // vmax)
+        n_blocks = (-(-pw // 8)) * (-(-ph // 8))
+        assert n_blocks == len(dcs), (cid, n_blocks, len(dcs))
+        w = _BitWriter()
+        pred = 0
+        for dc in dcs:
+            diff = dc - pred
+            pred = dc
+            size = abs(diff).bit_length()
+            code, ln = dc_codes[size]
+            w.put(code, ln)
+            if size:
+                v = diff if diff >= 0 else diff + (1 << size) - 1
+                w.put(v, size)
+            code, ln = ac_codes[0x00]
+            w.put(code, ln)
+        out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decoder_non_interleaved_scans():
+    """Per-component scans (non-interleaved baseline): the Y scan walks
+    its own plane's blocks in raster order; chroma scans decode and are
+    skipped for luma. Same DCs as the interleaved 4:2:0 test -> same
+    mean luma."""
+    from graphview_spark.operators.multimodal import jpeg_decoder
+
+    payload = _jpeg_bytes_multiscan(16, 16, [
+        (1, 2, 2, 0, 0, 0, [5, 2, 5, 2]),
+        (2, 1, 1, 1, 1, 1, [3]),
+        (3, 1, 1, 1, 1, 1, [-2]),
+    ])
+    assert jpeg_decoder(payload, "image") == [16.0, 16.0, 3.0, 135.0]

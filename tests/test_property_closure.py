@@ -218,3 +218,54 @@ def test_seed_betweenness_budget_trip_without_fallback_raises(spark):
     D = spark.createDataFrame([(1, 2, 1)], "src long, sink long, dist long")
     with pytest.raises(ValueError, match="budget tripped"):
         seed_betweenness(D, lambda c: c <= 1, budget_ok=False)
+
+
+@given(edges_strategy)
+@prop_settings
+def test_stress_betweenness_matches_brandes_on_functional_graphs(
+        spark, raw_edges):
+    """On unique-shortest-path graphs INCLUDING cycles the closure
+    stress count must equal the Brandes fallback exactly (round-7
+    review fix: the closure's (s,s,L) self-pairs are not Brandes
+    targets). Functional graphs — at most one out-edge per node, built
+    by keeping the first edge per source — have unique shortest paths
+    and plenty of cycles under the random strategy."""
+    from graphview_spark.algorithms import (
+        _distance_closure, seed_betweenness)
+
+    by_src = {}
+    for s, t in sorted(set(raw_edges)):
+        if s != t:
+            by_src.setdefault(s, t)
+    edges = sorted(by_src.items())
+    if not edges:
+        return
+    nodes = sorted({x for e in edges for x in e})
+    e = spark.createDataFrame(edges, "src long, sink long")
+    sdf = spark.createDataFrame([(n,) for n in nodes], "s long")
+    D, complete = _distance_closure(e, budget_factor=10 ** 6)
+    assert complete
+    closure_path = {
+        (r["v"], r["betweenness"])
+        for r in seed_betweenness(D, sdf, budget_ok=True).collect()
+    }
+    fallback = {
+        (r["v"], r["betweenness"])
+        for r in seed_betweenness(
+            D, sdf, budget_ok=False, edges=e, seeds=sdf).collect()
+    }
+    assert fallback == closure_path
+
+
+def test_brandes_raises_past_max_depth(spark):
+    from graphview_spark.algorithms import brandes_betweenness
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, sink long")
+    seeds = spark.createDataFrame([(0,)], "s long")
+    with pytest.raises(ValueError, match="max_depth"):
+        brandes_betweenness(seeds, chain, max_depth=3)
+    got = {r["v"]: r["betweenness"]
+           for r in brandes_betweenness(seeds, chain, max_depth=20).collect()}
+    assert got[1] == 9.0  # node 1 sits on paths to the 9 nodes behind it

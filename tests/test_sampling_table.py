@@ -104,3 +104,20 @@ def test_bad_fraction_rejected(g):
         g.sampling_table(REFERS, fraction=0.0)
     with pytest.raises(GraphViewError, match="fraction"):
         g.sampling_table(REFERS, fraction=1.5)
+
+
+def test_fraction_below_resolution_rejected(g):
+    from graphview_spark.graph import GraphViewError
+
+    with pytest.raises(GraphViewError, match="resolution"):
+        g.sampling_table(REFERS, fraction=1e-7)
+
+
+def test_lazy_edge_count_keeps_sample(g):
+    """Populating the count cache lazily is not a data change — it must
+    not evict a freshly built sampling table."""
+    s1 = g.sampling_table(REFERS, fraction=0.5)
+    g._edge_counts.clear()     # simulate a cold count cache
+    s1b = g.sampling_table(REFERS, fraction=0.5)  # rebuilt (clear forwards)
+    g.edge_count(REFERS)       # lazy populate
+    assert g.sampling_table(REFERS, fraction=0.5) is s1b
