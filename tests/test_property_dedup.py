@@ -167,3 +167,38 @@ def test_dedup_clusters_match_union_find(spark, raw_pairs):
         assert got[n]["cluster_id"] == ref_cluster[n], n
         assert got[n]["cluster_size"] == ref_sizes[ref_cluster[n]], n
         assert got[n]["keep"] == (n == ref_cluster[n]), n
+
+
+@given(corpus_strategy)
+@prop_settings
+def test_simhash_fingerprints_match_python(spark, corpus):
+    """SimHash fingerprints (per-bit strict word-hash majority) vs a
+    plain-Python reference — including empty/short docs (all-zero
+    fingerprint: no bit reaches strict majority of zero hashes)."""
+    from graphview_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_from_hashes,
+        word_hashes_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", simhash_from_hashes(
+                word_hashes_col(F.col("text"))).alias("fp")
+        ).collect()
+    }
+    for i, ws in enumerate(corpus):
+        # split(text, ' ') on "" yields one empty token — mirror that
+        tokens = " ".join(ws).split(" ")
+        hs = [_h60(w) for w in tokens]
+        fp = 0
+        for j in range(SIMHASH_BITS):
+            ones = sum(1 for h in hs if h & (1 << j))
+            if 2 * ones > len(hs):
+                fp |= 1 << j
+        assert got[i] == fp, (i, got[i], fp)
