@@ -1826,9 +1826,10 @@ def q_graph_closeness(spark, sf_dir: str) -> DataFrame:
     edge-budget-guarded) instead of one BFS per seed. The ratio is
     rounded with the integer round-half-up identity so both engines
     agree at decimal halfway points. At 100 TB the standard posture is
-    the same: seed-sampled closeness over a distance table — but built
-    with per-seed frontier BFS when the closure budget trips (the
-    fallback here, shortest_paths per seed)."""
+    the same: seed-sampled closeness over a distance table — built with
+    ONE batched (seed, node)-keyed BFS when the closure budget trips
+    (multi_source_distances: job count = graph depth, independent of
+    seed count; no per-seed driver loop)."""
     from graphview_spark.graph_queries import tpch_graph
 
     g = tpch_graph(spark, sf_dir)
@@ -1837,29 +1838,23 @@ def q_graph_closeness(spark, sf_dir: str) -> DataFrame:
     D, complete = _cached_refers_closure(spark, sf_dir, g)
     if complete:
         seed_rows = D.filter(F.col("src") <= CLOSENESS_SEEDS)
-    else:  # bounded-memory fallback: one frontier BFS per sampled seed
-        parts = []
-        seed_keys = [
-            r[0] for r in nodes.filter(F.col("c_custkey") <= CLOSENESS_SEEDS)
-            .select("c_custkey").collect()
-        ]  # same seed set as the closure path's src <= CLOSENESS_SEEDS
-        for s in seed_keys:
-            src = nodes.filter(F.col("c_custkey") == s).select("GlobalNodeId")
-            sp = shortest_paths(src, g.edge_with_id("Customer.Refers"))
-            parts.append(
-                sp.join(key, "GlobalNodeId")
-                .filter(F.col("dist") > 0)
-                .select(F.lit(s).cast("long").alias("src"),
-                        F.col("c_custkey").alias("sink"),
-                        F.col("dist").cast("long").alias("dist"))
-            )
-        if parts:
-            seed_rows = parts[0]
-            for p in parts[1:]:
-                seed_rows = seed_rows.unionByName(p)
-        else:
-            seed_rows = spark.createDataFrame(
-                [], "src long, sink long, dist long")
+    else:  # bounded-memory fallback: one batched multi-seed BFS
+        seed_ids = (
+            nodes.filter(F.col("c_custkey") <= CLOSENESS_SEEDS)
+            .select("GlobalNodeId")
+        )  # same seed set as the closure path's src <= CLOSENESS_SEEDS
+        sp = multi_source_distances(
+            seed_ids, g.edge_with_id("Customer.Refers"))
+        seed_rows = (
+            sp.filter(F.col("dist") > 0)
+            .join(key.select(F.col("GlobalNodeId").alias("s"),
+                             F.col("c_custkey").alias("src")), "s")
+            .join(key.select(F.col("GlobalNodeId").alias("id"),
+                             F.col("c_custkey").alias("sink")), "id")
+            .select(F.col("src").cast("long").alias("src"),
+                    F.col("sink").alias("sink"),
+                    F.col("dist").cast("long").alias("dist"))
+        )
     # every sampled seed emits a row, even with zero outgoing reach
     # (left join from the seed list; closeness NULL when sum_dist=0 —
     # mirrored by the oracle's CASE guard), so the query is not
@@ -1920,39 +1915,25 @@ FROM agg
 """
 
 
-def brandes_betweenness(
+def multi_source_levels(
     seeds: DataFrame, edges: DataFrame, max_depth: int = 60
-) -> DataFrame:
-    """σ-weighted Brandes betweenness restricted to a sampled source
-    set (Brandes 2001, "A Faster Algorithm for Betweenness
-    Centrality"), with ALL sources advanced together as one
-    (seed, node)-keyed frontier — not one driver loop per seed, so the
-    round count is the graph depth regardless of how many seeds are
-    sampled, and per-round work is one shuffle on (seed, node).
+) -> tuple[list[DataFrame], DataFrame]:
+    """Batched multi-source BFS: ALL seeds advance together as one
+    (seed, node)-keyed frontier, so the job count is the graph depth
+    regardless of how many seeds are sampled, and per-round work is one
+    shuffle on (seed, node). Returns ``(levels, edges)`` where
+    ``levels[d]`` is the frame of (s, id, sigma) settled at hop d
+    (sigma = number of shortest s→id paths, summed where fronts meet)
+    and ``edges`` is the deduplicated, checkpointed (src, sink) frame —
+    returned so callers (the Brandes reverse sweep) reuse the
+    materialized lineage instead of re-scanning.
 
-    Forward pass: multi-source BFS carrying σ (the number of shortest
-    s→v paths, summed across predecessors when fronts meet — the
-    groupBy below). Reverse pass: walk the recorded levels deepest-
-    first accumulating δ_s(v) = Σ_{w ∈ succ(v)} (σ_sv/σ_sw)(1 + δ_s(w))
-    where succ(v) = BFS-tree successors (edge v→w with w settled one
-    level deeper for the same seed). Betweenness(v) = Σ_s δ_s(v), the
-    source level excluded.
-
-    Memory is bounded by the per-level frontier (≤ |seeds|·|V| rows
-    total across levels, in practice far less), NOT by the all-pairs
-    distance closure — this is the bounded-memory leg that
-    ``seed_betweenness`` degrades to when the closure budget trips,
-    mirroring q_graph_closeness's per-seed-BFS fallback. Reference
-    analog: iterative computation via T-SQL WHILE loops is GraphView's
-    advertised path for algorithms (/root/reference/README.md:16).
-
-    ``seeds``: one-column DataFrame of source node ids. ``edges``:
-    (src, sink) directed. Returns (v, betweenness double) for every v
-    with δ > 0. On unique-shortest-path graphs every σ is 1 and each
-    δ_s(v) is the integer count of targets behind v, so the result
-    coincides exactly with the closure pair count; on multi-path
-    graphs it is the σ-fractional centrality (property-tested against
-    brute-force Brandes in tests/test_property_closure.py)."""
+    Shared forward pass for ``brandes_betweenness`` AND the
+    bounded-memory closeness fallback (``multi_source_distances``) —
+    memory is bounded by the per-level frontier, not an all-pairs
+    closure. Raises if the frontier is still live after ``max_depth``
+    levels: a silent cut would undercount distances/δ for every node
+    beyond the horizon."""
     sid = seeds.columns[0]
     spark = seeds.sparkSession
     with _loop_regime(spark) as size_shuffle:
@@ -1977,7 +1958,6 @@ def brandes_betweenness(
         # checkpoint is fully cached; isEmpty would leave partitions
         # unmaterialized)
         settled = lvl.select("s", "id")
-        exhausted = False
         for _ in range(max_depth):
             frontier = levels[-1]
             nxt = (
@@ -1989,20 +1969,73 @@ def brandes_betweenness(
                 .localCheckpoint(eager=False)
             )
             if nxt.count() == 0:
-                exhausted = True
-                break
+                return levels, edges
             levels.append(nxt)
             settled = settled.unionByName(nxt.select("s", "id"))
-        if not exhausted:
-            # a silent cut would UNDERCOUNT every node's betweenness
-            # (nodes beyond the horizon never contribute δ); the
-            # closure leg signals incompleteness via its budget flag,
-            # this leg signals it by refusing
-            raise ValueError(
-                f"brandes_betweenness: BFS frontier still live after "
-                f"max_depth={max_depth} levels — the graph is deeper "
-                "than the horizon; raise max_depth"
-            )
+    raise ValueError(
+        f"multi_source_levels: BFS frontier still live after "
+        f"max_depth={max_depth} levels — the graph is deeper "
+        "than the horizon; raise max_depth"
+    )
+
+
+def multi_source_distances(
+    seeds: DataFrame, edges: DataFrame, max_depth: int = 60
+) -> DataFrame:
+    """Hop distances from every seed as ONE batched (seed, node) BFS —
+    (s, id, dist) for each reachable pair, dist 0 at the seed itself.
+    This is the bounded-memory leg closeness degrades to when the
+    distance-closure budget trips: job count is the graph depth, not
+    depth × seed count (the per-seed driver loop this replaced paid
+    full job-submission latency per seed)."""
+    levels, _ = multi_source_levels(seeds, edges, max_depth=max_depth)
+    out = levels[0].select("s", "id", F.lit(0).cast("long").alias("dist"))
+    for d, lvl in enumerate(levels[1:], start=1):
+        out = out.unionByName(
+            lvl.select("s", "id", F.lit(d).cast("long").alias("dist"))
+        )
+    return out
+
+
+def brandes_betweenness(
+    seeds: DataFrame, edges: DataFrame, max_depth: int = 60
+) -> DataFrame:
+    """σ-weighted Brandes betweenness restricted to a sampled source
+    set (Brandes 2001, "A Faster Algorithm for Betweenness
+    Centrality"), with ALL sources advanced together as one
+    (seed, node)-keyed frontier — not one driver loop per seed, so the
+    round count is the graph depth regardless of how many seeds are
+    sampled, and per-round work is one shuffle on (seed, node).
+
+    Forward pass: multi-source BFS carrying σ (the number of shortest
+    s→v paths, summed across predecessors when fronts meet — the
+    groupBy below). Reverse pass: walk the recorded levels deepest-
+    first accumulating δ_s(v) = Σ_{w ∈ succ(v)} (σ_sv/σ_sw)(1 + δ_s(w))
+    where succ(v) = BFS-tree successors (edge v→w with w settled one
+    level deeper for the same seed). Betweenness(v) = Σ_s δ_s(v), the
+    source level excluded.
+
+    Memory is bounded by the per-level frontier (≤ |seeds|·|V| rows
+    total across levels, in practice far less), NOT by the all-pairs
+    distance closure — this is the bounded-memory leg that
+    ``seed_betweenness`` degrades to when the closure budget trips,
+    mirroring q_graph_closeness's batched multi-seed-BFS fallback
+    (both ride ``multi_source_levels``). Reference
+    analog: iterative computation via T-SQL WHILE loops is GraphView's
+    advertised path for algorithms (/root/reference/README.md:16).
+
+    ``seeds``: one-column DataFrame of source node ids. ``edges``:
+    (src, sink) directed. Returns (v, betweenness double) for every v
+    with δ > 0. On unique-shortest-path graphs every σ is 1 and each
+    δ_s(v) is the integer count of targets behind v, so the result
+    coincides exactly with the closure pair count; on multi-path
+    graphs it is the σ-fractional centrality (property-tested against
+    brute-force Brandes in tests/test_property_closure.py)."""
+    spark = seeds.sparkSession
+    # forward pass: shared batched multi-seed BFS (also the closeness
+    # fallback's distance engine); raises rather than silently
+    # undercounting past max_depth
+    levels, edges = multi_source_levels(seeds, edges, max_depth=max_depth)
     # reverse sweep: δ at the deepest level is 0; each shallower level
     # joins its BFS-tree successors one level down. Lazy checkpoints
     # keep the δ-chain's plan linear; the caller's single action
@@ -2097,7 +2130,8 @@ def seed_betweenness(
     would silently undercount), and ``edges``+``seeds`` are provided,
     the computation degrades to ``brandes_betweenness`` — per-level
     BFS memory instead of all-pairs closure memory, mirroring
-    q_graph_closeness's per-seed-BFS fallback. The Brandes result is
+    q_graph_closeness's batched multi-seed-BFS fallback. The Brandes
+    result is
     rounded to the closure path's long schema; on unique-shortest-path
     graphs the values are identical integers, on multi-path graphs the
     fallback reports the (rounded) σ-weighted centrality rather than

@@ -342,11 +342,33 @@ def test_distance_closure_exact(spark):
 
 
 def test_closeness_fallback_matches_closure(spark, sf_dir, monkeypatch):
-    """The per-seed-BFS fallback (closure budget tripped) must produce
-    exactly the closure-direct result."""
+    """The batched multi-seed-BFS fallback (closure budget tripped)
+    must produce exactly the closure-direct result. The per-app closure
+    cache is cleared so the monkeypatched budget trip actually routes
+    the second run down the fallback leg."""
     import graphview_spark.algorithms as A
 
     a = sorted(tuple(r) for r in A.q_graph_closeness(spark, sf_dir).collect())
     monkeypatch.setattr(A, "_distance_closure", lambda e, **kw: (None, False))
+    monkeypatch.setattr(A, "_REFERS_CLOSURE_CACHE", {})
     b = sorted(tuple(r) for r in A.q_graph_closeness(spark, sf_dir).collect())
     assert a == b and len(a) > 0
+
+
+def test_multi_source_distances_batched(spark):
+    """One batched BFS over several seeds = per-seed BFS distances.
+    Chain with a shortcut plus a disjoint cycle; seeds {1, 2, 5}."""
+    from graphview_spark.algorithms import multi_source_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (5, 6), (6, 5)],
+        "src long, sink long",
+    )
+    seeds = spark.createDataFrame([(1,), (2,), (5,)], "s long")
+    got = {(r["s"], r["id"]): r["dist"]
+           for r in multi_source_distances(seeds, edges).collect()}
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 1, (1, 4): 2,
+        (2, 2): 0, (2, 3): 1, (2, 4): 2,
+        (5, 5): 0, (5, 6): 1,
+    }
