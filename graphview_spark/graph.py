@@ -39,26 +39,50 @@ EDGE_META_COLS = ("src", "edge_id", "sink")
 class _ShadowedCounts(dict):
     """Edge-count cache that forwards invalidation to the sampling-table
     cache: any pop/clear/overwrite of a count (DML, TRUNCATE, rollback,
-    ClearData) also drops that edge's sampling tables.
-    ``update_statistics`` bypasses the forwarding with
-    ``dict.__setitem__`` when it stores an estimate DERIVED from the
-    live sample (the sample must survive its own estimate)."""
+    ClearData) also drops that edge's sampling tables AND its
+    estimated-count tag. ``update_statistics`` bypasses the forwarding
+    with ``dict.__setitem__`` when it stores an estimate DERIVED from
+    the live sample (the sample must survive its own estimate), tagging
+    the entry in ``estimated`` so integrity guards can tell planner
+    stats from exact counts. ``__delitem__``/``update``/``setdefault``
+    are covered too — dict subclass methods don't route through
+    ``__setitem__``, so without the overrides a ``del`` or ``.update()``
+    would leave a stale sampling table alive."""
 
     def __init__(self, shadow: dict):
         super().__init__()
         self._shadow = shadow
+        self.estimated: set = set()
+
+    def _invalidate(self, key):
+        self._shadow.pop(key, None)
+        self.estimated.discard(key)
 
     def pop(self, key, *default):
-        self._shadow.pop(key, None)
+        self._invalidate(key)
         return super().pop(key, *default)
 
     def clear(self):
         self._shadow.clear()
+        self.estimated.clear()
         super().clear()
 
     def __setitem__(self, key, value):
-        self._shadow.pop(key, None)
+        self._invalidate(key)
         super().__setitem__(key, value)
+
+    def __delitem__(self, key):
+        self._invalidate(key)
+        super().__delitem__(key)
+
+    def update(self, *args, **kwargs):
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v  # route through __setitem__ for forwarding
+
+    def setdefault(self, key, default=None):
+        if key not in self:
+            self[key] = default
+        return self[key]
 
 
 class GraphViewError(RuntimeError):
@@ -444,7 +468,8 @@ class GraphDatabase:
             if nt.name.lower() == low:
                 continue
             for e in nt.edges.values():
-                if e.sink_table.lower() == low and self.edge_count(e.qualified):
+                if e.sink_table.lower() == low and self.edge_count(
+                        e.qualified, exact=True):
                     raise GraphViewError(
                         f"cannot truncate '{t.name}': incoming edge(s) via "
                         f"{e.qualified}"
@@ -761,14 +786,22 @@ class GraphDatabase:
     # Planner statistics (cached counts — the Spark stand-in for the
     # reference's AverageDegree metadata, MatchGraphInterface.cs:47-189)
     # ------------------------------------------------------------------
-    def edge_count(self, qualified: str) -> int:
+    def edge_count(self, qualified: str, exact: bool = False) -> int:
+        """Cached edge count. ``exact=True`` refuses to serve a sampled
+        ESTIMATE (update_statistics(sample_fraction=...) entries) —
+        integrity guards (TRUNCATE/DELETE NODE) must not let a
+        0-row sample of a non-empty edge table silently authorize a
+        destructive operation; they re-count instead. The exact
+        re-count replaces the estimate (strictly better information,
+        same cache slot) without evicting the live sample."""
         n = self._edge_counts.get(qualified)
-        if n is None:
+        if n is None or (exact and qualified in self._edge_counts.estimated):
             n = self.edges[qualified].count()
             # lazy cache POPULATION, not a data change: bypass
             # _ShadowedCounts' invalidation forwarding so counting an
             # edge table doesn't evict its freshly built sampling table
             dict.__setitem__(self._edge_counts, qualified, n)
+            self._edge_counts.estimated.discard(qualified)
         return n
 
     def node_count(self, table_name: str) -> int:
@@ -899,8 +932,10 @@ class GraphDatabase:
                         e.qualified, sample_fraction).count()
                     ne = int(round(ns / sample_fraction))
                     # the estimate is DERIVED from the live sample:
-                    # bypass _ShadowedCounts' invalidation forwarding
+                    # bypass _ShadowedCounts' invalidation forwarding,
+                    # and tag it so integrity guards can re-count
                     dict.__setitem__(self._edge_counts, e.qualified, ne)
+                    self._edge_counts.estimated.add(e.qualified)
                 else:
                     ne = self.edge_count(e.qualified)
                 out[e.qualified] = (ne, round(ne / n, 4) if n else 0.0)

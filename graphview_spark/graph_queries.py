@@ -559,6 +559,95 @@ GROUP BY c_mktsegment
 """
 
 
+# sampling-table estimation path, oracle-gated end-to-end (the
+# reference's UpdateEdgeSampling / UpdateTableStatistics mechanism,
+# GraphViewConnection.cs:1036-1050, 2933-2993): 1/16 is exactly
+# representable in binary, so every scaled estimate below is an exact
+# integer on both engines — no rounding-mode exposure.
+STATS_SAMPLE_FRACTION = 0.0625
+
+
+def q_stats_sampled_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-statistics contract, driver-gated: the deterministic
+    md5-bucketed edge sample (graph.py sampling_table — the mechanism
+    update_statistics(sample_fraction=...) feeds planner estimates
+    from) must be REPRODUCIBLE bit-for-bit, which the DuckDB oracle
+    proves by rebuilding the identical sample (same GlobalNodeId
+    arithmetic, same per-src row_number edge ids, same md5 bucket
+    filter) and matching content-sensitive aggregates: sample size,
+    distinct sampled sources, min/max sampled sink key, and the scaled
+    edge-count / avg-degree estimates the planner consumes. Scale: the
+    sample filter is map-only over the decoded edge frame; everything
+    downstream touches fraction·|E| rows — the point of sampled stats
+    at 100 TB, where an exact edge count is a full pass."""
+    g = tpch_graph(spark, sf_dir)
+    cb1 = g.catalog.table("Customer").gid_base() + 1
+    inv = round(1 / STATS_SAMPLE_FRACTION)  # 16, exact
+    s = g.sampling_table("Customer.Refers", STATS_SAMPLE_FRACTION)
+    agg = s.agg(
+        F.count(F.lit(1)).alias("sample_edges"),
+        F.countDistinct("src").alias("distinct_src"),
+        (F.min("sink") - F.lit(cb1)).alias("min_sink_key"),
+        (F.max("sink") - F.lit(cb1)).alias("max_sink_key"),
+    )
+    n = g.nodes["Customer"].agg(F.count(F.lit(1)).alias("n_cust"))
+    est_edges = F.col("sample_edges") * inv
+    # integer round-half-up of 10^4 · est_edges / n_cust (the repo's
+    # standard exact-ratio identity — see q_graph_closeness)
+    est_avg = F.floor(
+        (2 * 10_000 * est_edges + F.col("n_cust"))
+        / (2 * F.col("n_cust"))
+    )
+    return agg.crossJoin(F.broadcast(n)).select(
+        "sample_edges",
+        est_edges.cast("long").alias("est_edges"),
+        "distinct_src",
+        "min_sink_key",
+        "max_sink_key",
+        est_avg.cast("long").alias("est_avg_deg_e4"),
+    )
+
+
+def _oracle_stats_sampled_degree() -> str:
+    from graphview_spark.operators.dedup import _sql_hex15_to_int
+
+    # Customer is the 5th table in _DDL → table_id 5 (catalog allocates
+    # from 1), gid = (5 << 48) + 1 + c_custkey. Hard-coded here because
+    # oracles are static strings; the gate catches any drift.
+    cb1 = (5 << 48) + 1
+    denom = 1_000_000
+    keep = int(STATS_SAMPLE_FRACTION * denom)
+    inv = round(1 / STATS_SAMPLE_FRACTION)
+    bucket = _sql_hex15_to_int("gsrc::VARCHAR || ':' || edge_id::VARCHAR")
+    return f"""
+WITH refers AS ({_ORACLE_REFERS}),
+e AS (SELECT {cb1} + src AS gsrc, {cb1} + sink AS gsink FROM refers),
+eid AS (
+  SELECT gsrc, gsink,
+         row_number() OVER (PARTITION BY gsrc ORDER BY gsink) AS edge_id
+  FROM e
+),
+samp AS (
+  SELECT gsrc, gsink FROM eid
+  WHERE {bucket} % {denom} < {keep}
+),
+a AS (
+  SELECT count(*) AS sample_edges,
+         count(DISTINCT gsrc) AS distinct_src,
+         min(gsink) - {cb1} AS min_sink_key,
+         max(gsink) - {cb1} AS max_sink_key
+  FROM samp
+),
+n AS (SELECT count(*) AS n_cust FROM customer)
+SELECT sample_edges,
+       sample_edges * {inv} AS est_edges,
+       distinct_src, min_sink_key, max_sink_key,
+       (2 * 10000 * sample_edges * {inv} + n_cust) // (2 * n_cust)
+         AS est_avg_deg_e4
+FROM a, n
+"""
+
+
 QUERIES = {
     "match_customers_per_region": q_match_customers_per_region,
     "rel_string_split": q_rel_string_split,
@@ -569,6 +658,7 @@ QUERIES = {
     "match_degree_cols": q_match_degree_cols,
     "match_cte": q_match_cte,
     "match_view_degrees": q_match_view_degrees,
+    "stats_sampled_degree": q_stats_sampled_degree,
 }
 
 ORACLES = {
@@ -581,6 +671,7 @@ ORACLES = {
     "match_degree_cols": ORACLE_MATCH_DEGREE_COLS,
     "match_cte": ORACLE_MATCH_CTE,
     "match_view_degrees": ORACLE_MATCH_VIEW_DEGREES,
+    "stats_sampled_degree": _oracle_stats_sampled_degree(),
 }
 
 # rotated OUT of the driver gate in round 4 (driver-green rounds 2-3;

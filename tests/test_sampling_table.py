@@ -48,6 +48,25 @@ def test_estimated_statistics_close_to_exact(g):
     assert g.edge_count(REFERS) == exact
 
 
+def test_update_statistics_matches_gate_query(g, spark):
+    """update_statistics(sample_fraction=...) must serve EXACTLY the
+    estimate the oracle-gated stats_sampled_degree query computes
+    distributedly — same sample, same 1/fraction scaling — tying the
+    planner-cache path to the driver-gated deterministic-sample
+    contract."""
+    from graphview_spark.graph_queries import (
+        STATS_SAMPLE_FRACTION,
+        q_stats_sampled_degree,
+    )
+
+    row = q_stats_sampled_degree(spark, "/root/testdata/sf0.01").first()
+    stats = g.update_statistics(
+        "Customer", sample_fraction=STATS_SAMPLE_FRACTION)
+    est, _avg = stats[REFERS]
+    assert est == row["est_edges"]
+    g.update_statistics("Customer")  # restore exact counts for other tests
+
+
 def test_histogram_buckets_cover_and_sum(g):
     hist = g.edge_histogram(REFERS, buckets=16, fraction=0.5).collect()
     assert 1 <= len(hist) <= 16
@@ -95,6 +114,53 @@ def test_truncate_invalidates_sample(spark):
     assert g.sampling_table("Q.E", fraction=1.0).count() == 1
     g.execute("TRUNCATE TABLE Q")
     assert g.sampling_table("Q.E", fraction=1.0).count() == 0
+
+
+def test_truncate_guard_ignores_sampled_estimate(spark):
+    """A small edge table can sample 0 rows, caching estimate 0 — the
+    TRUNCATE incoming-edge guard must re-count exactly instead of
+    letting the 0 estimate authorize truncation with dangling edges."""
+    from graphview_spark.graph import GraphDatabase, GraphViewError
+
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [A](
+            [ColumnRole:"NodeId"] id INT )"""
+    )
+    g.execute(
+        """CREATE TABLE [B](
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Edge", Reference:"A"] E VARBINARY(max))"""
+    )
+    g.execute("INSERT INTO A(id) VALUES (1)")
+    g.execute("INSERT INTO B(id) VALUES (1)")
+    g.execute("INSERT EDGE INTO B.E SELECT b, a FROM B b, A a "
+              "WHERE b.id = 1 AND a.id = 1")
+    # 1 edge at fraction 1e-3: the deterministic sample keeps 0 rows,
+    # so the cached count is the estimate 0 — exactly the trap
+    stats = g.update_statistics("B", sample_fraction=0.001)
+    assert stats["B.E"][0] == 0  # the estimate really is 0
+    with pytest.raises(GraphViewError, match="incoming edge"):
+        g.truncate_table("A")  # guard re-counts exactly: 1 edge
+
+
+def test_shadowed_counts_forward_all_mutators(spark):
+    """__delitem__ / update() / setdefault() must forward invalidation
+    to the sampling-table shadow like pop/clear/__setitem__ do."""
+    from graphview_spark.graph import _ShadowedCounts
+
+    shadow = {"k": "sample", "j": "sample2"}
+    c = _ShadowedCounts(shadow)
+    dict.__setitem__(c, "k", 5)
+    dict.__setitem__(c, "j", 7)
+    c.estimated.add("k")
+    del c["k"]
+    assert "k" not in shadow and "k" not in c.estimated
+    c.update({"j": 9})
+    assert "j" not in shadow and c["j"] == 9
+    shadow["x"] = "sample3"
+    assert c.setdefault("x", 1) == 1
+    assert "x" not in shadow
 
 
 def test_bad_fraction_rejected(g):
