@@ -139,12 +139,16 @@ def main() -> None:
         "dedup_minhash_lsh", "dedup_clusters", "dedup_cross_corpus",
         "dedup_ngram_jaccard", "dedup_simhash",
     ]
-    fam = [n for n in _DEDUP_ORDER
-           if n in names or n in ("dedup_signatures", "dedup_pair_build")]
-    first = min((names.index(n) for n in fam if n in names),
-                default=len(names))
-    names = [n for n in names if n not in fam]
-    names[first:first] = fam
+    # splice the synthetic builders in ONLY when a dedup consumer is
+    # actually on the roster — a dedup-free roster must not quietly
+    # append and time the builders at the end of the sweep
+    if any(n in names for n in _DEDUP_ORDER):
+        fam = [n for n in _DEDUP_ORDER
+               if n in names or n in ("dedup_signatures", "dedup_pair_build")]
+        first = min((names.index(n) for n in fam if n in names),
+                    default=len(names))
+        names = [n for n in names if n not in fam]
+        names[first:first] = fam
     j = (names.index("graph_closeness")
          if "graph_closeness" in names else len(names))
     names.insert(j, "graph_closure_build")
@@ -190,16 +194,50 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf
-    prior_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    # Prior = per-query MIN of the rolling BENCH_LOCAL and the
+    # BENCH_LOCAL committed at the LAST ROUND BOUNDARY (the driver's
+    # one "round N: ..." commit per round). Rolling-only priors
+    # ratchet: a regression that lands mid-round becomes the prior for
+    # the next sweep and never trips the 1.5x threshold (VERDICT r7
+    # "What's wrong #1" — dedup_embed_cosine crept 0.47→0.69s unseen).
+    here = os.path.dirname(os.path.abspath(__file__))
     prior: dict[str, float] = {}
+
+    def _parse_queries(text: str) -> dict[str, float]:
+        try:
+            prev = json.loads(text)
+            if prev.get("sf") == sf_num:  # priors only comparable at same SF
+                return prev.get("queries", {}) or {}
+        except ValueError:
+            pass
+        return {}
+
+    sources: list[str] = []
     try:
-        with open(prior_path) as fh:
-            _prev = json.load(fh)
-        if _prev.get("sf") == sf_num:  # priors only comparable at same SF
-            prior = _prev.get("queries", {})
-    except (OSError, ValueError):
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
+            sources.append(fh.read())
+    except OSError:
         pass
+    try:
+        import subprocess
+
+        boundary = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--grep=^round "],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if boundary:
+            shown = subprocess.run(
+                ["git", "show", f"{boundary}:BENCH_LOCAL.json"],
+                cwd=here, capture_output=True, text=True, timeout=30,
+            )
+            if shown.returncode == 0:
+                sources.append(shown.stdout)
+    except Exception:  # git unavailable → rolling prior only
+        pass
+    for text in sources:
+        for name_, sec in _parse_queries(text).items():
+            if isinstance(sec, (int, float)):
+                prior[name_] = min(prior.get(name_, float("inf")), sec)
     retimed: dict[str, dict[str, float]] = {}
     for name in names:
         p = prior.get(name)

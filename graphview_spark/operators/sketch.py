@@ -15,8 +15,10 @@ Everything is deterministic and oracle-checkable, unlike the builtin
 replicate): the hash is the repo's standard
 ``conv(substring(md5(w), 1, 15), 16, 10)`` 60-bit integer (identical
 in DuckDB via digit folding — operators/dedup.py), the register value
-is an integer leading-zero rank, the estimator's power-of-two sums are
-dyadic rationals (exact in double on both engines), and the final
+is an integer leading-zero rank, the estimator's register sum is
+accumulated INTEGER-SCALED (Σ2^(S−M_j) as BIGINT — exact and
+partition-order-independent; a double Σ2^(−M_j) can exceed the 53-bit
+mantissa span and round scheduling-dependently), and the final
 estimate is rounded to a long. The one transcendental (ln in the
 small-range correction) sits ~10 orders of magnitude above the
 rounding grid, the same exposure class as the LM perplexity snaps.
@@ -72,21 +74,37 @@ def hll_registers(
     )
 
 
+# integer-scaled register sum: Σ 2^(−M_j) is accumulated as the BIGINT
+# Σ 2^(S − M_j) with S = REST_BITS+1 = 53 (M_j ∈ [1, 53] so every term
+# is an exact integer ≤ 2^52; the sum over ≤256 registers ≤ 2^60 —
+# BIGINT-exact and PARTITION-ORDER-INDEPENDENT, unlike a double sum
+# whose rounding could in principle make the est_distinct boundary
+# depend on task scheduling). The estimator numerator absorbs the 2^S
+# scale as one double constant computed ONCE here and embedded verbatim
+# in both engines, so neither engine re-associates the multiplication.
+_HLL_SHIFT = HLL_REST_BITS + 1
+_HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_SHIFT)
+
+
 def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     """HLL estimate from a register table: raw estimator
     αm²/Σ2^(−M_j) (empty registers contribute 2⁰ = 1), with the
     standard small-range correction m·ln(m/V) when E ≤ 2.5m and V > 0
-    empty registers remain. All sums are dyadic-rational-exact;
+    empty registers remain. The register sum is integer-scaled
+    (see _HLL_SHIFT) so it is exact regardless of partition order;
     returns (group..., n_registers, est_distinct long)."""
     m = HLL_M
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_registers"),
-        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s"),
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_SHIFT} - m)")).alias("_si"),
     )
-    e_raw = (
-        F.lit(HLL_ALPHA * m * m)
-        / (F.col("_s") + (F.lit(m) - F.col("n_registers")))
+    # integer denominator: Σ2^(S−M_j) + (m − n_reg)·2^S — the empty
+    # registers' 2^0 terms at the same scale; < 2^62, BIGINT-exact
+    denom = (
+        F.col("_si")
+        + (F.lit(m) - F.col("n_registers")) * F.lit(1 << _HLL_SHIFT)
     )
+    e_raw = F.lit(_HLL_NUMER) / denom.cast("double")
     v = F.lit(m) - F.col("n_registers")
     est = F.when(
         (e_raw <= 2.5 * m) & (v > 0),
@@ -169,13 +187,13 @@ hh AS ({halves}),
 {merge},
 agg AS (
   SELECT lang, count(*) AS n_registers,
-         sum(power(2.0, -m)) AS s
+         sum((1::BIGINT << ({_HLL_SHIFT} - m)))::BIGINT AS si
   FROM r GROUP BY lang
 ),
 est AS (
   SELECT lang, n_registers,
-         {HLL_ALPHA!r}::DOUBLE * {m} * {m}
-           / (s + ({m} - n_registers)) AS e_raw,
+         {_HLL_NUMER!r}::DOUBLE
+           / (si + ({m} - n_registers) * {1 << _HLL_SHIFT})::DOUBLE AS e_raw,
          {m} - n_registers AS v
   FROM agg
 )
@@ -200,14 +218,55 @@ FROM est
 
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
+# Kirsch–Mitzenmacher double hashing ("Less Hashing, Same Performance",
+# 2006): row i's bucket is g_i(x) = (a_i·h1(x) + b_i·h2(x) + i) mod P
+# mod WIDTH, where h1/h2 are the two independent 60-bit halves of ONE
+# md5 (hex chars 1-15 and 16-30), folded to 28 bits so a_i·h fits a
+# BIGINT. One md5 per value instead of depth salted md5s — the hash was
+# the map-side hot path (depth× the HLL cost for the same corpus).
+CMS_P = 2_147_483_647              # Mersenne prime 2^31 − 1
+_CMS_FOLD = 1 << 28                # fold the 60-bit halves to 28 bits
+CMS_COEFFS = [                     # (a_i, b_i), fixed — oracle-replicable
+    (1_000_003, 8_191),
+    (69_621, 65_537),
+    (48_271, 16_127),
+    (16_807, 524_287),
+]
+assert len(CMS_COEFFS) == CMS_DEPTH
 
 
-def _cms_bucket(token: Column, row_i: int) -> Column:
-    """Row-i bucket: the repo-standard md5 hash, salted with the row
-    index, modulo the width."""
-    return (
-        _hash60(F.concat(F.lit(f"{row_i}:"), token)) % CMS_WIDTH
+def _cms_halved(
+    df: DataFrame, keep_cols: list[str], value_col: str
+) -> DataFrame:
+    """Project the two folded md5 halves as REAL columns (_h1, _h2)
+    before any per-row fan-out. An explicit projection, not inline
+    subexpressions inside the coordinate structs: codegen's
+    subexpression elimination does NOT reach across array/struct
+    element boundaries (measured 2.4× slower inlined — each struct
+    recomputed the md5/conv), while CollapseProject keeps a staged
+    non-cheap alias intact, so each row pays exactly one md5 and two
+    convs."""
+    hx = F.md5(F.col(value_col))
+    return df.select(
+        *keep_cols,
+        (F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+         % _CMS_FOLD).alias("_h1"),
+        (F.conv(F.substring(hx, 16, 15), 16, 10).cast("long")
+         % _CMS_FOLD).alias("_h2"),
     )
+
+
+def _cms_coords() -> Column:
+    """Array of (r, c) coordinates from the staged _h1/_h2 columns:
+    depth double-hashed buckets, integer ops only."""
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("r"),
+            (((F.lit(a) * F.col("_h1") + F.lit(b) * F.col("_h2")
+               + F.lit(i)) % CMS_P) % CMS_WIDTH).alias("c"),
+        )
+        for i, (a, b) in enumerate(CMS_COEFFS)
+    ])
 
 
 def cms_cells(
@@ -218,15 +277,9 @@ def cms_cells(
     fixed) + one map-side-combinable groupBy; output is bounded by
     depth×width rows per group regardless of input size. Cell tables
     merge across shards by summing n."""
-    coords = F.array(*[
-        F.struct(
-            F.lit(i).alias("r"),
-            _cms_bucket(F.col(value_col), i).alias("c"),
-        )
-        for i in range(CMS_DEPTH)
-    ])
     return (
-        df.select(*group_cols, F.explode(coords).alias("rc"))
+        _cms_halved(df, group_cols, value_col)
+        .select(*group_cols, F.explode(_cms_coords()).alias("rc"))
         .groupBy(*group_cols, F.col("rc.r").alias("r"),
                  F.col("rc.c").alias("c"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -241,15 +294,9 @@ def cms_estimate(
     saw a colliding value). Returns (group..., token, est long)."""
     spark = cells.sparkSession
     pdf = spark.createDataFrame([(t,) for t in probes], "token string")
-    coords = pdf.select(
+    coords = _cms_halved(pdf, ["token"], "token").select(
         "token",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("r"),
-                _cms_bucket(F.col("token"), i).alias("c"),
-            )
-            for i in range(CMS_DEPTH)
-        ])).alias("rc"),
+        F.explode(_cms_coords()).alias("rc"),
     ).select("token", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
     groups = cells.select(*group_cols).distinct()
     base = groups.crossJoin(coords)
@@ -288,36 +335,51 @@ def q_sketch_cms_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(merged, ["lang"], CMS_PROBES)
 
 
-def _sql_cms() -> str:
-    """DuckDB mirror: same salted hash, same cells, same min-of-rows
-    point query (direct whole-corpus form — also the union oracle)."""
-    from graphview_spark.operators.dedup import _sql_hex15_to_int
+def _sql_fold_hex(hexpr: str) -> str:
+    """DuckDB: fold a hex-string expression to BIGINT (mirrors Spark's
+    ``conv(<hex>, 16, 10)`` — the same digit folding dedup.py uses)."""
+    return (
+        f"list_reduce(list_transform(string_split({hexpr}, ''), "
+        "c -> strpos('0123456789abcdef', c)::BIGINT - 1), (a, b) -> a * 16 + b)"
+    )
 
-    d, w = CMS_DEPTH, CMS_WIDTH
+
+def _sql_cms() -> str:
+    """DuckDB mirror: same one-md5 double hashing, same cells, same
+    min-of-rows point query (direct whole-corpus form — also the union
+    oracle)."""
+    d, w, p, fold = CMS_DEPTH, CMS_WIDTH, CMS_P, _CMS_FOLD
     probe_rows = ", ".join(f"('{t}')" for t in CMS_PROBES)
+    h1 = _sql_fold_hex("substr(hx, 1, 15)")
+    h2 = _sql_fold_hex("substr(hx, 16, 15)")
     row_selects = " UNION ALL ".join(
-        f"SELECT lang, w AS tok, {i} AS r, "
-        f"{_sql_hex15_to_int(repr(str(i)+':') + ' || w')} % {w} AS c "
-        "FROM tok"
-        for i in range(d)
+        f"SELECT lang, {i} AS r, "
+        f"(({a} * h1 + {b} * h2 + {i}) % {p}) % {w} AS c FROM h"
+        for i, (a, b) in enumerate(CMS_COEFFS)
     )
     probe_coords = " UNION ALL ".join(
         f"SELECT token, {i} AS r, "
-        f"{_sql_hex15_to_int(repr(str(i)+':') + ' || token')} % {w} AS c "
-        "FROM probes"
-        for i in range(d)
+        f"(({a} * h1 + {b} * h2 + {i}) % {p}) % {w} AS c FROM ph"
+        for i, (a, b) in enumerate(CMS_COEFFS)
     )
     return f"""
 WITH tok AS (
   SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
   WHERE TRUE
 ),
-tok2 AS (SELECT lang, w FROM tok WHERE w <> ''),
-coords AS ({row_selects.replace('FROM tok', 'FROM tok2')}),
+tok2 AS (SELECT lang, md5(w) AS hx FROM tok WHERE w <> ''),
+h AS (
+  SELECT lang, {h1} % {fold} AS h1, {h2} % {fold} AS h2 FROM tok2
+),
+coords AS ({row_selects}),
 cells AS (
   SELECT lang, r, c, count(*) AS n FROM coords GROUP BY lang, r, c
 ),
 probes(token) AS (VALUES {probe_rows}),
+phx AS (SELECT token, md5(token) AS hx FROM probes),
+ph AS (
+  SELECT token, {h1} % {fold} AS h1, {h2} % {fold} AS h2 FROM phx
+),
 pc AS ({probe_coords}),
 base AS (SELECT DISTINCT lang FROM cells),
 pointq AS (
