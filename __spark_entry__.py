@@ -34,37 +34,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate records at most ~50 entries in
 # registration order (CORRECTNESS_r02 cut at exactly 50 of 52), so the
 # roster below picks which 50 of the full registry get a driver-verified
-# row this round. Round-7 rotation (VERDICT r6 "Next #2"): the four
-# round-6-born queries with no driver row in any round move IN
-# (text_dup_spans, sample_cluster_split, graph_betweenness,
-# pipeline_perplexity_bigram — after this round the whole registry is
-# driver-verified somewhere), PLUS the two queries born THIS round so
-# they don't wait a round for a driver row (rel_cube — the CUBE
-# surface; graph_betweenness_bfs — the budget-tripped Brandes fallback
-# leg). Six multi-round-green stalwarts move to extra_queries()
-# (rel_pivot, rel_unpivot, rel_percentiles, rel_window_lead_lag,
-# sample_split, search_postings — each driver-green ≥2 rounds), where
-# every local sweep still oracle-checks them. Round-8 rotation
-# candidates (born late in round 7, no driver row yet): the four
-# sketch queries (sketch_distinct_hll, sketch_hll_union,
-# sketch_cms_counts, sketch_cms_union).
+# row this round. Round-8 rotation (VERDICT r7 "Next #2"): the four
+# sketch queries — the only registry entries with no driver row in any
+# round — move IN (sketch_distinct_hll, sketch_hll_union,
+# sketch_cms_counts, sketch_cms_union), plus the query born THIS round
+# (stats_sampled_degree — the oracle-gated deterministic-sample
+# contract). Five multi-round-green stalwarts move to extra_queries()
+# (dedup_embed_cosine driver-green 7 rounds; events_gapfill,
+# ml_quantize, pipeline_pack, search_bm25 each 4 rounds), where every
+# local sweep still oracle-checks them.
 GATE_ROSTER = [
     # relational dialect
     "rel_string_split", "rel_grouping_sets", "rel_cube", "rel_lateral",
     "rel_window_dist", "rel_window_ntile",
     # temporal / events
-    "events_gapfill", "events_histogram", "events_anomaly", "events_json",
+    "events_histogram", "events_anomaly", "events_json",
     "events_sessionize",
     # MATCH surface
     "match_cte",
+    # planner statistics (sampling tables)
+    "stats_sampled_degree",
     # dedup family
-    "dedup_embed_cosine", "dedup_embed_lsh", "dedup_cross_corpus",
+    "dedup_embed_lsh", "dedup_cross_corpus",
     # text analysis
     "text_pii_scrub", "text_gopher", "text_dup_spans",
     # sampling
     "sample_group_topk", "sample_cluster_split",
     # similarity / ML
-    "ml_quantize", "ml_outliers", "ml_knn", "ml_rproject",
+    "ml_outliers", "ml_knn", "ml_rproject",
+    # sketches
+    "sketch_distinct_hll", "sketch_hll_union", "sketch_cms_counts",
+    "sketch_cms_union",
     # streaming
     "stream_trending",
     # graph algorithms
@@ -73,12 +73,12 @@ GATE_ROSTER = [
     "graph_ktruss", "graph_scc", "graph_scc_peel", "graph_betweenness",
     "graph_betweenness_bfs",
     # pipeline
-    "pipeline_decontam", "pipeline_pack", "pipeline_quality_quantile",
+    "pipeline_decontam", "pipeline_quality_quantile",
     "pipeline_mix", "pipeline_chunk_dedup", "pipeline_data_card",
     "pipeline_temperature_mix", "pipeline_perplexity",
     "pipeline_perplexity_bigram",
     # search / retrieval
-    "search_bm25", "search_chunks", "search_hybrid",
+    "search_chunks", "search_hybrid",
     # skew handling
     "skew_salted_agg",
 ]
