@@ -200,10 +200,15 @@ class GraphDatabase:
         # count cache forwards every invalidation (pop/clear/overwrite)
         # to the sampling-table cache, so a sample can never outlive
         # the data it was drawn from.
-        self._edge_samples: dict[str, dict[float, DataFrame]] = {}
+        self._edge_samples: dict[str, dict] = {}
         self._edge_counts: dict[str, int] = _ShadowedCounts(
             self._edge_samples)
-        self._node_counts: dict[str, int] = {}
+        # filtered-cardinality stats for pushed MATCH predicates
+        # (planner.py histogram-aware ordering), shadowed by the node
+        # count cache so node DML drops a table's predicate stats
+        self._pred_stats: dict[str, dict[tuple, tuple]] = {}
+        self._node_counts: dict[str, int] = _ShadowedCounts(
+            self._pred_stats)
         # materialized degree aggregates (the reference keeps degrees as
         # STORED columns, GraphViewParser.cs:1041-1056; we materialize on
         # first use). Keyed by the identity of the contributing edge
@@ -809,7 +814,9 @@ class GraphDatabase:
         n = self._node_counts.get(name)
         if n is None:
             n = self.nodes[name].count()
-            self._node_counts[name] = n
+            # lazy cache POPULATION, not a data change: don't forward
+            # invalidation (same rule as edge_count)
+            dict.__setitem__(self._node_counts, name, n)
         return n
 
     _SAMPLING_DENOM = 1_000_000
@@ -859,26 +866,31 @@ class GraphDatabase:
         return sample
 
     def edge_histogram(
-        self, qualified: str, buckets: int = 64, fraction: float = 0.001
+        self, qualified: str, buckets: int = 64, fraction: float = 0.001,
+        col: str = "sink",
     ) -> DataFrame:
         """The reference's optimizer histograms, from the sampling
-        table (Statistics.cs builds per-edge histograms over sampled
-        sink GlobalNodeIds for join selectivity): equi-width buckets
-        over the sample's sink-id range, counts scaled by 1/fraction to
-        full-table estimates. Returns (bucket, lo, hi, est_edges) —
-        est_edges for a predicate's id range is the selectivity input
-        a cost-based planner consumes; our greedy MATCH order uses the
-        avg-degree summary, with AQE correcting at runtime (SURVEY
-        §4.2)."""
+        table (Statistics.cs builds per-edge-column histograms over
+        sampled GlobalNodeIds for join selectivity): equi-width buckets
+        over the sample's ``col`` (sink or src) id range, counts scaled
+        by 1/fraction to full-table estimates. Returns (bucket, lo, hi,
+        est_edges) — est_edges for a predicate's id range is the
+        selectivity input the MATCH planner's histogram-aware ordering
+        consumes (planner.py _filter_selectivity, the analog of
+        Statistics.cs:68-216's histogram merge), with AQE correcting at
+        runtime (SURVEY §4.2)."""
+        if col not in ("src", "sink"):
+            raise GraphViewError(
+                f"edge_histogram column must be src or sink, got {col!r}")
         s = self.sampling_table(qualified, fraction)
-        row = s.agg(F.min("sink").alias("lo"), F.max("sink").alias("hi")
+        row = s.agg(F.min(col).alias("lo"), F.max(col).alias("hi")
                     ).first()
         if row["lo"] is None:
             return self.spark.createDataFrame(
                 [], "bucket int, lo long, hi long, est_edges long")
         lo, hi = row["lo"], row["hi"]
         width = max((hi - lo) // buckets + 1, 1)
-        b = F.floor((F.col("sink") - F.lit(lo)) / F.lit(width)).cast("int")
+        b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")
         return (
             s.groupBy(b.alias("bucket"))
             .agg(F.round(F.count(F.lit(1)) / fraction, 0)
@@ -892,6 +904,27 @@ class GraphDatabase:
                 "est_edges",
             )
         )
+
+    def edge_histogram_rows(
+        self, qualified: str, buckets: int = 64, fraction: float = 0.001,
+        col: str = "sink",
+    ) -> list[tuple[int, int, int]]:
+        """Collected (lo, hi, est_edges) rows of :meth:`edge_histogram`,
+        cached alongside the sampling table it derives from (same
+        invalidation: any DML on the edge drops both). At most
+        ``buckets`` rows — driver-side selectivity lookups cost nothing
+        in steady state."""
+        per_edge = self._edge_samples.setdefault(qualified, {})
+        key = ("hist", buckets, fraction, col)
+        hit = per_edge.get(key)
+        if hit is None:
+            hit = [
+                (r["lo"], r["hi"], r["est_edges"])
+                for r in self.edge_histogram(
+                    qualified, buckets, fraction, col).collect()
+            ]
+            per_edge[key] = hit
+        return hit
 
     def update_statistics(
         self, table_name: str | None = None,

@@ -132,13 +132,96 @@ def _edge_df(g, e: PatternEdge, src_name: str, sink_name: str, raw: bool = False
     return out
 
 
-def _edge_fanout(g, e: PatternEdge, bindings: dict[str, str]) -> tuple[float, float]:
+# histogram sample sizing for selectivity estimates: a fixed row
+# TARGET, not a fixed fraction — tiny graphs get an exact histogram
+# (fraction 1.0), 100 TB graphs a bounded ~100k-row sample scanned once
+# and cached (the reference's sampling tables are likewise fixed-size,
+# GraphViewConnection.cs:1036-1050)
+_HIST_TARGET_ROWS = 100_000
+
+
+def _hist_fraction(n_edges: int) -> float:
+    return min(1.0, max(_HIST_TARGET_ROWS / max(n_edges, 1), 1e-4))
+
+
+def _pred_stats(g, alias: str, name: str, preds: tuple[str, ...]):
+    """(n_pass, n_total, lo_gid, hi_gid) for the rows of node table
+    ``name`` passing the pushed single-alias predicates — the filtered-
+    cardinality statistic behind histogram-aware edge ordering. Cached
+    on the GraphDatabase keyed (table, preds); the node-count cache
+    shadows it, so node DML drops a table's predicate stats."""
+    t = g.catalog.table(name)
+    per = g._pred_stats.setdefault(t.name, {})
+    hit = per.get(preds)
+    if hit is None:
+        df = _node_df(g, alias, name, {alias: list(preds)})
+        gid = f"{alias}_GlobalNodeId"
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(gid).alias("lo"),
+            F.max(gid).alias("hi"),
+        ).first()
+        hit = (row["n"], g.node_count(t.name), row["lo"], row["hi"])
+        per[preds] = hit
+    return hit
+
+
+def _filter_selectivity(
+    g, alias: str, name: str, ets: list[EdgeType],
+    alias_filters: dict[str, list[str]] | None, col: str,
+) -> float:
+    """Estimated fraction of the pattern edge's rows that survive the
+    pushed predicates on its ``col``-side alias — the reference's
+    histogram-merge selectivity (Statistics.cs:68-216, consumed by
+    TranslateMatchClauseVisitor.cs:1326-1562). Two upper bounds, take
+    the min: (a) uniform node selectivity n_pass/n_total, (b) the
+    edge-weighted share of histogram buckets overlapping the filtered
+    GlobalNodeId range (catches skew: a predicate pinning a cold id
+    range kills more edges than uniform scaling predicts). Returns 1.0
+    when there is nothing to learn (no predicates, a view alias, or
+    lazy plan audit — no jobs may run there)."""
+    preds = tuple((alias_filters or {}).get(alias, ()))
+    if not preds or not g.catalog.has_table(name):
+        return 1.0
+    from graphview_spark.plans import lazy as _lazy
+
+    if _lazy.is_lazy():
+        return 1.0
+    n_pass, n_total, lo, hi = _pred_stats(g, alias, name, preds)
+    if n_total == 0:
+        return 1.0
+    if n_pass == 0:
+        return 0.0
+    uniform = n_pass / n_total
+    fracs = []
+    for et in ets:
+        rows = g.edge_histogram_rows(
+            et.qualified, fraction=_hist_fraction(g.edge_count(et.qualified)),
+            col=col,
+        )
+        tot = sum(est for _, _, est in rows)
+        if tot:
+            fracs.append(
+                sum(est for blo, bhi, est in rows
+                    if blo <= hi and bhi >= lo) / tot
+            )
+    range_sel = max(fracs) if fracs else 1.0
+    return min(uniform, range_sel)
+
+
+def _edge_fanout(
+    g, e: PatternEdge, bindings: dict[str, str],
+    alias_filters: dict[str, list[str]] | None = None,
+) -> tuple[float, float]:
     """(forward, reverse) expansion estimates for a pattern edge — the
     reference's AverageDegree ordering statistic
-    (MatchGraphInterface.cs:47-189). forward = edges per source node (how
-    much the frontier multiplies when the src alias is bound), reverse =
-    edges per sink node. Counts are cached on the GraphDatabase and
-    invalidated by DML, so this costs nothing per query in steady state."""
+    (MatchGraphInterface.cs:47-189), SCALED by the selectivity of any
+    pushed single-alias predicate on the expansion's far endpoint (the
+    reference's Statistics.cs histogram merge). forward = surviving
+    edges per source node (how much the frontier multiplies when the
+    src alias is bound), reverse = surviving edges per sink node.
+    Everything is cached on the GraphDatabase and invalidated by DML,
+    so this costs nothing per query in steady state."""
     try:
         ets = _resolve_edge_types(
             g, e, bindings[e.src_alias], bindings[e.sink_alias]
@@ -152,7 +235,14 @@ def _edge_fanout(g, e: PatternEdge, bindings: dict[str, str]) -> tuple[float, fl
     sink_n = sum(
         g.node_count(t) for t in _member_tables(g, bindings[e.sink_alias])
     )
-    return (n_edges / max(src_n, 1), n_edges / max(sink_n, 1))
+    fwd_sel = _filter_selectivity(
+        g, e.sink_alias, bindings[e.sink_alias], ets, alias_filters, "sink")
+    rev_sel = _filter_selectivity(
+        g, e.src_alias, bindings[e.src_alias], ets, alias_filters, "src")
+    return (
+        n_edges / max(src_n, 1) * fwd_sel,
+        n_edges / max(sink_n, 1) * rev_sel,
+    )
 
 
 def _one_edge_df(g, et: EdgeType, e: PatternEdge, raw: bool = False) -> DataFrame:
@@ -236,7 +326,10 @@ def plan_match(
         if a not in bindings:
             raise MatchPlanError(f"MATCH alias '{a}' is not bound in FROM")
 
-    fanout = {id(e): _edge_fanout(g, e, bindings) for e in pattern.edges}
+    fanout = {
+        id(e): _edge_fanout(g, e, bindings, alias_filters)
+        for e in pattern.edges
+    }
 
     comp_dfs: list[DataFrame] = []
     for comp in pattern.components():

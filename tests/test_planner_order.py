@@ -47,3 +47,54 @@ def test_low_fanout_edge_joins_first(spark, monkeypatch):
     assert calls[2] == ("Big", "C")
     # A=1, C=2 fixed by Small; B ranges over Big(1,*) ∩ Big(2,*): 6 nodes
     assert n == 6
+
+
+def test_histogram_selectivity_orders_predicate_edge_first(spark, monkeypatch):
+    """Statistics.cs-style histogram merge (ref 68-216, consumed at
+    TranslateMatchClauseVisitor.cs:1326-1562): a pushed single-alias
+    predicate whose GlobalNodeId range misses an edge's sink histogram
+    makes that edge's effective fanout ~0, so it is joined FIRST even
+    though its raw average degree is the worst. Uniform scaling alone
+    cannot find this: the predicate keeps 36/40 nodes (sel 0.9 →
+    effective fanout 3.6, still worse than the 2.0 alternative); only
+    the histogram sees that every Hot sink lives in the filtered-out
+    id range."""
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [M] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Edge",Reference:"M"] Spread VARBINARY(max),
+            [ColumnRole:"Edge",Reference:"M"] Hot VARBINARY(max) )"""
+    )
+    g.execute(
+        "INSERT INTO M(id) VALUES " + ",".join(f"({i})" for i in range(1, 41))
+    )
+    # Spread: fanout 2, sinks across the whole id range
+    g.execute(
+        "INSERT EDGE INTO M.Spread SELECT x, y FROM M x, M y "
+        "WHERE y.id = (x.id % 40) + 1 OR y.id = ((x.id + 19) % 40) + 1"
+    )
+    # Hot: fanout 4, EVERY sink in the cold 1..4 id range
+    g.execute(
+        "INSERT EDGE INTO M.Hot SELECT x, y FROM M x, M y WHERE y.id <= 4"
+    )
+
+    calls: list[tuple[str, str]] = []
+    orig = planner._join_edge
+
+    def spy(g_, cur, e, bound, bindings, alias_filters=None):
+        calls.append((e.edge_name, e.src_alias))
+        return orig(g_, cur, e, bound, bindings, alias_filters)
+
+    monkeypatch.setattr(planner, "_join_edge", spy)
+    res = g.execute(
+        """SELECT A.id AS a, B.id AS b, C.id AS c
+           FROM M A, M B, M C
+           MATCH A-[Spread]->B, A-[Hot]->C
+           WHERE C.id >= 5"""
+    )
+    n = res.count()
+    # raw avg degree: Hot 4 > Spread 2, but the C.id >= 5 predicate's
+    # gid range misses Hot's entire sink histogram → Hot goes first
+    assert calls[0] == ("Hot", "A")
+    assert n == 0  # and indeed no Hot sink survives the predicate
