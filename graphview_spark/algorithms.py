@@ -23,6 +23,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from graphview_spark.plans.lazy import local_ckpt
+
+
+# loop-checkpoint helpers (used via .transform to keep chain style):
+# local_ckpt = localCheckpoint + the stats barrier that stops Catalyst's
+# sizeInBytes BigInt from squaring per loop round (see plans/lazy.py)
+def _ckpt_eager(df: DataFrame) -> DataFrame:
+    return local_ckpt(df, eager=True)
+
+
+def _ckpt_lazy(df: DataFrame) -> DataFrame:
+    return local_ckpt(df, eager=False)
+
+
 # Below this frame size the iterative loops size their own shuffles
 # (see _loop_regime); above it they defer to the session defaults + AQE.
 _LOOP_SMALL_ROWS = 50_000_000
@@ -140,11 +154,11 @@ def pagerank(
     n = nodes.count()
     ranks = nodes.select("GlobalNodeId").withColumn("rank", F.lit(1.0 / n))
     # scanned every round — materialize the edge lineage once
-    edges = edges.select("src", "sink").localCheckpoint(eager=False)
+    edges = edges.select("src", "sink").transform(_ckpt_lazy)
     degrees = (
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
         # consumed by TWO joins per round — materialize once up front
-        .localCheckpoint(eager=False)
+        .transform(_ckpt_lazy)
     )
 
     for _ in range(iterations):
@@ -180,7 +194,7 @@ def pagerank(
             .join(contribs, "GlobalNodeId", "left")
             .join(F.broadcast(dangling))
             .select("GlobalNodeId", new_rank.alias("rank"))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
     return ranks
 
@@ -200,7 +214,7 @@ def shortest_paths(
     the anti-join is the BFS visited check."""
     dist = sources.select(
         "GlobalNodeId", F.lit(0).cast("long").alias("dist")
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_eager)
     frontier = dist
     for _ in range(max_iterations):
         nxt = (
@@ -212,11 +226,11 @@ def shortest_paths(
             .groupBy("GlobalNodeId")
             .agg(F.min("dist").alias("dist"))
             .join(dist, "GlobalNodeId", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_eager)
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt).transform(_ckpt_eager)
         frontier = nxt
     return dist
 
@@ -234,7 +248,7 @@ def triangle_count(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     e = (
         pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_eager)
     )
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (
@@ -270,19 +284,19 @@ def k_core(
         pairs.select(F.col(a).alias("s"), F.col(b).alias("t"))
         .union(pairs.select(F.col(b).alias("s"), F.col(a).alias("t")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_eager)
     )
     cur = und
     while True:
         deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-        low = deg.filter(F.col("d") < k).select("s").localCheckpoint(eager=True)
+        low = deg.filter(F.col("d") < k).select("s").transform(_ckpt_eager)
         if low.isEmpty():
             break
         cur = (
             cur.join(low, "s", "left_anti")
             .join(low.withColumnRenamed("s", "t"), "t", "left_anti")
             .select("s", "t")
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_eager)
         )
     return (
         cur.groupBy("s")
@@ -355,7 +369,7 @@ def hits(
     hub = (
         edges.select(F.col("src").alias("GlobalNodeId")).distinct()
         .select("GlobalNodeId", F.lit(1.0).alias("score"))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt_lazy)
     )
     auth = None
     for _ in range(iterations):
@@ -363,13 +377,13 @@ def hits(
             edges.join(hub, edges["src"] == hub["GlobalNodeId"])
             .groupBy(F.col("sink").alias("GlobalNodeId"))
             .agg(_step(F.sum("score") * inv).alias("score"))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
         hub = (
             edges.join(auth, edges["sink"] == auth["GlobalNodeId"])
             .groupBy(F.col("src").alias("GlobalNodeId"))
             .agg(_step(F.sum("score") * inv).alias("score"))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
     # single L1 normalization + full-node assembly, once: nodes outside
     # a support set have exactly 0.0 (they received no mass). The two
@@ -417,12 +431,12 @@ def personalized_pagerank(
         "left",
     ).select(
         "GlobalNodeId", F.coalesce(F.col("_p"), F.lit(0.0)).alias("p")
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_eager)
     ranks = pref.select("GlobalNodeId", F.col("p").alias("rank"))
-    edges = edges.select("src", "sink").localCheckpoint(eager=False)
+    edges = edges.select("src", "sink").transform(_ckpt_lazy)
     degrees = (
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt_lazy)
     )
 
     for _ in range(iterations):
@@ -454,7 +468,7 @@ def personalized_pagerank(
             pref.join(contribs, "GlobalNodeId", "left")
             .join(F.broadcast(dangling))
             .select("GlobalNodeId", new_rank.alias("rank"))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
     return ranks
 
@@ -467,10 +481,10 @@ def connected_components(
     undirected). Returns (GlobalNodeId, component)."""
     labels = nodes.select(
         "GlobalNodeId", F.col("GlobalNodeId").alias("component")
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_eager)
     sym = edges.select("src", "sink").union(
         edges.select(F.col("sink").alias("src"), F.col("src").alias("sink"))
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_eager)
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -513,7 +527,7 @@ def connected_components(
                     (compressed < F.col("component")).cast("int"),
                 ).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_eager)
         )
         changed = updated.agg(F.coalesce(F.max("_chg"), F.lit(0))).first()[0]
         labels = updated.drop("_chg")
@@ -715,7 +729,7 @@ def bellman_ford(
     LAZY checkpoints (shallow plans, one materializing action at the
     caller — same posture as pagerank above)."""
     dist = source.select("id", F.lit(0).cast("long").alias("dist"))
-    edges = edges.select("src", "sink", "w").localCheckpoint(eager=False)
+    edges = edges.select("src", "sink", "w").transform(_ckpt_lazy)
     for _ in range(iterations):
         relaxed = (
             edges.join(dist, edges["src"] == dist["id"])
@@ -723,7 +737,7 @@ def bellman_ford(
             .unionByName(dist)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
         dist = relaxed
     return dist
@@ -803,7 +817,7 @@ def label_propagation(
     sym = (
         edges.select("src", "sink")
         .union(edges.select(F.col("sink").alias("src"), F.col("src").alias("sink")))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt_lazy)
     )
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
         eager=False
@@ -828,7 +842,7 @@ def label_propagation(
                 "id",
                 F.coalesce(F.col("__new"), F.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
     return labels
 
@@ -989,7 +1003,7 @@ def k_truss(
     e = (
         pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_eager)
     )
     n_edges = e.count()
     while True:
@@ -1014,12 +1028,12 @@ def k_truss(
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("support"))
         )
-        kept = sup.filter(F.col("support") >= k - 2).localCheckpoint(eager=True)
+        kept = sup.filter(F.col("support") >= k - 2).transform(_ckpt_eager)
         n_kept = kept.count()
         if n_kept == n_edges:
             return kept
         n_edges = n_kept
-        e = kept.select("a", "b").localCheckpoint(eager=True)
+        e = kept.select("a", "b").transform(_ckpt_eager)
 
 
 KTRUSS_K = 3
@@ -1399,13 +1413,23 @@ def _shortcut_closure(e: DataFrame, budget_factor: int = 32,
         # and only adds a job (measured).
         g = (
             e.distinct().withColumn("fresh", F.lit(1))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
-        row = g.agg(F.count(F.lit(1))).first()
-        n = row[0]
+        row = (
+            g.agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(_compose_pred(g, delta_is_all=True)).first()
+        )
+        n, pred = row[0], row[1]
         n_delta = n
         budget = budget_factor * max(n, 1)
         for i in range(max_squarings):
+            if pred > _PREDICT_SLACK * budget:
+                # the NEXT compose would enumerate pred rows BEFORE the
+                # materialized-size budget could ever see them (the sf1
+                # failure mode: one squaring jumped from under-budget to
+                # tens of GB of join output). Bail to the bounded-memory
+                # fallback without running it.
+                return g.select("src", "sink"), False
             size_shuffle(n)
             delta = g.filter(F.col("fresh") == 1)
             # small deltas ride the join as a broadcast build side, so
@@ -1433,16 +1457,66 @@ def _shortcut_closure(e: DataFrame, budget_factor: int = 32,
                 .unionByName(two.select("src", "sink", F.lit(0).alias("_old")))
                 .groupBy("src", "sink")
                 .agg((1 - F.max("_old")).alias("fresh"))
-                .localCheckpoint(eager=False)
+                .transform(_ckpt_lazy)
             )
-            row = g2.agg(F.count(F.lit(1)), F.sum("fresh")).first()
-            n2, n_fresh = row[0], row[1]
+            row = (
+                g2.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("fresh").alias("nf"))
+                .crossJoin(_compose_pred(g2)).first()
+            )
+            n2, n_fresh, pred = row[0], row[1], row[2]
             if n_fresh == 0:
                 return g.select("src", "sink"), True
             g, n, n_delta = g2, n2, n_fresh
             if n > budget:
                 return g.select("src", "sink"), False
         return g.select("src", "sink"), False
+
+
+# compose-size guard slack: the predicted enumeration count is an
+# upper bound (duplicates collapse in the groupBy; round 0 double-
+# counts its single compose), so the guard must only fire on the
+# CATASTROPHIC class — a squaring gone quadratic (dense graph: ratio
+# in the thousands) — never on legitimate closure rounds. Measured on
+# the Refers+back-edge family: the biggest round that still completes
+# within budget predicts 8.9× (sf0.1), the first budget-tripping round
+# 18× (sf1, 39 s — bounded, and the materialized check catches it); a
+# true quadratic blowup at that node count predicts ~4000×. 64 sits
+# an order of magnitude above the legitimate band and two below the
+# disaster band.
+_PREDICT_SLACK = 64
+
+
+def _compose_pred(frame: DataFrame, delta_is_all: bool = False) -> DataFrame:
+    """1-row ``(_pred long)``: upper bound on the rows the NEXT
+    seminaive compose will enumerate — Σ_mid |delta·sink=mid| ×
+    |all·src=mid| (plus the symmetric all∘delta term), computed from
+    per-mid COUNT tables only, never the pairs themselves. Rides the
+    round probe as a crossJoin so the guard costs zero extra jobs.
+
+    Why it exists (sf1 scale evidence, round 8): the materialized-size
+    budget checks |G| AFTER a squaring — but the squaring join itself
+    can jump from under-budget to billions of enumerated rows inside
+    one round (Refers tree + back-edges at 150k nodes: >30 min, 40 GB
+    heap). Predicting the enumeration from count tables lets the
+    closure bail to the bounded-memory fallback BEFORE paying it."""
+    fresh = frame if delta_is_all else frame.filter(F.col("fresh") == 1)
+    dc = fresh.groupBy(F.col("sink").alias("m")).agg(
+        F.count(F.lit(1)).alias("dc"))
+    gs = frame.groupBy(F.col("src").alias("m")).agg(
+        F.count(F.lit(1)).alias("gc"))
+    p1 = dc.join(gs, "m").agg(
+        F.coalesce(F.sum(F.col("dc") * F.col("gc")), F.lit(0)).alias("p1"))
+    if delta_is_all:
+        return p1.select(F.col("p1").alias("_pred"))
+    gsk = frame.groupBy(F.col("sink").alias("m")).agg(
+        F.count(F.lit(1)).alias("gc2"))
+    ds = fresh.groupBy(F.col("src").alias("m")).agg(
+        F.count(F.lit(1)).alias("dc2"))
+    p2 = gsk.join(ds, "m").agg(
+        F.coalesce(F.sum(F.col("gc2") * F.col("dc2")), F.lit(0)).alias("p2"))
+    return p1.crossJoin(p2).select(
+        (F.col("p1") + F.col("p2")).alias("_pred"))
 
 
 def _propagate_fb(lab: DataFrame, e: DataFrame,
@@ -1466,10 +1540,10 @@ def _propagate_fb(lab: DataFrame, e: DataFrame,
     ).unionByName(e.select(
         F.col("sink").alias("send"), F.col("src").alias("recv"),
         F.lit("b").alias("dir"),
-    )).localCheckpoint(eager=False)
+    )).transform(_ckpt_lazy)
     cur = lab.select("id", F.lit("f").alias("dir"), "p").unionByName(
         lab.select("id", F.lit("b").alias("dir"), "p")
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt_lazy)
     snap = cur
 
     def _step(cur):
@@ -1493,7 +1567,7 @@ def _propagate_fb(lab: DataFrame, e: DataFrame,
     # variant was measured 2× SLOWER at the sf0.1 bench: the doubled
     # plan costs more per materialization than the saved planning)
     for i in range(1, max_iter + 1):
-        cur = _step(cur).localCheckpoint(eager=False)
+        cur = _step(cur).transform(_ckpt_lazy)
         if i % _SCC_PROBE_EVERY == 0:
             changed = (
                 cur.join(snap.withColumnRenamed("p", "p0"), ["id", "dir"])
@@ -1547,6 +1621,13 @@ def strongly_connected_components(
     closure, complete = _shortcut_closure(e, budget_factor)
     if not complete:
         return _scc_peel(nodes, e, max_rounds)
+    return _scc_from_closure(nodes.select("id"), closure)
+
+
+def _scc_from_closure(ids: DataFrame, closure: DataFrame) -> DataFrame:
+    """SCC labels from a COMPLETE reachability closure: u, v share an
+    SCC iff both (u,v) and (v,u) are reach pairs, so each node's label
+    is the min over its mutual-reach partners (itself when none)."""
     mutual = closure.join(
         closure.select(F.col("sink").alias("src"),
                        F.col("src").alias("sink")),
@@ -1556,7 +1637,7 @@ def strongly_connected_components(
         mutual.groupBy("src").agg(F.min("sink").alias("m"))
         .withColumnRenamed("src", "id")
     )
-    return nodes.select("id").join(partner_min, "id", "left").select(
+    return ids.join(partner_min, "id", "left").select(
         "id",
         F.least(F.col("id"), F.coalesce(F.col("m"), F.col("id"))
                 ).alias("scc"),
@@ -1589,10 +1670,22 @@ def _scc_peel(nodes: DataFrame, e: DataFrame,
     peel always progresses. Hashed pivot order keeps monotone-id
     graphs from degrading to one SCC per round. Labels are then
     canonicalized to the component minimum so both strategies return
-    identical frames."""
-    remaining = nodes.select("id").localCheckpoint(eager=True)
+    identical frames.
+
+    A TRIM pre-pass (the standard FW-BW companion step — Slota,
+    Rajamanickam & Madduri, "BFS and Coloring-Based Parallel
+    Algorithms for Strongly Connected Components", IPDPS 2014) first
+    peels nodes with zero in- or out-degree in the residual graph
+    iteratively: none can lie on a cycle, so each is a singleton SCC.
+    Trim rounds are two semi-joins on node id — ~20× cheaper than an
+    FB fixpoint round — and on tree-plus-cycles graphs (the sf1 scale
+    fixture) they dispose of the entire acyclic fringe so the FB
+    fixpoints run only on the small cyclic core (measured: the first
+    FB fixpoint alone cost 45 s at 150k nodes pre-trim)."""
+    remaining = nodes.select("id").transform(_ckpt_eager)
     parts: list[DataFrame] = []
     with _loop_regime(nodes.sparkSession) as size_shuffle:
+        remaining, e = _scc_trim(remaining, e, parts, size_shuffle)
         _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle)
     if not parts:
         return nodes.sparkSession.createDataFrame(
@@ -1604,6 +1697,52 @@ def _scc_peel(nodes: DataFrame, e: DataFrame,
     return out.join(canon, "scc").select("id", F.col("cmin").alias("scc"))
 
 
+def _scc_trim(remaining, e, parts, size_shuffle, max_rounds: int = 256):
+    """Iterative trim (see _scc_peel): peel nodes whose residual in- or
+    out-degree is zero as singleton SCCs until a fixpoint. Each round
+    is two distinct projections + semi/anti joins on node id and ONE
+    count probe; rounds = the graph's trim depth (tree height for the
+    acyclic fringe). Returns the (remaining, edges) cyclic core."""
+    n_rem = remaining.count()
+    for _ in range(max_rounds):
+        if n_rem == 0:
+            return remaining, e
+        size_shuffle(n_rem)
+        srcs = e.select(F.col("src").alias("id")).distinct()
+        sinks = e.select(F.col("sink").alias("id")).distinct()
+        keep = (
+            remaining.join(srcs, "id", "semi")
+            .join(sinks, "id", "semi")
+            .transform(_ckpt_lazy)
+        )
+        n_keep = keep.count()
+        if n_keep == n_rem:
+            return remaining, e
+        parts.append(
+            remaining.join(keep, "id", "anti")
+            .select("id", F.col("id").alias("scc"))
+            .transform(_ckpt_lazy)
+        )
+        e = (
+            e.join(keep.select(F.col("id").alias("src")), "src", "semi")
+            .join(keep.select(F.col("id").alias("sink")), "sink", "semi")
+            .select("src", "sink")
+            .transform(_ckpt_lazy)
+        )
+        remaining, n_rem = keep, n_keep
+    return remaining, e  # depth cap: peel handles whatever is left
+
+
+# residual size below which the peel hands the remainder to the
+# closure-direct path: after trim + a few FB rounds the class-
+# restricted residual is a sliver, and finishing it with O(log d)
+# closure jobs beats more FB fixpoints (measured at the sf1 scale
+# fixture: the 998-node tail round cost more than the whole peel to
+# that point). A closure attempt that still blows its budget or
+# compose prediction bails in bounded work and FB peeling resumes.
+_SCC_FINISH_NODES = 4096
+
+
 def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle):
     """Peel loop body (see _scc_peel): mutates ``parts`` in place so the
     caller can union outside the loop regime."""
@@ -1612,6 +1751,12 @@ def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle):
         if n_remaining == 0:
             return
         size_shuffle(n_remaining)
+        if n_remaining <= _SCC_FINISH_NODES:
+            closure, complete = _shortcut_closure(e, budget_factor=32)
+            if complete:
+                parts.append(_scc_from_closure(remaining, closure))
+                return
+            # residual still closure-hostile: keep peeling
         lab = remaining.select(
             "id", F.struct(F.xxhash64("id").alias("h"),
                            F.col("id").alias("pid")).alias("p")
@@ -1623,7 +1768,7 @@ def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle):
                     W.partitionBy("f", "b")
                 )
             )
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
         peel = (F.col("f") == F.col("b")) | (F.col("n") == 1)
         sccs = (
@@ -1633,10 +1778,10 @@ def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle):
                 F.when(F.col("f") == F.col("b"), F.col("f.pid"))
                 .otherwise(F.col("id")).alias("scc"),
             )
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
         parts.append(sccs)
-        survivors = cls.filter(~peel).localCheckpoint(eager=False)
+        survivors = cls.filter(~peel).transform(_ckpt_lazy)
         remaining = survivors.select("id")
         # class restriction: only same-(f,b)-class edges can sit inside
         # a still-unresolved SCC. Node-sized side tables: plain
@@ -1655,7 +1800,7 @@ def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle):
             .filter((F.col("_fs") == F.col("_ft"))
                     & (F.col("_bs") == F.col("_bt")))
             .select("src", "sink")
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
     raise RuntimeError(f"SCC did not converge in {max_rounds} rounds")
 
@@ -1689,7 +1834,7 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
     def _finish(frame, complete):
         out = frame.select("src", "sink", "dist")
         if materialize and complete:
-            out = out.localCheckpoint(eager=True)
+            out = out.transform(_ckpt_eager)
         return out, complete
 
     with _loop_regime(e.sparkSession) as size_shuffle:
@@ -1700,9 +1845,18 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
         d0 = (
             e.select("src", "sink").distinct()
             .select("src", "sink", F.lit(1).cast("long").alias("dist"))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
-        n_e = d0.agg(F.count(F.lit(1))).first()[0]
+        row0 = (
+            d0.agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(_compose_pred(d0, delta_is_all=True)).first()
+        )
+        n_e, pred = row0[0], row0[1]
+        budget = budget_factor * max(n_e, 1)
+        if pred > _PREDICT_SLACK * budget:
+            # even the dist≤2 seed fold would enumerate a blowup —
+            # bail to the bounded-memory per-seed path with dist≤1
+            return _finish(d0, False)
         size_shuffle(n_e)
         # hint only the join's build side (hinting d0 itself would dangle
         # on the union below and log a hint error)
@@ -1718,16 +1872,23 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
             d0.unionByName(two0)
             .groupBy("src", "sink").agg(F.min("dist").alias("dist"))
             .withColumn("fresh", F.lit(1))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
-        n = d.agg(F.count(F.lit(1))).first()[0]
+        row = (
+            d.agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(_compose_pred(d)).first()
+        )
+        n, pred = row[0], row[1]
         n_delta = n
         # budget on the RAW distinct-edge count (ADVICE r6 #2: basing
         # it on the post-dist≤2-fold row count silently ~doubled the
         # effective budget, tripping the bounded-memory fallback later
-        # than budget_factor advertises)
-        budget = budget_factor * max(n_e, 1)
+        # than budget_factor advertises); set above the seed fold
         for i in range(max_squarings):
+            if pred > _PREDICT_SLACK * budget:
+                # next compose would enumerate a blowup before the
+                # materialized budget could see it (see _compose_pred)
+                return _finish(d, False)
             size_shuffle(n)
             delta = d.filter(F.col("fresh") == 1)
             if n_delta < _LOOP_BCAST_ROWS:
@@ -1765,10 +1926,14 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
                         | (F.col("dist") < F.col("_old")), 1
                     ).otherwise(0).alias("fresh"),
                 )
-                .localCheckpoint(eager=False)
+                .transform(_ckpt_lazy)
             )
-            row = d2.agg(F.count(F.lit(1)), F.sum("fresh")).first()
-            n2, n_fresh = row[0], row[1]
+            row = (
+                d2.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("fresh").alias("nf"))
+                .crossJoin(_compose_pred(d2)).first()
+            )
+            n2, n_fresh, pred = row[0], row[1], row[2]
             if n_fresh == 0:
                 return _finish(d, True)
             d, n, n_delta = d2, n2, n_fresh
@@ -1939,7 +2104,7 @@ def multi_source_levels(
     with _loop_regime(spark) as size_shuffle:
         edges = (
             edges.select("src", "sink").distinct()
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_eager)
         )
         size_shuffle(edges.count())
         lvl = (
@@ -1947,7 +2112,7 @@ def multi_source_levels(
             .distinct()
             .select("s", F.col("s").alias("id"),
                     F.lit(1.0).alias("sigma"))
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_eager)
         )
         levels = [lvl]
         # settled = plain union of already-checkpointed level frames:
@@ -1966,7 +2131,7 @@ def multi_source_levels(
                 .groupBy("s", "id")
                 .agg(F.sum("sigma").alias("sigma"))
                 .join(settled, ["s", "id"], "left_anti")
-                .localCheckpoint(eager=False)
+                .transform(_ckpt_lazy)
             )
             if nxt.count() == 0:
                 return levels, edges
@@ -2065,7 +2230,7 @@ def brandes_betweenness(
             cur.select("s", "id")
             .join(contrib, ["s", "id"], "left")
             .select("s", "id", F.coalesce("delta", F.lit(0.0)).alias("delta"))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
         if d >= 1:  # level 0 is the sources themselves: excluded
             acc.append(deltas)

@@ -859,9 +859,12 @@ class GraphDatabase:
                 1, 15,
             ), 16, 10,
         ).cast("long") % self._SAMPLING_DENOM
-        sample = df.filter(
-            key < int(fraction * self._SAMPLING_DENOM)
-        ).localCheckpoint(eager=True)
+        filtered = df.filter(key < int(fraction * self._SAMPLING_DENOM))
+        from graphview_spark.plans import lazy as _lazy
+
+        if _lazy.is_lazy():  # plan audit: full pipeline, no cache, no jobs
+            return filtered
+        sample = filtered.localCheckpoint(eager=True)
         per_edge[fraction] = sample
         return sample
 

@@ -34,6 +34,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphview_spark.matching.pattern import PatternEdge
+from graphview_spark.plans.lazy import local_ckpt
+
+
+def _ckpt_eager(df: DataFrame) -> DataFrame:
+    # localCheckpoint + stats barrier (plans/lazy.py local_ckpt): stops
+    # Catalyst's sizeInBytes BigInt squaring across BFS rounds
+    return local_ckpt(df, eager=True)
 
 # checkpoint cadence: every iteration is correct but costs a
 # materialization; lineage depth stays tiny either way at cadence 1
@@ -70,7 +77,7 @@ def var_length_paths(
     # attributed edges — the PathMessageDecoder parity, see _one_edge_df).
     edges = edges.select(
         "src", "sink", "_etype", ekey.alias("_ekey"), "_emsg"
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_eager)
 
     seed = edges
     if start_nodes is not None:
@@ -110,7 +117,7 @@ def var_length_paths(
     )
     if node_unique:
         frontier = frontier.filter(F.col("start") != F.col("end"))
-    frontier = frontier.localCheckpoint(eager=True)
+    frontier = frontier.transform(_ckpt_eager)
     frontier_empty = frontier.isEmpty()
 
     collected: list[DataFrame] = []
@@ -139,7 +146,7 @@ def var_length_paths(
                 F.lit("]->"),
                 F.col("sink").cast("string"),
             ).alias("path_str"),
-        ).localCheckpoint(eager=True)
+        ).transform(_ckpt_eager)
         hop += 1
         frontier = nxt
         # one emptiness probe per hop over the just-materialized frontier

@@ -37,6 +37,38 @@ def pin(df: DataFrame) -> DataFrame:
     return df if _LAZY else df.localCheckpoint(eager=True)
 
 
+def local_ckpt(df: DataFrame, eager: bool = False) -> DataFrame:
+    """``localCheckpoint`` + a STATS BARRIER — the checkpoint call for
+    iterative driver loops.
+
+    Spark 4 propagates origin statistics through
+    ``localCheckpoint``'s LogicalRDD, so in a loop where round k joins
+    round k−1 with itself the logical ``sizeInBytes`` BigInt SQUARES
+    every round: measured (sf1 SCC peel, round ~40) Catalyst spent
+    MINUTES of single-threaded BigInteger.multiply per round and tens
+    of GB of heap holding million-digit statistics — the planning
+    itself became the scale cliff. Rebuilding the frame from the
+    checkpointed internal RDD resets stats to the scan default (19
+    digits, constant per round; verified by a 24-round self-join whose
+    stats stay flat).
+
+    Loops run under _loop_regime (AQE off, explicit broadcast hints),
+    so the erased stats cost nothing there; outside, AQE's runtime
+    sizes — not logical stats — drive its conversions. Falls back to
+    the plain checkpoint if the private JVM seam moves."""
+    d = df.localCheckpoint(eager=eager)
+    try:
+        spark = d.sparkSession
+        jrdd = d._jdf.queryExecution().toRdd()
+        jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+            d.schema.json())
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jschema, False)
+        return DataFrame(jdf, spark)
+    except Exception:  # pragma: no cover - JVM-version-dependent seam
+        return d
+
+
 @contextmanager
 def lazy_plans():
     global _LAZY
