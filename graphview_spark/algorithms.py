@@ -1415,11 +1415,8 @@ def _shortcut_closure(e: DataFrame, budget_factor: int = 32,
             e.distinct().withColumn("fresh", F.lit(1))
             .transform(_ckpt_lazy)
         )
-        row = (
-            g.agg(F.count(F.lit(1)).alias("n"))
-            .crossJoin(_compose_pred(g, delta_is_all=True)).first()
-        )
-        n, pred = row[0], row[1]
+        n = g.agg(F.count(F.lit(1))).first()[0]
+        pred = _pred_if_big(g, n, delta_is_all=True)
         n_delta = n
         budget = budget_factor * max(n, 1)
         for i in range(max_squarings):
@@ -1459,14 +1456,11 @@ def _shortcut_closure(e: DataFrame, budget_factor: int = 32,
                 .agg((1 - F.max("_old")).alias("fresh"))
                 .transform(_ckpt_lazy)
             )
-            row = (
-                g2.agg(F.count(F.lit(1)).alias("n"),
-                       F.sum("fresh").alias("nf"))
-                .crossJoin(_compose_pred(g2)).first()
-            )
-            n2, n_fresh, pred = row[0], row[1], row[2]
+            row = g2.agg(F.count(F.lit(1)), F.sum("fresh")).first()
+            n2, n_fresh = row[0], row[1]
             if n_fresh == 0:
                 return g.select("src", "sink"), True
+            pred = _pred_if_big(g2, n2)
             g, n, n_delta = g2, n2, n_fresh
             if n > budget:
                 return g.select("src", "sink"), False
@@ -1485,14 +1479,36 @@ def _shortcut_closure(e: DataFrame, budget_factor: int = 32,
 # an order of magnitude above the legitimate band and two below the
 # disaster band.
 _PREDICT_SLACK = 64
+# ... and the guard only runs at all once the frame is big enough for
+# a blowup round to be catastrophic: the prediction costs a fixed
+# ~0.35 s/round of stage scheduling (measured 40% of graph_scc's
+# sf0.1 wall time), while below this row count even a severely
+# super-budget round is seconds, already bounded by the materialized
+# check one round later. Above it, the pred job is amortized by the
+# round's real data work.
+_PREDICT_MIN_ROWS = 2_000_000
+
+
+def _pred_if_big(frame: DataFrame, n: int,
+                 delta_is_all: bool = False) -> int:
+    """The compose-size prediction, gated on frame size (see
+    _PREDICT_MIN_ROWS): 0 — guard disengaged — below the threshold,
+    else one count-table job over ``frame``."""
+    if n < _PREDICT_MIN_ROWS:
+        return 0
+    return _compose_pred(frame, delta_is_all).first()["_pred"]
 
 
 def _compose_pred(frame: DataFrame, delta_is_all: bool = False) -> DataFrame:
     """1-row ``(_pred long)``: upper bound on the rows the NEXT
     seminaive compose will enumerate — Σ_mid |delta·sink=mid| ×
     |all·src=mid| (plus the symmetric all∘delta term), computed from
-    per-mid COUNT tables only, never the pairs themselves. Rides the
-    round probe as a crossJoin so the guard costs zero extra jobs.
+    per-mid COUNT tables only, never the pairs themselves. ONE explode
+    + ONE groupBy + ONE agg (two shuffle stages of integer counts),
+    and only consulted at all above _PREDICT_MIN_ROWS via
+    ``_pred_if_big`` — below that the fixed ~0.35 s/round of stage
+    scheduling would dominate the loops it protects (measured 40% of
+    graph_scc's sf0.1 wall time when it rode every probe).
 
     Why it exists (sf1 scale evidence, round 8): the materialized-size
     budget checks |G| AFTER a squaring — but the squaring join itself
@@ -1500,23 +1516,30 @@ def _compose_pred(frame: DataFrame, delta_is_all: bool = False) -> DataFrame:
     one round (Refers tree + back-edges at 150k nodes: >30 min, 40 GB
     heap). Predicting the enumeration from count tables lets the
     closure bail to the bounded-memory fallback BEFORE paying it."""
-    fresh = frame if delta_is_all else frame.filter(F.col("fresh") == 1)
-    dc = fresh.groupBy(F.col("sink").alias("m")).agg(
-        F.count(F.lit(1)).alias("dc"))
-    gs = frame.groupBy(F.col("src").alias("m")).agg(
-        F.count(F.lit(1)).alias("gc"))
-    p1 = dc.join(gs, "m").agg(
-        F.coalesce(F.sum(F.col("dc") * F.col("gc")), F.lit(0)).alias("p1"))
+    fresh = (F.lit(1) if delta_is_all else F.col("fresh")).cast("long")
+    both = frame.select(
+        F.explode(F.array(
+            F.struct(F.col("src").alias("m"), F.lit(1).alias("o"),
+                     fresh.alias("fr")),
+            F.struct(F.col("sink").alias("m"), F.lit(0).alias("o"),
+                     fresh.alias("fr")),
+        )).alias("x")
+    ).select("x.m", "x.o", "x.fr")
+    per_mid = both.groupBy("m").agg(
+        F.sum("o").alias("out_all"),
+        F.sum(1 - F.col("o")).alias("in_all"),
+        F.sum(F.col("o") * F.col("fr")).alias("out_fresh"),
+        F.sum((1 - F.col("o")) * F.col("fr")).alias("in_fresh"),
+    )
+    # delta∘g pairs through mid = in_fresh·out_all; g∘delta = in_all·
+    # out_fresh (the seed round's single compose is the first term —
+    # delta_is_all makes them equal, so halve)
+    term = (F.col("in_fresh") * F.col("out_all")
+            + F.col("in_all") * F.col("out_fresh"))
     if delta_is_all:
-        return p1.select(F.col("p1").alias("_pred"))
-    gsk = frame.groupBy(F.col("sink").alias("m")).agg(
-        F.count(F.lit(1)).alias("gc2"))
-    ds = fresh.groupBy(F.col("src").alias("m")).agg(
-        F.count(F.lit(1)).alias("dc2"))
-    p2 = gsk.join(ds, "m").agg(
-        F.coalesce(F.sum(F.col("gc2") * F.col("dc2")), F.lit(0)).alias("p2"))
-    return p1.crossJoin(p2).select(
-        (F.col("p1") + F.col("p2")).alias("_pred"))
+        term = F.col("in_all") * F.col("out_all")
+    return per_mid.agg(
+        F.coalesce(F.sum(term), F.lit(0)).alias("_pred"))
 
 
 def _propagate_fb(lab: DataFrame, e: DataFrame,
@@ -1592,7 +1615,7 @@ def _propagate_fb(lab: DataFrame, e: DataFrame,
 
 def strongly_connected_components(
     nodes: DataFrame, edges: DataFrame, max_rounds: int = 20,
-    budget_factor: int = 32,
+    budget_factor: int = 32, finish_nodes: int | None = None,
 ) -> DataFrame:
     """SCC labels over directed (src, sink) edges. Returns (id, scc)
     where scc is the component's minimum member id.
@@ -1620,7 +1643,7 @@ def strongly_connected_components(
     e = edges.select("src", "sink")
     closure, complete = _shortcut_closure(e, budget_factor)
     if not complete:
-        return _scc_peel(nodes, e, max_rounds)
+        return _scc_peel(nodes, e, max_rounds, finish_nodes=finish_nodes)
     return _scc_from_closure(nodes.select("id"), closure)
 
 
@@ -1645,7 +1668,8 @@ def _scc_from_closure(ids: DataFrame, closure: DataFrame) -> DataFrame:
 
 
 def _scc_peel(nodes: DataFrame, e: DataFrame,
-              max_rounds: int = 20) -> DataFrame:
+              max_rounds: int = 20,
+              finish_nodes: int | None = None) -> DataFrame:
     """Iterative FW-BW/coloring SCC peel — the bounded-memory fallback
     for graphs whose reachability closure exceeds the shortcut budget.
 
@@ -1686,7 +1710,8 @@ def _scc_peel(nodes: DataFrame, e: DataFrame,
     parts: list[DataFrame] = []
     with _loop_regime(nodes.sparkSession) as size_shuffle:
         remaining, e = _scc_trim(remaining, e, parts, size_shuffle)
-        _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle)
+        _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle,
+                         finish_nodes=finish_nodes)
     if not parts:
         return nodes.sparkSession.createDataFrame(
             [], "id long, scc long")
@@ -1743,15 +1768,20 @@ def _scc_trim(remaining, e, parts, size_shuffle, max_rounds: int = 256):
 _SCC_FINISH_NODES = 4096
 
 
-def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle):
+def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle,
+                     finish_nodes: int | None = None):
     """Peel loop body (see _scc_peel): mutates ``parts`` in place so the
-    caller can union outside the loop regime."""
+    caller can union outside the loop regime. ``finish_nodes``
+    overrides _SCC_FINISH_NODES (0 disables the closure-direct finish —
+    the oracle-gated peel fixture uses this so the FB fixpoint leg
+    stays driver-verified instead of being short-circuited)."""
+    cutoff = _SCC_FINISH_NODES if finish_nodes is None else finish_nodes
     for _ in range(max_rounds):
         n_remaining = remaining.count()
         if n_remaining == 0:
             return
         size_shuffle(n_remaining)
-        if n_remaining <= _SCC_FINISH_NODES:
+        if n_remaining <= cutoff:
             closure, complete = _shortcut_closure(e, budget_factor=32)
             if complete:
                 parts.append(_scc_from_closure(remaining, closure))
@@ -1847,13 +1877,9 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
             .select("src", "sink", F.lit(1).cast("long").alias("dist"))
             .transform(_ckpt_lazy)
         )
-        row0 = (
-            d0.agg(F.count(F.lit(1)).alias("n"))
-            .crossJoin(_compose_pred(d0, delta_is_all=True)).first()
-        )
-        n_e, pred = row0[0], row0[1]
+        n_e = d0.agg(F.count(F.lit(1))).first()[0]
         budget = budget_factor * max(n_e, 1)
-        if pred > _PREDICT_SLACK * budget:
+        if _pred_if_big(d0, n_e, delta_is_all=True) > _PREDICT_SLACK * budget:
             # even the dist≤2 seed fold would enumerate a blowup —
             # bail to the bounded-memory per-seed path with dist≤1
             return _finish(d0, False)
@@ -1874,11 +1900,8 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
             .withColumn("fresh", F.lit(1))
             .transform(_ckpt_lazy)
         )
-        row = (
-            d.agg(F.count(F.lit(1)).alias("n"))
-            .crossJoin(_compose_pred(d)).first()
-        )
-        n, pred = row[0], row[1]
+        n = d.agg(F.count(F.lit(1))).first()[0]
+        pred = _pred_if_big(d, n)
         n_delta = n
         # budget on the RAW distinct-edge count (ADVICE r6 #2: basing
         # it on the post-dist≤2-fold row count silently ~doubled the
@@ -1928,14 +1951,11 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
                 )
                 .transform(_ckpt_lazy)
             )
-            row = (
-                d2.agg(F.count(F.lit(1)).alias("n"),
-                       F.sum("fresh").alias("nf"))
-                .crossJoin(_compose_pred(d2)).first()
-            )
-            n2, n_fresh, pred = row[0], row[1], row[2]
+            row = d2.agg(F.count(F.lit(1)), F.sum("fresh")).first()
+            n2, n_fresh = row[0], row[1]
             if n_fresh == 0:
                 return _finish(d, True)
+            pred = _pred_if_big(d2, n2)
             d, n, n_delta = d2, n2, n_fresh
             if n > budget:
                 return _finish(d, False)
@@ -2492,11 +2512,13 @@ def q_graph_scc_peel(spark, sf_dir: str) -> DataFrame:
     6-cycles over c_custkey ≤ 480 (block b = (k-1) div 6, edge k → next
     position in the block's cycle) plus 20 isolated keys ≤ 500:
     budget_factor=2 trips at the second squaring (dist≤4 pairs = 4|E| >
-    2|E|), so the general peel runs — singleton rule disposes of the
-    isolated keys, f==b peels every cycle whole. The DuckDB oracle does
-    an honest recursive reachability closure + mutual-reach minimum,
-    not the generator's closed form. Summary output is label-agnostic,
-    same shape as q_graph_scc."""
+    2|E|), so the general peel runs — the trim pre-pass disposes of the
+    isolated keys, f==b peels every cycle whole; finish_nodes=0 keeps
+    the closure-direct residual finish OFF so the FB fixpoint leg
+    itself stays under the oracle (the query's whole purpose). The
+    DuckDB oracle does an honest recursive reachability closure +
+    mutual-reach minimum, not the generator's closed form. Summary
+    output is label-agnostic, same shape as q_graph_scc."""
     from graphview_spark.session import read_table
 
     cust = read_table(spark, sf_dir, "customer").select("c_custkey")
@@ -2512,7 +2534,8 @@ def q_graph_scc_peel(spark, sf_dir: str) -> DataFrame:
              ).alias("sink"),
         )
     )
-    scc = strongly_connected_components(nodes, edges, budget_factor=2)
+    scc = strongly_connected_components(
+        nodes, edges, budget_factor=2, finish_nodes=0)
     sizes = scc.groupBy("scc").agg(F.count(F.lit(1)).alias("n"))
     return sizes.agg(
         F.count(F.lit(1)).alias("n_sccs"),

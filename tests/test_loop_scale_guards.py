@@ -1,0 +1,123 @@
+"""Round-8 loop-scale machinery: the localCheckpoint stats barrier,
+the closure compose-size guard, and the SCC trim pre-pass — the three
+fixes behind the sf1 graph_scc cliff (SCALECHECK.md round-8 section).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_local_ckpt_stats_stay_flat(spark):
+    """Spark 4 propagates sizeInBytes through localCheckpoint, so a
+    self-join loop squares the BigInt statistic per round (digits
+    double; by round ~40 planning hangs on million-digit multiplies).
+    local_ckpt's stats barrier must keep the statistic flat."""
+    from graphview_spark.plans.lazy import local_ckpt
+
+    def digits(df):
+        s = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return len(str(s))
+
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, sink long"
+    ).localCheckpoint(eager=True)
+    base = None
+    for _ in range(8):
+        g = local_ckpt(
+            g.alias("a").join(g.alias("b"), F.col("a.sink") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"),
+                    F.col("b.sink").alias("sink")),
+        )
+        d = digits(g)
+        base = d if base is None else base
+        assert d == base, "stats grew through the barrier"
+    assert base <= 20  # the scan default, not a compounded product
+
+
+def test_local_ckpt_preserves_rows(spark):
+    from graphview_spark.plans.lazy import local_ckpt
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(100)],
+                               "a long, b long")
+    out = local_ckpt(df.filter(F.col("a") % 2 == 0), eager=True)
+    assert out.count() == 50
+    assert out.schema == df.schema
+
+
+def test_compose_pred_counts_enumeration(spark):
+    """The guard's prediction = Σ_mid |delta·sink=mid| × |all·src=mid|
+    (+ symmetric term) — check against the hand-computed value."""
+    from graphview_spark.algorithms import _compose_pred
+
+    # edges 1→2, 3→2, 2→4, 2→5; all fresh
+    g = spark.createDataFrame(
+        [(1, 2, 1), (3, 2, 1), (2, 4, 1), (2, 5, 1)],
+        "src long, sink long, fresh int",
+    )
+    # delta_is_all: mid=2 has in=2, out=2 → 4
+    assert _compose_pred(g, delta_is_all=True).first()["_pred"] == 4
+    # both terms: 4 + 4
+    assert _compose_pred(g).first()["_pred"] == 8
+
+
+def test_closure_guard_bails_on_predicted_blowup(spark, monkeypatch):
+    """A squaring predicted to enumerate past the slack×budget must
+    return incomplete WITHOUT materializing it. Fixture: a dense
+    bipartite hub (50×50 through one layer) whose first compose
+    enumerates 50·50·... ≫ slack×budget at budget_factor=1."""
+    import graphview_spark.algorithms as A
+
+    monkeypatch.setattr(A, "_PREDICT_SLACK", 1)
+    monkeypatch.setattr(A, "_PREDICT_MIN_ROWS", 1)
+    rows = [(i, 1000) for i in range(50)] + [(1000, 2000 + j)
+                                             for j in range(50)]
+    e = spark.createDataFrame(rows, "src long, sink long")
+    closure, complete = A._shortcut_closure(e, budget_factor=1)
+    assert not complete
+    # the returned frame is the last SAFE state (the seed here)
+    assert closure.count() == 100
+
+
+def test_scc_trim_peels_acyclic_fringe(spark):
+    """Chain 1→2→3 into a 2-cycle 3↔4 with a tail 4→5: trim must peel
+    {1, 2, 5} as singletons and leave the cycle core {3, 4}."""
+    import graphview_spark.algorithms as A
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 3), (4, 5)], "src long, sink long"
+    ).localCheckpoint(eager=True)
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    parts: list = []
+    with A._loop_regime(spark) as size_shuffle:
+        remaining, e2 = A._scc_trim(
+            nodes.localCheckpoint(eager=True), e, parts, size_shuffle)
+        rem = sorted(r["id"] for r in remaining.collect())
+        left = e2.count()
+    assert rem == [3, 4]
+    assert left == 2  # only the cycle edges survive
+    trimmed = sorted(r["id"] for p in parts for r in p.collect())
+    assert trimmed == [1, 2, 5]
+    for p in parts:  # trimmed nodes are their own SCCs
+        for r in p.collect():
+            assert r["id"] == r["scc"]
+
+
+def test_scc_full_results_unchanged_by_trim_and_finish(spark):
+    """End-to-end SCC on a graph exercising trim + peel + the
+    closure-direct residual finish, vs hand-computed components."""
+    from graphview_spark.algorithms import strongly_connected_components
+
+    edges = [
+        (1, 2), (2, 3),            # tail into
+        (3, 4), (4, 5), (5, 3),    # 3-cycle {3,4,5}
+        (5, 6),                    # bridge to
+        (6, 7), (7, 6),            # 2-cycle {6,7}
+        (7, 8),                    # tail out
+    ]
+    e = spark.createDataFrame(edges, "src long, sink long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    # budget_factor=1 forces the peel path on this cyclic graph
+    got = {r["id"]: r["scc"] for r in strongly_connected_components(
+        nodes, e, budget_factor=1).collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 3, 5: 3, 6: 6, 7: 6, 8: 8}
