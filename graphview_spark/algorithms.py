@@ -819,8 +819,8 @@ def label_propagation(
         .union(edges.select(F.col("sink").alias("src"), F.col("src").alias("sink")))
         .transform(_ckpt_lazy)
     )
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
-        eager=False
+    labels = nodes.select("id", F.col("id").alias("label")).transform(
+        _ckpt_lazy
     )
     for _ in range(iterations):
         counts = (

@@ -66,7 +66,20 @@ def local_ckpt(df: DataFrame, eager: bool = False) -> DataFrame:
             jrdd, jschema, False)
         return DataFrame(jdf, spark)
     except Exception:  # pragma: no cover - JVM-version-dependent seam
+        global _BARRIER_WARNED
+        if not _BARRIER_WARNED:
+            _BARRIER_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "local_ckpt stats barrier unavailable (private JVM seam "
+                "moved?) — iterative loops will compound Catalyst "
+                "sizeInBytes statistics; expect planner slowdowns on "
+                "deep loops", RuntimeWarning)
         return d
+
+
+_BARRIER_WARNED = False
 
 
 @contextmanager
