@@ -269,3 +269,32 @@ def test_brandes_raises_past_max_depth(spark):
     got = {r["v"]: r["betweenness"]
            for r in brandes_betweenness(seeds, chain, max_depth=20).collect()}
     assert got[1] == 9.0  # node 1 sits on paths to the 9 nodes behind it
+
+
+@given(raw_edges=edges_strategy)
+@prop_settings
+def test_multi_source_distances_matches_bruteforce(spark, raw_edges):
+    """The batched (seed, node)-keyed BFS (round 8's shared forward
+    pass for Brandes AND the closeness fallback) must equal the
+    brute-force per-seed shortest distances, self-distance 0 included,
+    on random directed multigraphs."""
+    from graphview_spark.algorithms import multi_source_distances
+
+    edges = [(s, t) for s, t in raw_edges if s != t]
+    if not edges:
+        return
+    nodes = sorted({x for e in edges for x in e})
+    seeds = nodes[::2] or nodes[:1]
+    _, dist = _brute_closure(edges)
+
+    e = spark.createDataFrame(edges, "src long, sink long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "s long")
+    got = {(r["s"], r["id"]): r["dist"]
+           for r in multi_source_distances(sdf, e).collect()}
+    want = {(s, s): 0 for s in seeds}
+    for s in seeds:
+        for t in nodes:
+            d = dist.get((s, t), float("inf"))
+            if d != float("inf") and s != t:
+                want[(s, t)] = d
+    assert got == want
