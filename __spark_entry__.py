@@ -34,19 +34,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate records at most ~50 entries in
 # registration order (CORRECTNESS_r02 cut at exactly 50 of 52), so the
 # roster below picks which 50 of the full registry get a driver-verified
-# row this round. Round-8 rotation (VERDICT r7 "Next #2"): the four
-# sketch queries — the only registry entries with no driver row in any
-# round — move IN (sketch_distinct_hll, sketch_hll_union,
-# sketch_cms_counts, sketch_cms_union), plus the query born THIS round
-# (stats_sampled_degree — the oracle-gated deterministic-sample
-# contract). Five multi-round-green stalwarts move to extra_queries()
-# (dedup_embed_cosine driver-green 7 rounds; events_gapfill,
-# ml_quantize, pipeline_pack, search_bm25 each 4 rounds), where every
-# local sweep still oracle-checks them.
+# row this round. Round-9 rotation (VERDICT r8 "Next #7": rotate the
+# longest-unrotated prior-gate rows back in): the five LIVE registry
+# entries whose last driver row dates to round 2 move IN
+# (rel_distinct_agg, rel_exists_semi, rel_in_subquery,
+# rel_not_exists_anti, rel_rollup — ×2 driver rounds each, none since
+# r2; the r8 brief's literal examples rel_pricing_summary /
+# match_customers_per_region class last ran r3-r4 and are next in
+# line). Five of the most-covered stalwarts move to extra_queries()
+# (dedup_cross_corpus, graph_communities, pipeline_mix,
+# pipeline_decontam, pipeline_data_card — ×5 driver rounds each),
+# where every local sweep still oracle-checks them. match_cte and
+# stream_trending stay so the MATCH and streaming families keep a
+# driver-verified row every round.
 GATE_ROSTER = [
     # relational dialect
     "rel_string_split", "rel_grouping_sets", "rel_cube", "rel_lateral",
-    "rel_window_dist", "rel_window_ntile",
+    "rel_window_dist", "rel_window_ntile", "rel_distinct_agg",
+    "rel_exists_semi", "rel_in_subquery", "rel_not_exists_anti",
+    "rel_rollup",
     # temporal / events
     "events_histogram", "events_anomaly", "events_json",
     "events_sessionize",
@@ -55,7 +61,7 @@ GATE_ROSTER = [
     # planner statistics (sampling tables)
     "stats_sampled_degree",
     # dedup family
-    "dedup_embed_lsh", "dedup_cross_corpus",
+    "dedup_embed_lsh",
     # text analysis
     "text_pii_scrub", "text_gopher", "text_dup_spans",
     # sampling
@@ -68,13 +74,12 @@ GATE_ROSTER = [
     # streaming
     "stream_trending",
     # graph algorithms
-    "graph_communities", "graph_weighted_paths", "graph_hits",
+    "graph_weighted_paths", "graph_hits",
     "graph_kcore", "graph_ppr", "graph_node_sim", "graph_closeness",
     "graph_ktruss", "graph_scc", "graph_scc_peel", "graph_betweenness",
     "graph_betweenness_bfs",
     # pipeline
-    "pipeline_decontam", "pipeline_quality_quantile",
-    "pipeline_mix", "pipeline_chunk_dedup", "pipeline_data_card",
+    "pipeline_quality_quantile", "pipeline_chunk_dedup",
     "pipeline_temperature_mix", "pipeline_perplexity",
     "pipeline_perplexity_bigram",
     # search / retrieval

@@ -105,9 +105,26 @@ def main() -> None:
         return _dedup._lsh_verified_pairs(
             spark, sf_dir, _dedup.N_BANDS, _dedup.MINHASH_JACCARD_T)
 
+    # Same discipline for the embeddings corpus (VERDICT r8 "What's
+    # missing #3"): the decoded/spread corpus is a per-(app, sf) cached
+    # artifact (_EMB_CACHE) whose cold build (~2.5s) was previously paid
+    # invisibly by whichever embed consumer ran first — so the family's
+    # true cost was under-reported. Timed as its own cold entry (caches
+    # cleared each run); dedup_embed_cosine / dedup_embed_lsh entries
+    # are then explicitly the INCREMENTAL cost on the warm corpus.
+    def _clear_embed(spark, sf_dir):
+        _dedup._EMB_CACHE.clear()
+        _dedup._EMB_STAT_CACHE.clear()
+
+    def _q_embed_build(spark, sf_dir):
+        emb = _dedup._read_embeddings(spark, sf_dir)
+        _dedup._embed_stats(spark, sf_dir, emb)
+        return emb
+
     qs = dict(qs)
     qs["dedup_signatures"] = _q_sig_build
     qs["dedup_pair_build"] = _q_pair_build
+    qs["dedup_embed_build"] = _q_embed_build
 
     # Same artifact discipline for the Refers distance closure: built
     # ONCE per app and shared by graph_closeness + graph_betweenness
@@ -131,6 +148,7 @@ def main() -> None:
         "dedup_pair_build": _clear_pairs,
         "dedup_ngram_jaccard": _clear_pairs,
         "graph_closure_build": _clear_closure,
+        "dedup_embed_build": _clear_embed,
     }
     # Canonical artifact-family order, roster-rotation-proof: builders
     # first, consumers after, cache-clearing variants last.
@@ -152,6 +170,12 @@ def main() -> None:
     j = (names.index("graph_closeness")
          if "graph_closeness" in names else len(names))
     names.insert(j, "graph_closure_build")
+    # embed-corpus builder runs cold immediately before its first
+    # consumer (builder-before-consumer, same as dedup_pair_build)
+    emb_consumers = [i for i, n in enumerate(names)
+                     if n in ("dedup_embed_cosine", "dedup_embed_lsh")]
+    if emb_consumers:
+        names.insert(min(emb_consumers), "dedup_embed_build")
 
     # Bench self-defense (VERDICT r4 "What's wrong #3": four apparent
     # regressions in BENCH_r04 were host load, adjudicated by idle
@@ -241,7 +265,11 @@ def main() -> None:
     retimed: dict[str, dict[str, float]] = {}
     for name in names:
         p = prior.get(name)
-        if p and timings[name] > 1.5 * p:
+        # 1.3x trigger for entries >0.5s (VERDICT r8 "What's wrong #1":
+        # sim_ann_lsh's real 1.44x creep slid just under the old 1.5x
+        # and went unadjudicated); sub-0.5s entries keep 1.5x — their
+        # absolute deltas are scheduling noise, not plan regressions.
+        if p and timings[name] > (1.3 if p > 0.5 else 1.5) * p:
             again = round(_time_query(name), 3)
             retimed[name] = {"recorded": timings[name], "retimed": again}
             timings[name] = min(timings[name], again)

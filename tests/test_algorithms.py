@@ -321,6 +321,39 @@ def test_scc_two_nested_cycles_share_component(spark):
     assert got[1] == got[2] == got[3] == got[4]
 
 
+def test_closure_loops_converge_on_empty_edges(spark):
+    """ADVICE r8 #1: an empty closure frame is CONVERGED, not a crash.
+    F.sum('fresh') is NULL on an empty frame; before the fix the next
+    iteration died comparing None < _LOOP_BCAST_ROWS. Reachable from
+    edge-free graphs and from the SCC peel's class-restricted residual
+    handed to the closure-direct finish."""
+    from graphview_spark.algorithms import (
+        _distance_closure, _shortcut_closure)
+
+    empty = spark.createDataFrame([], "src long, sink long")
+    g, complete = _shortcut_closure(empty)
+    assert complete and g.count() == 0
+    d, complete = _distance_closure(empty)
+    assert complete and d.count() == 0
+
+
+def test_scc_edge_free_graph(spark):
+    """Every node of an edge-free graph is its own singleton SCC, via
+    both the closure-direct path and the explicit FW-BW peel (whose
+    trim pre-pass must dispose of all degree-0 nodes)."""
+    from graphview_spark.algorithms import (
+        _scc_peel, strongly_connected_components)
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    empty = spark.createDataFrame([], "src long, sink long")
+    want = {i: i for i in range(1, 6)}
+    got = {r["id"]: r["scc"]
+           for r in strongly_connected_components(nodes, empty).collect()}
+    assert got == want
+    got = {r["id"]: r["scc"] for r in _scc_peel(nodes, empty).collect()}
+    assert got == want
+
+
 def test_distance_closure_exact(spark):
     """Min-plus doubling gives exact shortest hop counts, including
     through a shorter alternative path and around a cycle."""

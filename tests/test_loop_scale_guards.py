@@ -35,6 +35,31 @@ def test_local_ckpt_stats_stay_flat(spark):
     assert base <= 20  # the scan default, not a compounded product
 
 
+def test_local_ckpt_barrier_seam_is_live(spark):
+    """VERDICT r8 (minor): the stats barrier rides a private JVM seam
+    (internalCreateDataFrame) with a warn-once fallback. The digits
+    test above fails when the seam breaks ONLY on Sparks that still
+    propagate stats through localCheckpoint; on one that doesn't, a
+    broken seam would pass it silently. This test pins the seam itself:
+    the fallback's RuntimeWarning is escalated to an error, so ANY trip
+    into the fallback fails the suite loudly."""
+    import warnings
+
+    from graphview_spark.plans import lazy as L
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    prev = L._BARRIER_WARNED
+    L._BARRIER_WARNED = False  # a prior warn must not mask a break here
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            out = L.local_ckpt(df, eager=True)
+            assert out.count() == 10
+        assert not L._BARRIER_WARNED
+    finally:
+        L._BARRIER_WARNED = prev
+
+
 def test_local_ckpt_preserves_rows(spark):
     from graphview_spark.plans.lazy import local_ckpt
 
@@ -77,6 +102,30 @@ def test_closure_guard_bails_on_predicted_blowup(spark, monkeypatch):
     assert not complete
     # the returned frame is the last SAFE state (the seed here)
     assert closure.count() == 100
+
+
+def test_probe_next_mass_exact_at_mod_one(spark):
+    """The src-sampled next-squaring probe is EXACT per sampled src, so
+    at mod=1 it must equal the true next-round post-dedup pair count —
+    the property that makes the scaled estimate unbiased."""
+    import graphview_spark.algorithms as A
+
+    # chain with shortcut + cycle, mixed fresh flags
+    g = spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 1), (3, 4, 1), (1, 3, 1), (5, 6, 0), (6, 5, 1)],
+        "src long, sink long, fresh int",
+    )
+    est = A._probe_next_mass(g, mod=1)
+    # brute-force: g ∪ delta∘g ∪ g∘delta, distinct (src, sink)
+    pairs = {(r["src"], r["sink"]) for r in g.collect()}
+    delta = {(s, t) for s, t, f in
+             [(r["src"], r["sink"], r["fresh"]) for r in g.collect()] if f}
+    nxt = set(pairs)
+    for a, b in delta:
+        nxt |= {(a, t) for (s, t) in pairs if s == b}
+    for a, b in pairs:
+        nxt |= {(a, t) for (s, t) in delta if s == b}
+    assert est == len(nxt)
 
 
 def test_scc_trim_peels_acyclic_fringe(spark):

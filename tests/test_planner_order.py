@@ -49,6 +49,64 @@ def test_low_fanout_edge_joins_first(spark, monkeypatch):
     assert n == 6
 
 
+def test_edge_pair_overlap_flips_order(spark, monkeypatch):
+    """Edge-to-edge histogram merge (Statistics.cs:68-216 via
+    HistogramCalculator, MatchGraphInterface.cs:215-241; VERDICT r8
+    "What's missing #2"): two UNFILTERED candidate edges from the same
+    frontier alias, where the raw average-degree order is WRONG because
+    one edge's src-id mass lies entirely outside the ids the frontier
+    edge can produce. Far: fanout 3.0 (120 edges / 40 nodes) but every
+    src in 31..40 while the frontier (Feed sinks) lives in 1..10 →
+    merged estimate ~0. Near: fanout 2.0, srcs uniform. Raw order picks
+    Near first (2.0 < 3.0); only the pair merge sees Far is free."""
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [P] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Edge",Reference:"P"] Feed VARBINARY(max),
+            [ColumnRole:"Edge",Reference:"P"] Far VARBINARY(max),
+            [ColumnRole:"Edge",Reference:"P"] Near VARBINARY(max) )"""
+    )
+    g.execute(
+        "INSERT INTO P(id) VALUES " + ",".join(f"({i})" for i in range(1, 41))
+    )
+    # Feed: every node → one sink in 1..10 (the frontier id range)
+    g.execute(
+        "INSERT EDGE INTO P.Feed SELECT x, y FROM P x, P y "
+        "WHERE y.id = (x.id % 10) + 1"
+    )
+    # Far: srcs 31..40 only, 12 sinks each → 120 edges, fanout 3.0
+    g.execute(
+        "INSERT EDGE INTO P.Far SELECT x, y FROM P x, P y "
+        "WHERE x.id >= 31 AND y.id <= 12"
+    )
+    # Near: every src, 2 sinks each → 80 edges, fanout 2.0
+    g.execute(
+        "INSERT EDGE INTO P.Near SELECT x, y FROM P x, P y "
+        "WHERE y.id = (x.id % 40) + 1 OR y.id = ((x.id + 19) % 40) + 1"
+    )
+
+    calls: list[tuple[str, str]] = []
+    orig = planner._join_edge
+
+    def spy(g_, cur, e, bound, bindings, alias_filters=None):
+        calls.append((e.edge_name, e.src_alias))
+        return orig(g_, cur, e, bound, bindings, alias_filters)
+
+    monkeypatch.setattr(planner, "_join_edge", spy)
+    res = g.execute(
+        """SELECT A.id AS a, B.id AS b, C.id AS c
+           FROM P R, P A, P B, P C
+           MATCH R-[Feed]->A, A-[Far]->B, A-[Near]->C"""
+    )
+    n = res.count()
+    assert calls[0] == ("Feed", "R")
+    # fanout alone would pick Near (2.0 < 3.0); the pair merge must
+    # rank Far first (its src mass is unreachable from Feed's sinks)
+    assert calls[1] == ("Far", "A")
+    assert n == 0  # and indeed no Far src is a Feed sink
+
+
 def test_histogram_selectivity_orders_predicate_edge_first(spark, monkeypatch):
     """Statistics.cs-style histogram merge (ref 68-216, consumed at
     TranslateMatchClauseVisitor.cs:1326-1562): a pushed single-alias
