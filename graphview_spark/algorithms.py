@@ -1416,9 +1416,15 @@ def _shortcut_closure(e: DataFrame, budget_factor: int = 32,
             .transform(_ckpt_lazy)
         )
         n = g.agg(F.count(F.lit(1))).first()[0]
+        budget = budget_factor * max(n, 1)
+        if (n >= _MASS_ESTIMATE_MIN_EDGES
+                and _closure_mass_estimate(g, budget) > budget):
+            # the sampled-BFS mass estimate says the finished closure
+            # cannot fit the budget — skip the attempt entirely instead
+            # of discovering it rounds (and minutes) later
+            return g.select("src", "sink"), False
         pred = _pred_if_big(g, n, delta_is_all=True)
         n_delta = n
-        budget = budget_factor * max(n, 1)
         for i in range(max_squarings):
             if pred > _PREDICT_SLACK * budget:
                 # the NEXT compose would enumerate pred rows BEFORE the
@@ -1516,6 +1522,71 @@ _PREDICT_MIN_ROWS = 2_000_000
 # bounded-memory fallback, never correctness.
 _DOOMED_GROWTH = 1.5
 _PROBE_MOD = 16
+
+
+# Closure-mass pre-estimate (round 9): even with the next-mass probe,
+# a doomed attempt pays every under-budget squaring before the bail —
+# at sf1 rounds 0-3 alone cost ~4 minutes on this host. Above this
+# edge count, both closure loops first spend a sampled multi-seed BFS
+# (~depth jobs over ≤2×budget×(seeds/srcs) sampled settled rows — tens
+# of seconds) to estimate the FINISHED closure's mass and skip the
+# attempt outright when it cannot fit. Below it the attempt itself is
+# seconds and the estimate would be pure overhead (the sf0.1 gate
+# graphs stay under this). Trade named: a legitimately-fitting big
+# closure (the sf1 Refers tree for closeness) pays the estimate's BFS
+# once before its attempt — linear cost to dodge a quadratic trap.
+_MASS_ESTIMATE_MIN_EDGES = 100_000
+_MASS_SEEDS = 256
+
+
+def _closure_mass_estimate(e: DataFrame, budget: int,
+                           max_depth: int = 64) -> float:
+    """Estimated reach-pair count of the FINISHED closure, from a BFS
+    over a deterministic hash-sample of ~_MASS_SEEDS source nodes:
+    mass ≈ n_src × mean per-seed reach. The per-seed reach is computed
+    EXACTLY (full frontier expansion per sampled seed), so the only
+    error is the seed marginal's sampling noise; the decision this
+    feeds is safe in both directions (a mis-skip costs the exact
+    bounded-memory fallback, a mis-attempt is still caught by the
+    budget and next-mass-probe guards inside the loop).
+
+    Early-aborts with +inf as soon as the SAMPLED settled mass crosses
+    2× its budget-equivalent share — so on hub graphs whose reach sets
+    are the whole graph the estimate never expands them, and its work
+    is bounded by ~2×budget×(seeds/srcs) rows regardless of density.
+    Returns +inf too when the frontier outlives ``max_depth``: a graph
+    that deep has closure mass ≥ V·depth/2, past any sane budget."""
+    srcs = e.select("src").distinct().transform(_ckpt_lazy)
+    n_src = srcs.count()
+    if n_src == 0:
+        return 0.0
+    k = max(1, n_src // _MASS_SEEDS)
+    seeds = srcs.filter(F.pmod(F.xxhash64("src"), F.lit(k)) == 0)
+    n_seeds = seeds.count()
+    if n_seeds == 0:  # hash skew emptied the sample: nothing to learn
+        return 0.0
+    abort_at = 2.0 * budget * n_seeds / n_src
+    settled = seeds.select(F.col("src").alias("s"),
+                           F.col("src").alias("id"))
+    frontier = settled
+    mass = 0
+    for _ in range(max_depth):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select("s", F.col("sink").alias("id"))
+            .distinct()
+            .join(settled, ["s", "id"], "left_anti")
+            .transform(_ckpt_lazy)
+        )
+        c = nxt.count()
+        if c == 0:
+            return mass / n_seeds * n_src
+        mass += c
+        if mass > abort_at:
+            return float("inf")
+        settled = settled.unionByName(nxt)
+        frontier = nxt
+    return float("inf")
 
 
 def _probe_next_mass(g: DataFrame, mod: int = _PROBE_MOD) -> int:
@@ -1949,6 +2020,11 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
         )
         n_e = d0.agg(F.count(F.lit(1))).first()[0]
         budget = budget_factor * max(n_e, 1)
+        if (n_e >= _MASS_ESTIMATE_MIN_EDGES
+                and _closure_mass_estimate(d0, budget) > budget):
+            # sampled-BFS mass estimate: the finished distance closure
+            # cannot fit — skip the attempt (see _closure_mass_estimate)
+            return _finish(d0, False)
         if _pred_if_big(d0, n_e, delta_is_all=True) > _PREDICT_SLACK * budget:
             # even the dist≤2 seed fold would enumerate a blowup —
             # bail to the bounded-memory per-seed path with dist≤1

@@ -128,6 +128,26 @@ def test_probe_next_mass_exact_at_mod_one(spark):
     assert est == len(nxt)
 
 
+def test_closure_mass_estimate_exact_when_all_seeds(spark, monkeypatch):
+    """With the seed sample covering every src (k=1), the mass estimate
+    equals the true closure's dist≥1 pair count (per-seed reach is
+    computed exactly; only the seed marginal is sampled)."""
+    import graphview_spark.algorithms as A
+
+    monkeypatch.setattr(A, "_MASS_SEEDS", 10**9)  # force k=1
+    # chain 1→2→3→4 with shortcut 1→3, plus cycle 5→6→5
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (5, 6), (6, 5)],
+        "src long, sink long",
+    )
+    # true reach pairs (dist≥1, self excluded as the estimator does):
+    # 1→{2,3,4}, 2→{3,4}, 3→{4}, 5→{6}, 6→{5} = 8
+    est = A._closure_mass_estimate(e, budget=10**6)
+    assert est == 8.0
+    # a tiny budget must early-abort to +inf instead of expanding
+    assert A._closure_mass_estimate(e, budget=1) == float("inf")
+
+
 def test_scc_trim_peels_acyclic_fringe(spark):
     """Chain 1→2→3 into a 2-cycle 3↔4 with a tail 4→5: trim must peel
     {1, 2, 5} as singletons and leave the cycle core {3, 4}."""
