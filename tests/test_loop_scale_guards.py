@@ -148,6 +148,28 @@ def test_closure_mass_estimate_exact_when_all_seeds(spark, monkeypatch):
     assert A._closure_mass_estimate(e, budget=1) == float("inf")
 
 
+def test_mass_estimate_skips_doomed_attempt(spark, monkeypatch):
+    """With the edge threshold lowered, a closure whose estimated mass
+    exceeds the budget is skipped OUTRIGHT: the loop returns incomplete
+    without a single squaring (pinned by failing any compose probe)."""
+    import graphview_spark.algorithms as A
+
+    monkeypatch.setattr(A, "_MASS_ESTIMATE_MIN_EDGES", 1)
+    monkeypatch.setattr(A, "_MASS_SEEDS", 10**9)  # exact estimate
+
+    def boom(*a, **k):  # no squaring may run after the skip
+        raise AssertionError("squaring ran despite mass-estimate skip")
+
+    monkeypatch.setattr(A, "_pred_if_big", boom)
+    # chain 1→2→…→8: closure mass 28 > budget 1×7 → skip
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, sink long")
+    closure, complete = A._shortcut_closure(e, budget_factor=1)
+    assert not complete and closure.count() == 7  # the seed, untouched
+    d, complete = A._distance_closure(e, budget_factor=1)
+    assert not complete and d.count() == 7
+
+
 def test_scc_trim_peels_acyclic_fringe(spark):
     """Chain 1→2→3 into a 2-cycle 3↔4 with a tail 4→5: trim must peel
     {1, 2, 5} as singletons and leave the cycle core {3, 4}."""
