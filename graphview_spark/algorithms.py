@@ -1540,7 +1540,8 @@ _MASS_SEEDS = 256
 
 
 def _closure_mass_estimate(e: DataFrame, budget: int,
-                           max_depth: int = 64) -> float:
+                           max_depth: int = 64,
+                           sample_target: int | None = None) -> float:
     """Estimated reach-pair count of the FINISHED closure, from a BFS
     over a deterministic hash-sample of ~_MASS_SEEDS source nodes:
     mass ≈ n_src × mean per-seed reach. The per-seed reach is computed
@@ -1560,7 +1561,7 @@ def _closure_mass_estimate(e: DataFrame, budget: int,
     n_src = srcs.count()
     if n_src == 0:
         return 0.0
-    k = max(1, n_src // _MASS_SEEDS)
+    k = max(1, n_src // (sample_target or _MASS_SEEDS))
     seeds = srcs.filter(F.pmod(F.xxhash64("src"), F.lit(k)) == 0)
     n_seeds = seeds.count()
     if n_seeds == 0:  # hash skew emptied the sample: nothing to learn

@@ -98,6 +98,77 @@ def test_scc_matches_bruteforce(spark, raw_edges):
     assert got == ref_scc
 
 
+@given(edges_strategy)
+@prop_settings
+def test_closure_mass_estimate_matches_bruteforce(spark, raw_edges):
+    """With every src sampled (k=1) the round-9 mass pre-estimate must
+    equal the true closure's non-self pair count on random digraphs —
+    the exact-per-seed property that makes the scaled estimate
+    unbiased."""
+    import graphview_spark.algorithms as A
+
+    edges = sorted({(s, t) for s, t in raw_edges if s != t})
+    if not edges:
+        return
+    ref_reach, _ = _brute_closure(edges)
+    want = float(len([p for p in ref_reach if p[0] != p[1]]))
+    e = spark.createDataFrame(edges, "src long, sink long")
+    assert A._closure_mass_estimate(
+        e, budget=10**9, sample_target=10**9) == want
+
+
+@given(edges_strategy, st.lists(st.booleans(), min_size=25, max_size=25))
+@prop_settings
+def test_probe_next_mass_matches_bruteforce(spark, raw_edges, fresh_bits):
+    """The src-sampled next-squaring dry run at mod=1 must equal the
+    true post-dedup pair count of one seminaive round (g ∪ delta∘g ∪
+    g∘delta) for random graphs and random fresh flags."""
+    from graphview_spark.algorithms import _probe_next_mass
+
+    edges = sorted(set(raw_edges))
+    rows = [(s, t, int(f)) for (s, t), f in zip(edges, fresh_bits)]
+    if not rows:
+        return
+    g = spark.createDataFrame(rows, "src long, sink long, fresh int")
+    pairs = {(s, t) for s, t, _ in rows}
+    delta = {(s, t) for s, t, f in rows if f}
+    nxt = set(pairs)
+    nxt |= {(a, t) for a, b in delta for s, t in pairs if s == b}
+    nxt |= {(a, t) for a, b in pairs for s, t in delta if s == b}
+    assert _probe_next_mass(g, mod=1) == len(nxt)
+
+
+@given(edges_strategy)
+@prop_settings
+def test_scc_matches_bruteforce_via_mass_estimate_path(spark, raw_edges):
+    """End-to-end SCC with the round-9 mass pre-estimate FORCED ON for
+    every graph (threshold 1): whichever strategy the estimate routes
+    to, the labels must match the mutual-reach reference. (mock.patch
+    context, not the monkeypatch fixture — hypothesis forbids
+    function-scoped fixtures under @given.)"""
+    from unittest import mock
+
+    import graphview_spark.algorithms as A
+
+    edges = sorted(set(raw_edges))
+    ref_reach, _ = _brute_closure(edges)
+    nodes = sorted({x for e in edges for x in e})
+    ref_scc = {
+        a: min([a] + [b for b in nodes
+                      if (a, b) in ref_reach and (b, a) in ref_reach])
+        for a in nodes
+    }
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    e = spark.createDataFrame(edges, "src long, sink long")
+    with mock.patch.object(A, "_MASS_ESTIMATE_MIN_EDGES", 1):
+        got = {
+            r["id"]: r["scc"]
+            for r in A.strongly_connected_components(
+                ndf, e, budget_factor=2).collect()
+        }
+    assert got == ref_scc
+
+
 def _brute_brandes(edges, seeds):
     """Reference σ-weighted Brandes (per-seed BFS forward σ pass +
     reverse δ accumulation, plain Python floats)."""
