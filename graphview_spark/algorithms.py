@@ -1918,12 +1918,30 @@ def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle,
     the oracle-gated peel fixture uses this so the FB fixpoint leg
     stays driver-verified instead of being short-circuited)."""
     cutoff = _SCC_FINISH_NODES if finish_nodes is None else finish_nodes
+    mass_checked = False
     for _ in range(max_rounds):
         n_remaining = remaining.count()
         if n_remaining == 0:
             return
         size_shuffle(n_remaining)
-        if n_remaining <= cutoff:
+        try_closure = n_remaining <= cutoff
+        if not try_closure and cutoff and not mass_checked:
+            # Round 9: the node-count cutoff alone leaves big-but-easy
+            # residuals (the sf1 trim core: ~30k nodes of short mutual
+            # chains, closure mass ~15 pairs/node) paying FB fixpoints
+            # (~35s at sf1) when O(log depth) closure squarings finish
+            # them in seconds. One sampled-BFS mass estimate — the same
+            # estimator the top-level strategy pick uses — decides;
+            # checked once per peel (estimates don't improve midway,
+            # and a fit-verdict that still fails pays the attempt's own
+            # bounded guards, then FB resumes). finish_nodes=0 disables
+            # this with the cutoff, keeping the oracle-gated FB-leg
+            # fixture on the FB path.
+            mass_checked = True
+            n_e = e.count()
+            budget = 32 * max(n_e, 1)
+            try_closure = _closure_mass_estimate(e, budget) <= budget
+        if try_closure:
             closure, complete = _shortcut_closure(e, budget_factor=32)
             if complete:
                 parts.append(_scc_from_closure(remaining, closure))

@@ -194,6 +194,49 @@ def test_scc_trim_peels_acyclic_fringe(spark):
             assert r["id"] == r["scc"]
 
 
+def test_peel_mass_check_routes_easy_residual_to_closure(spark, monkeypatch):
+    """Round 9: a residual ABOVE the node-count cutoff whose estimated
+    closure mass fits the budget takes the closure-direct finish —
+    pinned by making any FB fixpoint an error. Graph: two disjoint
+    3-cycles (6 nodes > cutoff 1, closure mass 18 ≪ budget)."""
+    import graphview_spark.algorithms as A
+
+    monkeypatch.setattr(A, "_SCC_FINISH_NODES", 1)
+
+    def boom(*a, **k):
+        raise AssertionError("FB fixpoint ran despite fitting mass")
+
+    monkeypatch.setattr(A, "_propagate_fb", boom)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4)],
+        "src long, sink long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    got = {r["id"]: r["scc"] for r in A._scc_peel(nodes, e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_peel_finish_nodes_zero_keeps_fb_leg(spark, monkeypatch):
+    """finish_nodes=0 (the oracle-gated FB fixture contract) must keep
+    the mass check OFF: the FB fixpoint leg runs."""
+    import graphview_spark.algorithms as A
+
+    ran = {"fb": False}
+    orig = A._propagate_fb
+
+    def spy(*a, **k):
+        ran["fb"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(A, "_propagate_fb", spy)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, sink long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 4)], "id long")
+    got = {r["id"]: r["scc"]
+           for r in A._scc_peel(nodes, e, finish_nodes=0).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    assert ran["fb"]
+
+
 def test_scc_full_results_unchanged_by_trim_and_finish(spark):
     """End-to-end SCC on a graph exercising trim + peel + the
     closure-direct residual finish, vs hand-computed components."""
