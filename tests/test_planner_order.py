@@ -107,6 +107,46 @@ def test_edge_pair_overlap_flips_order(spark, monkeypatch):
     assert n == 0  # and indeed no Far src is a Feed sink
 
 
+def test_pair_overlap_cache_invalidated_by_dml(spark):
+    """The per-edge-pair overlap factor is cached under BOTH edges'
+    sampling-table dicts and served only when all still hold it, so
+    DML on EITHER side must invalidate the pair (the reference's
+    HistogramCalculator cache is per-query-lifetime; ours outlives a
+    query and therefore must follow the sample caches' invalidation)."""
+    from graphview_spark.matching.planner import _pair_overlap_factor
+
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [Q] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Edge",Reference:"Q"] E1 VARBINARY(max),
+            [ColumnRole:"Edge",Reference:"Q"] E2 VARBINARY(max) )"""
+    )
+    g.execute(
+        "INSERT INTO Q(id) VALUES " + ",".join(f"({i})" for i in range(1, 21))
+    )
+    g.execute("INSERT EDGE INTO Q.E1 SELECT x, y FROM Q x, Q y "
+              "WHERE y.id = (x.id % 20) + 1")
+    g.execute("INSERT EDGE INTO Q.E2 SELECT x, y FROM Q x, Q y "
+              "WHERE x.id <= 5")
+    et1 = g.catalog.resolve_edge("Q", "E1")
+    et2 = g.catalog.resolve_edge("Q", "E2")
+    f1 = _pair_overlap_factor(g, [et1], "sink", [et2], "src")
+    key_present = lambda q: any(  # noqa: E731
+        isinstance(k, tuple) and k and k[0] == "pairsel"
+        for k in g._edge_samples.get(q, {}))
+    assert key_present("Q.E1") and key_present("Q.E2")
+    # DML on ONE side (E2) must drop that side's samples, making the
+    # pair entry unservable even though E1's copy survives
+    g.execute("INSERT EDGE INTO Q.E2 SELECT x, y FROM Q x, Q y "
+              "WHERE x.id = 20 AND y.id = 20")
+    assert not key_present("Q.E2")
+    f2 = _pair_overlap_factor(g, [et1], "sink", [et2], "src")
+    # recomputed against the refreshed sample: E2's src mass now spans
+    # a new id (20) outside its old 1..5 range, changing the overlap
+    assert f2 != f1
+
+
 def test_histogram_selectivity_orders_predicate_edge_first(spark, monkeypatch):
     """Statistics.cs-style histogram merge (ref 68-216, consumed at
     TranslateMatchClauseVisitor.cs:1326-1562): a pushed single-alias
