@@ -1371,7 +1371,8 @@ _SCC_PROBE_EVERY = 4   # propagation rounds between convergence probes
 
 
 def _shortcut_closure(e: DataFrame, budget_factor: int = 32,
-                      max_squarings: int = 12
+                      max_squarings: int = 12,
+                      skip_mass_check: bool = False
                       ) -> tuple[DataFrame, bool]:
     """Path-doubling reachability closure: G ← G ∪ G∘G doubles the hop
     radius per squaring, so k squarings cover paths of 2^k edges and
@@ -1417,8 +1418,8 @@ def _shortcut_closure(e: DataFrame, budget_factor: int = 32,
         )
         n = g.agg(F.count(F.lit(1))).first()[0]
         budget = budget_factor * max(n, 1)
-        if (n >= _MASS_ESTIMATE_MIN_EDGES
-                and _closure_mass_estimate(g, budget) > budget):
+        if (not skip_mass_check and n >= _MASS_ESTIMATE_MIN_EDGES
+                and _closure_mass_doomed(g, budget)):
             # the sampled-BFS mass estimate says the finished closure
             # cannot fit the budget — skip the attempt entirely instead
             # of discovering it rounds (and minutes) later
@@ -1537,6 +1538,33 @@ _PROBE_MOD = 16
 # once before its attempt — linear cost to dodge a quadratic trap.
 _MASS_ESTIMATE_MIN_EDGES = 100_000
 _MASS_SEEDS = 256
+# Gray-band refinement (round 9, measured at sf3): per-seed reach is
+# heavy-tailed — a few deep srcs carry most of the closure mass — so a
+# 256-seed mean typically lands LOW when the sample misses them
+# (sf3 Refers+back-edges: 256 seeds → 0.39× budget, 1024 → 0.65×,
+# 8192 → 1.02×; the graph is genuinely marginal). A low estimate
+# mis-routes to the expensive side (a doomed ATTEMPT costs minutes;
+# a mis-skip only costs the bounded peel), so when the point estimate
+# lands inside the decision-critical band the verdict re-samples once
+# at 16× the seeds and trusts that. Clear-verdict cases (tiny tree
+# closures, hub blowups that early-abort to +inf) never pay the
+# second pass.
+_MASS_GRAY_LO = 0.25
+_MASS_GRAY_HI = 4.0
+_MASS_SEEDS_REFINE = 4096
+
+
+def _closure_mass_doomed(e: DataFrame, budget: int) -> bool:
+    """True when the finished closure's estimated mass cannot fit
+    ``budget`` — the strategy verdict both closure loops and the SCC
+    peel consult. One ~256-seed estimate, refined once at 16× seeds
+    when the point estimate lands in the gray band around the budget
+    (see _MASS_GRAY_LO/_HI)."""
+    est = _closure_mass_estimate(e, budget)
+    if _MASS_GRAY_LO * budget <= est <= _MASS_GRAY_HI * budget:
+        est = _closure_mass_estimate(
+            e, budget, sample_target=_MASS_SEEDS_REFINE)
+    return est > budget
 
 
 def _closure_mass_estimate(e: DataFrame, budget: int,
@@ -1940,9 +1968,16 @@ def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle,
             mass_checked = True
             n_e = e.count()
             budget = 32 * max(n_e, 1)
-            try_closure = _closure_mass_estimate(e, budget) <= budget
+            try_closure = not _closure_mass_doomed(e, budget)
         if try_closure:
-            closure, complete = _shortcut_closure(e, budget_factor=32)
+            # skip_mass_check: this round's verdict (or the ≤cutoff
+            # size) already routed here — re-estimating inside the
+            # attempt would double the cost and, on marginal cores,
+            # could DISAGREE with the verdict that sent us (measured
+            # at sf3: two back-to-back verdicts on the same core,
+            # ~80s, opposite answers at the sampling-noise boundary)
+            closure, complete = _shortcut_closure(
+                e, budget_factor=32, skip_mass_check=True)
             if complete:
                 parts.append(_scc_from_closure(remaining, closure))
                 return
@@ -2039,10 +2074,9 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
         )
         n_e = d0.agg(F.count(F.lit(1))).first()[0]
         budget = budget_factor * max(n_e, 1)
-        if (n_e >= _MASS_ESTIMATE_MIN_EDGES
-                and _closure_mass_estimate(d0, budget) > budget):
+        if n_e >= _MASS_ESTIMATE_MIN_EDGES and _closure_mass_doomed(d0, budget):
             # sampled-BFS mass estimate: the finished distance closure
-            # cannot fit — skip the attempt (see _closure_mass_estimate)
+            # cannot fit — skip the attempt (see _closure_mass_doomed)
             return _finish(d0, False)
         if _pred_if_big(d0, n_e, delta_is_all=True) > _PREDICT_SLACK * budget:
             # even the dist≤2 seed fold would enumerate a blowup —

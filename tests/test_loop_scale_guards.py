@@ -148,6 +148,44 @@ def test_closure_mass_estimate_exact_when_all_seeds(spark, monkeypatch):
     assert A._closure_mass_estimate(e, budget=1) == float("inf")
 
 
+def test_mass_verdict_refines_only_in_gray_band(monkeypatch):
+    """Heavy-tail reach makes a 256-seed estimate land low in practice
+    (measured sf3: 0.39× budget at 256 seeds vs 1.02× at 8192), so the
+    verdict re-samples at 16× seeds ONLY when the point estimate falls
+    in the decision-critical band; clear verdicts pay one pass."""
+    import graphview_spark.algorithms as A
+
+    calls = []
+
+    def fake_estimate(e, budget, max_depth=64, sample_target=None):
+        calls.append(sample_target)
+        return {None: fake_estimate.first,
+                A._MASS_SEEDS_REFINE: fake_estimate.second}[sample_target]
+
+    monkeypatch.setattr(A, "_closure_mass_estimate", fake_estimate)
+    budget = 1000
+    # gray-band point estimate, refined estimate decides (doomed)
+    fake_estimate.first, fake_estimate.second = 0.5 * budget, 2 * budget
+    calls.clear()
+    assert A._closure_mass_doomed(None, budget) is True
+    assert calls == [None, A._MASS_SEEDS_REFINE]
+    # gray-band, refine says fits
+    fake_estimate.first, fake_estimate.second = 2 * budget, 0.9 * budget
+    calls.clear()
+    assert A._closure_mass_doomed(None, budget) is False
+    assert calls == [None, A._MASS_SEEDS_REFINE]
+    # clear doom (incl. the early-abort +inf): single pass
+    fake_estimate.first = float("inf")
+    calls.clear()
+    assert A._closure_mass_doomed(None, budget) is True
+    assert calls == [None]
+    # clear fit: single pass
+    fake_estimate.first = 0.1 * budget
+    calls.clear()
+    assert A._closure_mass_doomed(None, budget) is False
+    assert calls == [None]
+
+
 def test_mass_estimate_skips_doomed_attempt(spark, monkeypatch):
     """With the edge threshold lowered, a closure whose estimated mass
     exceeds the budget is skipped OUTRIGHT: the loop returns incomplete
