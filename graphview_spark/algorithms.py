@@ -1538,33 +1538,33 @@ _PROBE_MOD = 16
 # once before its attempt — linear cost to dodge a quadratic trap.
 _MASS_ESTIMATE_MIN_EDGES = 100_000
 _MASS_SEEDS = 256
-# Gray-band refinement (round 9, measured at sf3): per-seed reach is
-# heavy-tailed — a few deep srcs carry most of the closure mass — so a
-# 256-seed mean typically lands LOW when the sample misses them
-# (sf3 Refers+back-edges: 256 seeds → 0.39× budget, 1024 → 0.65×,
-# 8192 → 1.02×; the graph is genuinely marginal). A low estimate
-# mis-routes to the expensive side (a doomed ATTEMPT costs minutes;
-# a mis-skip only costs the bounded peel), so when the point estimate
-# lands inside the decision-critical band the verdict re-samples once
-# at 16× the seeds and trusts that. Clear-verdict cases (tiny tree
-# closures, hub blowups that early-abort to +inf) never pay the
-# second pass.
-_MASS_GRAY_LO = 0.25
-_MASS_GRAY_HI = 4.0
-_MASS_SEEDS_REFINE = 4096
+# Asymmetric skip threshold (round 9, calibrated on measured cases):
+# per-seed reach is heavy-tailed — a handful of deep srcs carry much
+# of the closure mass — so the sampled mean carries real variance at
+# ANY affordable seed count, and because the sampling hash is
+# deterministic a bad draw is a fixed bias, not a re-rollable one
+# (measured: sf1 true ≥1.12× budget estimated 1.10× at 256 seeds but
+# 0.60× at 4096 — the "refinement" flipped a correct skip into a 58s
+# doomed attempt; sf3 true ≈1.0× estimated 0.39×/0.65×/1.02× at
+# 256/1024/8192). The decision costs are asymmetric: a wrong ATTEMPT
+# is probe-bounded but grows with scale (sf1 58s, sf3 385s), while a
+# wrong SKIP pays the bounded-linear peel. So the verdict is a single
+# 256-seed pass compared against a FRACTION of the budget — estimates
+# in the noise band around the boundary route to the safe side.
+# 0.7 keeps every measured legitimate closure attempting (sf1
+# closeness tree: 0.48×) and every measured doomed one skipping
+# (sf1 SCC: 1.10×); sf3's flukish 0.39× under-read still attempts and
+# pays the bounded wrong-guess cost — no threshold fixes an estimate
+# that far off without breaking the legitimate band.
+_MASS_SKIP_FRACTION = 0.7
 
 
 def _closure_mass_doomed(e: DataFrame, budget: int) -> bool:
     """True when the finished closure's estimated mass cannot fit
     ``budget`` — the strategy verdict both closure loops and the SCC
-    peel consult. One ~256-seed estimate, refined once at 16× seeds
-    when the point estimate lands in the gray band around the budget
-    (see _MASS_GRAY_LO/_HI)."""
-    est = _closure_mass_estimate(e, budget)
-    if _MASS_GRAY_LO * budget <= est <= _MASS_GRAY_HI * budget:
-        est = _closure_mass_estimate(
-            e, budget, sample_target=_MASS_SEEDS_REFINE)
-    return est > budget
+    peel consult. One ~256-seed estimate against the asymmetric
+    threshold (see _MASS_SKIP_FRACTION)."""
+    return _closure_mass_estimate(e, budget) > _MASS_SKIP_FRACTION * budget
 
 
 def _closure_mass_estimate(e: DataFrame, budget: int,

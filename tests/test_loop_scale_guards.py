@@ -148,42 +148,29 @@ def test_closure_mass_estimate_exact_when_all_seeds(spark, monkeypatch):
     assert A._closure_mass_estimate(e, budget=1) == float("inf")
 
 
-def test_mass_verdict_refines_only_in_gray_band(monkeypatch):
-    """Heavy-tail reach makes a 256-seed estimate land low in practice
-    (measured sf3: 0.39× budget at 256 seeds vs 1.02× at 8192), so the
-    verdict re-samples at 16× seeds ONLY when the point estimate falls
-    in the decision-critical band; clear verdicts pay one pass."""
+def test_mass_verdict_uses_asymmetric_threshold(monkeypatch):
+    """The verdict compares one estimate against a FRACTION of the
+    budget: wrong attempts are probe-bounded but grow with scale while
+    wrong skips pay the bounded peel, so boundary-noise estimates must
+    route to the safe (skip) side. Calibration points measured in
+    round 9: sf1 SCC true ≥1.12× read 1.10× (must skip), sf1
+    closeness true 0.48× (must attempt)."""
     import graphview_spark.algorithms as A
 
-    calls = []
+    monkeypatch.setattr(A, "_closure_mass_estimate",
+                        lambda e, b, **kw: fake.est)
 
-    def fake_estimate(e, budget, max_depth=64, sample_target=None):
-        calls.append(sample_target)
-        return {None: fake_estimate.first,
-                A._MASS_SEEDS_REFINE: fake_estimate.second}[sample_target]
+    class fake:  # noqa: N801 — holder
+        est = 0.0
 
-    monkeypatch.setattr(A, "_closure_mass_estimate", fake_estimate)
     budget = 1000
-    # gray-band point estimate, refined estimate decides (doomed)
-    fake_estimate.first, fake_estimate.second = 0.5 * budget, 2 * budget
-    calls.clear()
-    assert A._closure_mass_doomed(None, budget) is True
-    assert calls == [None, A._MASS_SEEDS_REFINE]
-    # gray-band, refine says fits
-    fake_estimate.first, fake_estimate.second = 2 * budget, 0.9 * budget
-    calls.clear()
-    assert A._closure_mass_doomed(None, budget) is False
-    assert calls == [None, A._MASS_SEEDS_REFINE]
-    # clear doom (incl. the early-abort +inf): single pass
-    fake_estimate.first = float("inf")
-    calls.clear()
-    assert A._closure_mass_doomed(None, budget) is True
-    assert calls == [None]
-    # clear fit: single pass
-    fake_estimate.first = 0.1 * budget
-    calls.clear()
-    assert A._closure_mass_doomed(None, budget) is False
-    assert calls == [None]
+    for est, doomed in ((0.48 * budget, False),
+                        (A._MASS_SKIP_FRACTION * budget - 1, False),
+                        (A._MASS_SKIP_FRACTION * budget + 1, True),
+                        (1.10 * budget, True),
+                        (float("inf"), True)):
+        fake.est = est
+        assert A._closure_mass_doomed(None, budget) is doomed, est
 
 
 def test_mass_estimate_skips_doomed_attempt(spark, monkeypatch):
