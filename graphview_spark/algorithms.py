@@ -1936,6 +1936,12 @@ def _scc_trim(remaining, e, parts, size_shuffle, max_rounds: int = 256):
 # that point). A closure attempt that still blows its budget or
 # compose prediction bails in bounded work and FB peeling resumes.
 _SCC_FINISH_NODES = 4096
+# ADVICE r9 #2: the peel's mass-verdict budget and the routed closure
+# attempt's own budget MUST be the same number — if they diverge, the
+# verdict can say "fits" while the attempt trips (or vice versa). One
+# constant feeds both (the verdict at _scc_peel_rounds and the
+# _shortcut_closure call it routes to).
+_PEEL_BUDGET_FACTOR = 32
 
 
 def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle,
@@ -1967,7 +1973,7 @@ def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle,
             # fixture on the FB path.
             mass_checked = True
             n_e = e.count()
-            budget = 32 * max(n_e, 1)
+            budget = _PEEL_BUDGET_FACTOR * max(n_e, 1)
             try_closure = not _closure_mass_doomed(e, budget)
         if try_closure:
             # skip_mass_check: this round's verdict (or the ≤cutoff
@@ -1977,7 +1983,8 @@ def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle,
             # at sf3: two back-to-back verdicts on the same core,
             # ~80s, opposite answers at the sampling-noise boundary)
             closure, complete = _shortcut_closure(
-                e, budget_factor=32, skip_mass_check=True)
+                e, budget_factor=_PEEL_BUDGET_FACTOR,
+                skip_mass_check=True)
             if complete:
                 parts.append(_scc_from_closure(remaining, closure))
                 return
@@ -2606,9 +2613,13 @@ def q_graph_betweenness(spark, sf_dir: str) -> DataFrame:
     edges = _refers_edges(g)
     seeds = edges.select("src").filter(
         F.col("src") <= CLOSENESS_SEEDS).distinct()
+    # ADVICE r9 #1: the Brandes fallback consumes the SAME
+    # budget-tripped Refers closure as closeness, so it needs the same
+    # deepened horizon — a 61-240-hop Refers chain must degrade loudly
+    # in NEITHER query, not just closeness.
     bt = seed_betweenness(
         D, lambda c: c <= CLOSENESS_SEEDS, budget_ok=complete,
-        edges=edges, seeds=seeds)
+        edges=edges, seeds=seeds, max_depth=CLOSENESS_MAX_DEPTH)
     return bt.select(
         F.col("v").alias("c_custkey"), "betweenness",
     )
