@@ -34,30 +34,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate records at most ~50 entries in
 # registration order (CORRECTNESS_r02 cut at exactly 50 of 52), so the
 # roster below picks which 50 of the full registry get a driver-verified
-# row this round. Round-9 rotation (VERDICT r8 "Next #7": rotate the
-# longest-unrotated prior-gate rows back in): the five LIVE registry
-# entries whose last driver row dates to round 2 move IN
-# (rel_distinct_agg, rel_exists_semi, rel_in_subquery,
-# rel_not_exists_anti, rel_rollup — ×2 driver rounds each, none since
-# r2; the r8 brief's literal examples rel_pricing_summary /
-# match_customers_per_region class last ran r3-r4 and are next in
-# line). Five of the most-covered stalwarts move to extra_queries()
-# (dedup_cross_corpus, graph_communities, pipeline_mix,
-# pipeline_decontam, pipeline_data_card — ×5 driver rounds each),
-# where every local sweep still oracle-checks them. match_cte and
-# stream_trending stay so the MATCH and streaming families keep a
-# driver-verified row every round.
+# row this round. Round-10 rotation (VERDICT r9 "Next #7": rotate the
+# next-oldest driver rows back in): the four named entries whose last
+# driver row dates to r3-r4 move IN (rel_pricing_summary ×4/r4,
+# rel_shipping_priority ×3/r3, match_customers_per_region ×4/r4,
+# match_refer_path ×4/r4). Four of the most-covered stalwarts move to
+# extra_queries() (match_cte ×7, graph_hits ×6, graph_weighted_paths
+# ×6, pipeline_chunk_dedup ×6 driver rounds each), where every local
+# sweep still oracle-checks them. The MATCH family keeps driver rows
+# through the two rotation-ins; stream_trending stays as the streaming
+# family's only gate-expressible row. Next-oldest after this round:
+# rel_local_supplier_volume / rel_events_daily / dedup_exact class
+# (last driver rows r4-r5).
 GATE_ROSTER = [
     # relational dialect
     "rel_string_split", "rel_grouping_sets", "rel_cube", "rel_lateral",
     "rel_window_dist", "rel_window_ntile", "rel_distinct_agg",
     "rel_exists_semi", "rel_in_subquery", "rel_not_exists_anti",
-    "rel_rollup",
+    "rel_rollup", "rel_pricing_summary", "rel_shipping_priority",
     # temporal / events
     "events_histogram", "events_anomaly", "events_json",
     "events_sessionize",
     # MATCH surface
-    "match_cte",
+    "match_customers_per_region", "match_refer_path",
     # planner statistics (sampling tables)
     "stats_sampled_degree",
     # dedup family
@@ -74,12 +73,11 @@ GATE_ROSTER = [
     # streaming
     "stream_trending",
     # graph algorithms
-    "graph_weighted_paths", "graph_hits",
     "graph_kcore", "graph_ppr", "graph_node_sim", "graph_closeness",
     "graph_ktruss", "graph_scc", "graph_scc_peel", "graph_betweenness",
     "graph_betweenness_bfs",
     # pipeline
-    "pipeline_quality_quantile", "pipeline_chunk_dedup",
+    "pipeline_quality_quantile",
     "pipeline_temperature_mix", "pipeline_perplexity",
     "pipeline_perplexity_bigram",
     # search / retrieval

@@ -22,6 +22,45 @@ except ImportError:  # pragma: no cover - env-dependent
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def provenance() -> dict:
+    """HEAD + host stamp for every bench/sweep artifact (VERDICT r9
+    "What's missing #3": a settled-bench claim must identify the code it
+    timed — the r9 'final settled bench' silently predated two later
+    commits, detectable only via timestamps). ``dirty`` marks timings
+    taken with uncommitted changes to tracked files."""
+    import platform
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _git(*args: str) -> str:
+        try:
+            return subprocess.run(
+                ["git", "-C", here, *args], capture_output=True,
+                text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:  # pragma: no cover - git absent
+            return ""
+
+    mem_gib = 0
+    try:
+        with open("/proc/meminfo") as fh:
+            for ln in fh:
+                if ln.startswith("MemTotal:"):
+                    mem_gib = round(int(ln.split()[1]) / 1024 / 1024)
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return {
+        "head": _git("rev-parse", "--short=12", "HEAD") or "unknown",
+        "dirty": bool(_git("status", "--porcelain", "-uno")),
+        "host_fingerprint": (
+            f"{platform.node()}/{os.cpu_count()}cpu/{mem_gib}GiB"
+        ),
+    }
+
+
 HEADLINE = [
     "rel_pricing_summary",
     "rel_shipping_priority",
@@ -295,6 +334,7 @@ def main() -> None:
             "load_1m_end": round(load_end, 2),
             "host_contended": contaminated,
             "retimed": retimed,
+            **provenance(),
         }
     )
     print(line)

@@ -191,7 +191,10 @@ def main():
         else:
             print(f"ok   {name}: rows={len(spark_rows)} ({time.time()-t0:.1f}s)")
             ok += 1
+    from bench import provenance
+
     print(f"\n{ok} ok, {weak} weak (rows-only), {bad} FAIL")
+    print(f"provenance: {provenance()} sf_dir={sf_dir}")
     return 1 if bad else 0
 
 

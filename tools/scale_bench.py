@@ -31,9 +31,11 @@ def main() -> None:
     tag = sys.argv[2]
     names = sys.argv[3:] or DEFAULT_QUERIES
     import __spark_entry__ as entry
+    from bench import provenance
     from graphview_spark.session import get_spark
 
     spark = get_spark("scalebench")
+    stamp = provenance()
     qs = dict(entry.queries())
     qs.update(entry.extra_queries())
     qs[names[0]](spark, sf_dir).limit(1).collect()  # warmup
@@ -45,7 +47,7 @@ def main() -> None:
                 rows = qs[name](spark, sf_dir).count()
                 best = min(best, time.time() - t0)
             rec = {"tag": tag, "query": name,
-                   "sec": round(best, 2), "rows": rows}
+                   "sec": round(best, 2), "rows": rows, **stamp}
             fh.write(json.dumps(rec) + "\n")
             fh.flush()
             print(rec, file=sys.stderr, flush=True)
