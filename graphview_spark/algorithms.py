@@ -1562,9 +1562,32 @@ _MASS_SKIP_FRACTION = 0.7
 def _closure_mass_doomed(e: DataFrame, budget: int) -> bool:
     """True when the finished closure's estimated mass cannot fit
     ``budget`` — the strategy verdict both closure loops and the SCC
-    peel consult. One ~256-seed estimate against the asymmetric
-    threshold (see _MASS_SKIP_FRACTION)."""
-    return _closure_mass_estimate(e, budget) > _MASS_SKIP_FRACTION * budget
+    peel consult.
+
+    Round 10: the verdict is the MAX of two ~256-seed estimates of the
+    same quantity — closure mass = Σ_src |reach(src)| (forward BFS over
+    sampled srcs) = Σ_sink |ancestors(sink)| (the same BFS over the
+    edge-reversed frame) — because the two marginals are rarely
+    heavy-tailed together. On the deep-tree calibration family the
+    forward per-seed reach is dominated by a handful of near-root srcs
+    a 256-seed sample usually misses (sf3 read 0.39× of true mass),
+    while the reverse per-seed mass is the bounded ancestor chain —
+    light-tailed, so the sampled mean is tight. Degree-stratified
+    seeding (the other candidate fix) has no signal to stratify on
+    here: the calibration family's out-degree is capped at 3 (tree
+    fanout 2 + one back-edge) and is uncorrelated with reach — see
+    PLANS.md. Taking the max biases the verdict toward SKIP, cutting
+    exactly the under-read failure mode (a wrong attempt is
+    probe-bounded but grows with scale: 58 s at sf1, 385 s at sf3)
+    while a wrong skip pays the bounded-linear fallback by design.
+    The reverse pass is short-circuited whenever the forward estimate
+    alone already crosses the threshold (the sf1 SCC case pays one
+    pass, as before)."""
+    thresh = _MASS_SKIP_FRACTION * budget
+    if _closure_mass_estimate(e, budget) > thresh:
+        return True
+    rev = e.select(F.col("sink").alias("src"), F.col("src").alias("sink"))
+    return _closure_mass_estimate(rev, budget) > thresh
 
 
 def _closure_mass_estimate(e: DataFrame, budget: int,
@@ -1578,6 +1601,14 @@ def _closure_mass_estimate(e: DataFrame, budget: int,
     feeds is safe in both directions (a mis-skip costs the exact
     bounded-memory fallback, a mis-attempt is still caught by the
     budget and next-mass-probe guards inside the loop).
+
+    Cycle self-pairs count (ADVICE r9 #3): the closure frame the budget
+    measures contains (s, s) for every node on a cycle, but the BFS
+    seeds ``settled`` with the seed's own id so a re-reach of the seed
+    is anti-joined away. On the complete exit one extra join counts the
+    sampled seeds some settled node points back to, and adds one pair
+    each — at k=1 the estimate now equals the finished frame's count
+    exactly, cycles included.
 
     Early-aborts with +inf as soon as the SAMPLED settled mass crosses
     2× its budget-equivalent share — so on hub graphs whose reach sets
@@ -1609,7 +1640,12 @@ def _closure_mass_estimate(e: DataFrame, budget: int,
         )
         c = nxt.count()
         if c == 0:
-            return mass / n_seeds * n_src
+            cyc = (
+                settled.join(e, settled["id"] == e["src"])
+                .filter(F.col("sink") == F.col("s"))
+                .select("s").distinct().count()
+            )
+            return (mass + cyc) / n_seeds * n_src
         mass += c
         if mass > abort_at:
             return float("inf")

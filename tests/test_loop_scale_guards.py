@@ -130,8 +130,10 @@ def test_probe_next_mass_exact_at_mod_one(spark):
 
 def test_closure_mass_estimate_exact_when_all_seeds(spark, monkeypatch):
     """With the seed sample covering every src (k=1), the mass estimate
-    equals the true closure's dist≥1 pair count (per-seed reach is
-    computed exactly; only the seed marginal is sampled)."""
+    equals the finished closure FRAME's pair count — cycle self-pairs
+    included (ADVICE r9 #3), since that frame count is what the budget
+    compares against. Per-seed reach is computed exactly; only the
+    seed marginal is sampled."""
     import graphview_spark.algorithms as A
 
     monkeypatch.setattr(A, "_MASS_SEEDS", 10**9)  # force k=1
@@ -140,37 +142,63 @@ def test_closure_mass_estimate_exact_when_all_seeds(spark, monkeypatch):
         [(1, 2), (2, 3), (3, 4), (1, 3), (5, 6), (6, 5)],
         "src long, sink long",
     )
-    # true reach pairs (dist≥1, self excluded as the estimator does):
-    # 1→{2,3,4}, 2→{3,4}, 3→{4}, 5→{6}, 6→{5} = 8
+    # true closure pairs: 1→{2,3,4}, 2→{3,4}, 3→{4},
+    # 5→{5,6}, 6→{5,6} (cycle nodes reach themselves) = 10
     est = A._closure_mass_estimate(e, budget=10**6)
-    assert est == 8.0
+    assert est == 10.0
     # a tiny budget must early-abort to +inf instead of expanding
     assert A._closure_mass_estimate(e, budget=1) == float("inf")
+    # self-loop: closure of {(7,7)} is {(7,7)} — counted once
+    e2 = spark.createDataFrame([(7, 7)], "src long, sink long")
+    assert A._closure_mass_estimate(e2, budget=10**6) == 1.0
 
 
 def test_mass_verdict_uses_asymmetric_threshold(monkeypatch):
-    """The verdict compares one estimate against a FRACTION of the
-    budget: wrong attempts are probe-bounded but grow with scale while
-    wrong skips pay the bounded peel, so boundary-noise estimates must
-    route to the safe (skip) side. Calibration points measured in
-    round 9: sf1 SCC true ≥1.12× read 1.10× (must skip), sf1
-    closeness true 0.48× (must attempt)."""
+    """The verdict compares the MAX of the forward and reverse
+    estimates against a FRACTION of the budget: wrong attempts are
+    probe-bounded but grow with scale while wrong skips pay the
+    bounded peel, so boundary-noise estimates must route to the safe
+    (skip) side, and an under-read must be missed by BOTH directions
+    to slip through. Calibration points measured in rounds 9-10: sf1
+    SCC true ≥1.12× fwd read 1.10× (must skip, one pass), sf1
+    closeness true 0.48× (must attempt), sf3 SCC true ≈1.0× fwd read
+    0.39× but rev read ≈1.0× (the max must skip)."""
     import graphview_spark.algorithms as A
 
-    monkeypatch.setattr(A, "_closure_mass_estimate",
-                        lambda e, b, **kw: fake.est)
+    class FakeFrame:
+        """Stands in for the edge frame; .select() (the reverse-frame
+        construction) returns self."""
+
+        def select(self, *a, **k):
+            return self
+
+    calls = {"n": 0}
+
+    def fake_est(e, b, **kw):
+        est = fake.ests[min(calls["n"], len(fake.ests) - 1)]
+        calls["n"] += 1
+        return est
+
+    monkeypatch.setattr(A, "_closure_mass_estimate", fake_est)
 
     class fake:  # noqa: N801 — holder
-        est = 0.0
+        ests = (0.0,)
 
     budget = 1000
-    for est, doomed in ((0.48 * budget, False),
-                        (A._MASS_SKIP_FRACTION * budget - 1, False),
-                        (A._MASS_SKIP_FRACTION * budget + 1, True),
-                        (1.10 * budget, True),
-                        (float("inf"), True)):
-        fake.est = est
-        assert A._closure_mass_doomed(None, budget) is doomed, est
+    frame = FakeFrame()
+    for ests, doomed, n_passes in (
+        ((0.48 * budget, 0.48 * budget), False, 2),
+        ((A._MASS_SKIP_FRACTION * budget - 1,) * 2, False, 2),
+        ((A._MASS_SKIP_FRACTION * budget + 1,), True, 1),  # short-circuit
+        ((1.10 * budget,), True, 1),
+        # the sf3 shape: forward under-reads, reverse catches it
+        ((0.39 * budget, 1.0 * budget), True, 2),
+        ((float("inf"),), True, 1),
+    ):
+        fake.ests = ests
+        calls["n"] = 0
+        assert A._closure_mass_doomed(frame, budget) is doomed, ests
+        assert calls["n"] == n_passes, ests
 
 
 def test_mass_estimate_skips_doomed_attempt(spark, monkeypatch):
@@ -193,6 +221,45 @@ def test_mass_estimate_skips_doomed_attempt(spark, monkeypatch):
     assert not complete and closure.count() == 7  # the seed, untouched
     d, complete = A._distance_closure(e, budget_factor=1)
     assert not complete and d.count() == 7
+
+
+def test_mass_verdict_routes_both_ways_across_threshold(spark, monkeypatch):
+    """End-to-end straddle of the 0.7×budget boundary on REAL frames
+    (VERDICT r9 Next #8): one synthetic family — a directed chain of 8
+    edges, exact verdict via k=1 seeds — parameterized only by
+    budget_factor so the same graph's mass/budget ratio lands on
+    either side of _MASS_SKIP_FRACTION. Chain mass = 36 pairs over 8
+    edges: factor 7 → 36/56 ≈ 0.64 < 0.7 must ATTEMPT (and complete);
+    factor 6 → 36/48 = 0.75 > 0.7 must SKIP without one squaring.
+    Asserts which strategy RAN, not just the output."""
+    import graphview_spark.algorithms as A
+
+    monkeypatch.setattr(A, "_MASS_ESTIMATE_MIN_EDGES", 1)
+    monkeypatch.setattr(A, "_MASS_SEEDS", 10**9)  # exact estimate
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "src long, sink long")
+
+    squarings = {"n": 0}
+    orig = A._pred_if_big
+
+    def spy(*a, **k):
+        squarings["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(A, "_pred_if_big", spy)
+
+    # 0.64× of budget: the verdict routes to the ATTEMPT, which runs
+    # squarings and completes the closure (36 pairs ≤ 56 budget)
+    closure, complete = A._shortcut_closure(e, budget_factor=7)
+    assert complete and closure.count() == 36
+    assert squarings["n"] > 0, "attempt route must run the squaring loop"
+
+    # 0.75× of budget: the verdict routes to the SKIP — incomplete,
+    # seed frame untouched, zero squarings
+    squarings["n"] = 0
+    closure, complete = A._shortcut_closure(e, budget_factor=6)
+    assert not complete and closure.count() == 8
+    assert squarings["n"] == 0, "skip route must not run a single squaring"
 
 
 def test_scc_trim_peels_acyclic_fringe(spark):

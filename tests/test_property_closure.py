@@ -101,17 +101,18 @@ def test_scc_matches_bruteforce(spark, raw_edges):
 @given(edges_strategy)
 @prop_settings
 def test_closure_mass_estimate_matches_bruteforce(spark, raw_edges):
-    """With every src sampled (k=1) the round-9 mass pre-estimate must
-    equal the true closure's non-self pair count on random digraphs —
-    the exact-per-seed property that makes the scaled estimate
-    unbiased."""
+    """With every src sampled (k=1) the mass pre-estimate must equal
+    the true closure's FULL pair count — cycle self-pairs included
+    (ADVICE r9 #3), since that is the frame count the budget measures —
+    on random digraphs: the exact-per-seed property that makes the
+    scaled estimate unbiased."""
     import graphview_spark.algorithms as A
 
     edges = sorted({(s, t) for s, t in raw_edges if s != t})
     if not edges:
         return
     ref_reach, _ = _brute_closure(edges)
-    want = float(len([p for p in ref_reach if p[0] != p[1]]))
+    want = float(len(ref_reach))
     e = spark.createDataFrame(edges, "src long, sink long")
     assert A._closure_mass_estimate(
         e, budget=10**9, sample_target=10**9) == want
