@@ -54,7 +54,7 @@ def provenance() -> dict:
         pass
     return {
         "head": _git("rev-parse", "--short=12", "HEAD") or "unknown",
-        "dirty": bool(_git("status", "--porcelain", "-uno")),
+        "dirty": bool(_git("status", "--porcelain")),
         "host_fingerprint": (
             f"{platform.node()}/{os.cpu_count()}cpu/{mem_gib}GiB"
         ),
