@@ -196,3 +196,67 @@ def test_histogram_selectivity_orders_predicate_edge_first(spark, monkeypatch):
     # gid range misses Hot's entire sink histogram → Hot goes first
     assert calls[0] == ("Hot", "A")
     assert n == 0  # and indeed no Hot sink survives the predicate
+
+
+def test_beam_roots_at_selective_alias_in_4edge_cycle(spark, monkeypatch):
+    """The bounded beam (TranslateMatchClauseVisitor.cs:1631-1727,
+    MaxStates=100) closes greedy's one unfixable order decision: the
+    component ROOT is pinned to the first FROM alias. On a 4-edge
+    cyclic pattern with a selective predicate on the FAR alias, greedy
+    must explode from A (300 nodes × fanout 3 = 900 intermediate rows
+    before the filter is ever reached); the beam enumerates roots with
+    the same cost model and starts at the filtered alias C (2 nodes),
+    keeping every intermediate under ~30 rows. Both orders must return
+    identical rows. (The beam is opt-in — PLANS.md round 10 measured
+    greedy+AQE compiling to the same physical join mix and matching or
+    beating the beam's wall-clock at every local scale — so the test
+    enables it explicitly.)"""
+    g = GraphDatabase(spark)
+    g.execute(
+        """CREATE TABLE [T] (
+            [ColumnRole:"NodeId"] id INT,
+            [ColumnRole:"Edge",Reference:"T"] E1 VARBINARY(max),
+            [ColumnRole:"Edge",Reference:"T"] E2 VARBINARY(max),
+            [ColumnRole:"Edge",Reference:"T"] E3 VARBINARY(max),
+            [ColumnRole:"Edge",Reference:"T"] E4 VARBINARY(max) )"""
+    )
+    g.execute(
+        "INSERT INTO T(id) VALUES " + ",".join(f"({i})" for i in range(1, 301))
+    )
+    # four 3-regular circulant edge types (fanout 3 in BOTH directions,
+    # so reverse expansion offers greedy no escape hatch); E4's shifts
+    # (282..284) complement E1+E2+E3's sums (12..18 → closes at 282..288
+    # mod 300), so the cycle has real matches
+    for k, name in ((1, "E1"), (4, "E2"), (7, "E3"), (282, "E4")):
+        g.execute(
+            f"INSERT EDGE INTO T.{name} SELECT x, y FROM T x, T y "
+            f"WHERE ((y.id - x.id + 300) % 300) >= {k} "
+            f"AND ((y.id - x.id + 300) % 300) < {k + 3}"
+        )
+
+    query = """SELECT A.id AS a, B.id AS b, C.id AS c, D.id AS d
+           FROM T A, T B, T C, T D
+           MATCH A-[E1]->B, B-[E2]->C, C-[E3]->D, D-[E4]->A
+           WHERE C.id <= 2"""
+
+    monkeypatch.setattr(planner, "_BEAM_MIN_EDGES", 4)
+    roots: list[str] = []
+    orig_node_df = planner._node_df
+
+    def spy_node_df(g_, alias, name, filters=None):
+        roots.append(alias)
+        return orig_node_df(g_, alias, name, filters)
+
+    monkeypatch.setattr(planner, "_node_df", spy_node_df)
+
+    beam_rows = sorted(map(tuple, g.execute(query).collect()))
+    # the first node scan is the component root: the beam must start
+    # at the filtered alias, not at FROM-order A
+    assert roots[0] == "C"
+
+    roots.clear()
+    monkeypatch.setattr(planner, "_BEAM_MIN_EDGES", 99)  # back to greedy
+    greedy_rows = sorted(map(tuple, g.execute(query).collect()))
+    assert roots[0] == "A"  # greedy's root is pinned to FROM order
+
+    assert beam_rows == greedy_rows and len(beam_rows) > 0
