@@ -619,7 +619,7 @@ def _table_buckets_col(v: Column, planes: list[list[list[float]]]) -> Column:
 def embed_cosine_pairs(
     emb: DataFrame,
     cosine_t: float,
-    label_threshold: int = EMBED_LSH_LABEL_ROWS,
+    label_threshold: int | None = EMBED_LSH_LABEL_ROWS,
     dim: int = 64,
     stats: tuple[int, int] | None = None,
 ) -> DataFrame:
@@ -630,6 +630,15 @@ def embed_cosine_pairs(
     (EMBED_LSH_TABLES OR-amplified tables of EMBED_LSH_BITS hyperplanes)
     and only candidates are exactly verified. ``emb`` needs columns
     (vec_id, v: array<double>, label).
+
+    ``label_threshold=None`` means EXACT AT EVERY SIZE — no LSH leg is
+    ever built, whatever the stats say. This is the contract for
+    operators whose oracle is the exact SQL (round-10 sf3 finding: the
+    default threshold silently swapped q_dedup_embed_cosine's exact
+    semantics for ~4% LSH recall the first time a label crossed 4096
+    rows — at cosine_t well below the near-dup regime, sign-bucket
+    collision probability (1-θ/π)^bits is a candidate FILTER, not a
+    recall guarantee).
 
     Scale notes: the exact leg is quadratic per label but bounded by
     label_threshold²; the LSH leg's candidate count tracks true-pair
@@ -668,7 +677,11 @@ def embed_cosine_pairs(
             .first()
         )
         mx, data_dim = row[0] or 0, row[1]
-    if mx is not None and mx > label_threshold and data_dim != dim:
+    if label_threshold is None:
+        # exact contract: every label takes the exact leg, no stats
+        # consulted, no LSH leg even under lazy plan audit
+        small, big = emb, None
+    elif mx is not None and mx > label_threshold and data_dim != dim:
         # zip_with against a wrong-length plane yields NULL, NULL >= 0
         # is false for every bit, and every vector would silently land
         # in bucket 0 of every table — an 8×-replicated quadratic join
@@ -677,7 +690,7 @@ def embed_cosine_pairs(
             f"embed_cosine_pairs: data dimension {data_dim} != "
             f"hyperplane dim {dim} — pass dim= explicitly"
         )
-    if mx is not None and mx <= label_threshold:
+    elif mx is not None and mx <= label_threshold:
         # all labels small: no _lbl_n join, no pin, exact leg only
         small, big = emb, None
     else:
@@ -709,7 +722,7 @@ def embed_cosine_pairs(
         .filter(F.col("cosine") >= cosine_t)
         .select("vec_a", "vec_b", "cosine")
     )
-    if mx is not None and mx <= label_threshold:
+    if big is None or (mx is not None and mx <= label_threshold):
         return exact
 
     # LSH leg: ids-only candidate generation, then one exact verify
@@ -823,15 +836,22 @@ def _read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold, blocked by the
     cluster label (the pre-assigned coarse partition — the IVF idea:
-    high-cosine pairs almost surely share a coarse cluster), with the
-    hyperplane-LSH candidate path engaged BY DEFAULT for labels above
-    EMBED_LSH_LABEL_ROWS (see embed_cosine_pairs — the 100 TB route).
-    Gate-scale labels sit under the threshold, so the oracle stays the
-    exact within-label SQL; routing stats come from the per-corpus
-    session cache, so they cost one tiny aggregate per app lifetime."""
+    high-cosine pairs almost surely share a coarse cluster), EXACT at
+    every scale (label_threshold=None): that is this operator's
+    contract and its oracle. The within-label chunked self-join is
+    quadratic per label — inherent to exactness; the exact SQL oracle
+    pays the same — and distributes over label × EMBED_CHUNKS shuffle
+    cells. Users who accept approximate recall at scale use the LSH
+    route (q_dedup_embed_lsh / embed_cosine_pairs with a threshold).
+
+    Round-10 regression note: this query previously inherited the
+    LSH-above-4096-rows default and stayed oracle-green at sf0.01/0.1/1
+    only because no label crossed the gate; the first sf3 sweep caught
+    recall collapsing to ~4% (spark 3,525 vs exact 86,608 pairs).
+    Pinned exact by tests/test_pipeline_ops.py (giant-label stats +
+    LSH-leg tripwire)."""
     emb = _read_embeddings(spark, sf_dir)
-    return embed_cosine_pairs(
-        emb, COSINE_T, stats=_embed_stats(spark, sf_dir, emb))
+    return embed_cosine_pairs(emb, COSINE_T, label_threshold=None)
 
 
 # clones get vec_id + _EMB_LSH_ID_OFFSET — far above any real vec_id at

@@ -267,3 +267,27 @@ def test_cluster_safe_split_no_cross_split_pairs(spark, sf_dir):
         .count()
     )
     assert naive_cross > 0
+
+
+def test_embed_cosine_query_exact_even_with_giant_labels(
+        spark, sf_dir, monkeypatch):
+    """q_dedup_embed_cosine is EXACT at every scale — round-10 sf3
+    regression: the LSH-above-4096-rows default silently swapped exact
+    semantics for ~4% LSH recall the first time a label crossed the
+    gate (spark 3,525 vs exact 86,608 pairs at sf3), green at three
+    smaller SFs only because no label had crossed it. Tripwires: the
+    stat cache claiming a giant label must change nothing, and building
+    the LSH planes for this query is an error."""
+    import graphview_spark.operators.dedup as D
+
+    monkeypatch.setattr(D, "_embed_stats", lambda *a, **k: (10**9, 64))
+
+    def boom(*a, **k):
+        raise AssertionError("LSH leg built for the exact query")
+
+    monkeypatch.setattr(D, "_embed_lsh_planes", boom)
+    got = sorted(map(tuple, D.q_dedup_embed_cosine(spark, sf_dir).collect()))
+    emb = D._read_embeddings(spark, sf_dir)
+    want = sorted(map(tuple, D.embed_cosine_pairs(
+        emb, D.COSINE_T, label_threshold=10**9).collect()))
+    assert got == want and len(got) > 0
