@@ -122,7 +122,8 @@ def main() -> int:
         "bench_log": bench_log,
         **provenance(),
     }
-    out_path = os.path.join(HERE, ".testdata", f"sweep_{tag}.json")
+    scope = f"_{only.rstrip('_')}" if only else ""
+    out_path = os.path.join(HERE, ".testdata", f"sweep_{tag}{scope}.json")
     with open(out_path, "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(f"# SCALECHECK line — {tag}: {summary} in {sweep_sec}s "
