@@ -52,9 +52,16 @@ def provenance() -> dict:
                     break
     except OSError:  # pragma: no cover - non-Linux
         pass
+    # dirty = uncommitted changes to anything that can change BEHAVIOR.
+    # The generated evidence files are excluded: BENCH_LOCAL.json is
+    # rewritten by the very run being stamped (it would force
+    # dirty=true on every settled bench), and the .md artifacts record
+    # results rather than produce them.
+    artifacts = [":!BENCH_LOCAL.json", ":!CHECKS_LOCAL.md",
+                 ":!PLANS.md", ":!SCALECHECK.md"]
     return {
         "head": _git("rev-parse", "--short=12", "HEAD") or "unknown",
-        "dirty": bool(_git("status", "--porcelain")),
+        "dirty": bool(_git("status", "--porcelain", "--", ".", *artifacts)),
         "host_fingerprint": (
             f"{platform.node()}/{os.cpu_count()}cpu/{mem_gib}GiB"
         ),
