@@ -1,0 +1,134 @@
+"""Property tests for the round-10 join-order machinery (no Spark —
+pure driver-side planning over stubbed statistics).
+
+The beam and the greedy simulation share one cost model (cached
+fanout × pair-overlap, both-bound closes free, root scan counted), so
+two invariants must hold on random components:
+
+1. VALIDITY — any order either path emits joins each edge exactly
+   once, and every edge touches the already-bound alias set when it
+   is applied (the contract _join_edge executes under).
+2. DOMINANCE — the beam (root-enumerating, effectively exhaustive at
+   MaxStates=100 on these sizes) never models WORSE than greedy's
+   pinned-root order under the shared cost model. This is the
+   property that makes `GV_BEAM_MIN_EDGES` safe to enable: opting in
+   can only improve the modeled plan.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import graphview_spark.matching.planner as planner
+from graphview_spark.matching.pattern import PatternEdge
+
+
+class _StubTable:
+    def __init__(self, name):
+        self.name = name
+        self.edges = {}  # no resolvable edge types → neutral estimates
+
+
+class _StubCatalog:
+    def has_table(self, name):
+        return True
+
+    def table(self, name):
+        return _StubTable(name)
+
+    def edge_view(self, name):
+        return None
+
+
+class _StubGraph:
+    """Just enough GraphDatabase surface for order planning: node
+    counts and a catalog; edge-type resolution raises, which routes
+    every overlap/close estimate to its neutral 1.0 branch — the
+    property then exercises pure fanout×cardinality cost."""
+
+    def __init__(self, counts):
+        self.catalog = _StubCatalog()
+        self._counts = counts
+
+    def node_count(self, name):
+        return self._counts[name]
+
+
+def _cost(order, root, counts, fanout_of):
+    """The shared cost semantics: root scan + Σ step rows; both-bound
+    edges are free closes (overlap factors are neutral here)."""
+    bound = {root}
+    rows = float(counts[root])
+    cost = rows
+    for e in order:
+        if e.src_alias in bound and e.sink_alias in bound:
+            bound |= {e.src_alias, e.sink_alias}
+            continue
+        fwd, rev = fanout_of[id(e)]
+        base = fwd if e.src_alias in bound else rev
+        rows *= base
+        cost += rows
+        bound |= {e.src_alias, e.sink_alias}
+    return cost
+
+
+@st.composite
+def components(draw):
+    n = draw(st.integers(min_value=2, max_value=5))
+    aliases = [f"a{i}" for i in range(n)]
+    # spanning tree keeps the component connected; extras add cycles
+    edges = []
+    for i in range(1, n):
+        j = draw(st.integers(min_value=0, max_value=i - 1))
+        edges.append((aliases[j], aliases[i]))
+    for _ in range(draw(st.integers(min_value=0, max_value=3))):
+        x = draw(st.sampled_from(aliases))
+        y = draw(st.sampled_from(aliases))
+        if x != y:
+            edges.append((x, y))
+    fanouts = [
+        (draw(st.floats(min_value=0.1, max_value=50)),
+         draw(st.floats(min_value=0.1, max_value=50)))
+        for _ in edges
+    ]
+    counts = {a: draw(st.integers(min_value=1, max_value=10**6))
+              for a in aliases}
+    return aliases, edges, fanouts, counts
+
+
+@given(components())
+@settings(max_examples=60, deadline=None)
+def test_beam_orders_are_valid_and_never_model_worse(comp):
+    aliases, raw_edges, fanouts, counts = comp
+    edges = [
+        PatternEdge(edge_name=f"E{i}", src_alias=s, sink_alias=t,
+                    alias=f"e{i}")
+        for i, (s, t) in enumerate(raw_edges)
+    ]
+    fanout = {id(e): f for e, f in zip(edges, fanouts)}
+    g = _StubGraph(counts)
+
+    greedy_order = planner._order_component_greedy(
+        g, aliases[0], list(edges), {a: a for a in aliases}, fanout)
+    got = planner._order_component_beam(
+        g, aliases, list(edges), {a: a for a in aliases}, None, fanout)
+    assert got is not None
+    beam_root, beam_order = got
+
+    for root, order in ((aliases[0], greedy_order),
+                        (beam_root, beam_order)):
+        assert sorted(id(e) for e in order) == sorted(id(e) for e in edges)
+        bound = {root}
+        for e in order:
+            assert e.src_alias in bound or e.sink_alias in bound, (
+                "edge applied without a bound endpoint")
+            bound |= {e.src_alias, e.sink_alias}
+        assert bound == set(aliases)
+
+    g_cost = _cost(greedy_order, aliases[0], counts, fanout)
+    b_cost = _cost(beam_order, beam_root, counts, fanout)
+    assert b_cost <= g_cost * (1 + 1e-9), (
+        f"beam modeled worse: {b_cost} > {g_cost}; "
+        f"beam={[e.alias for e in beam_order]} root={beam_root}, "
+        f"greedy={[e.alias for e in greedy_order]} root={aliases[0]}")
