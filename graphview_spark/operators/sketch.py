@@ -256,14 +256,16 @@ def _cms_halved(
     )
 
 
-def _cms_coords() -> Column:
+def _cms_coords(width: int = CMS_WIDTH) -> Column:
     """Array of (r, c) coordinates from the staged _h1/_h2 columns:
-    depth double-hashed buckets, integer ops only."""
+    depth double-hashed buckets, integer ops only. ``width`` is the
+    modulus — CMS_WIDTH for the count sketch, BLOOM_BITS for the Bloom
+    filter's bit positions (same Kirsch–Mitzenmacher family)."""
     return F.array(*[
         F.struct(
             F.lit(i).alias("r"),
             (((F.lit(a) * F.col("_h1") + F.lit(b) * F.col("_h2")
-               + F.lit(i)) % CMS_P) % CMS_WIDTH).alias("c"),
+               + F.lit(i)) % CMS_P) % width).alias("c"),
         )
         for i, (a, b) in enumerate(CMS_COEFFS)
     ])
@@ -391,6 +393,243 @@ SELECT lang, token, min(n) AS est FROM pointq GROUP BY lang, token
 """
 
 
+# --------------------------------------------------------------------------
+# Bloom filter — the MEMBERSHIP sibling of the HLL (cardinality) and CMS
+# (frequency) sketches: a bounded bitmap answering "was this value in the
+# set?" with no false negatives and a tunable false-positive rate
+# (Bloom 1970; hash family per Kirsch–Mitzenmacher 2006, shared with the
+# CMS above — one md5 per value, k derived bit positions).
+#
+# The pipeline use is benchmark decontamination at corpus scale: the
+# exact operator (pipeline_decontam) joins every training n-gram against
+# the benchmark gram set — correct, but the bench-gram table rides along
+# as a real (if broadcast) join input everywhere the scrub runs. The
+# Bloom form compresses the ENTIRE membership set into ≤ BLOOM_BITS/32
+# bitmap words (32 KiB at the default — broadcast-trivial at any corpus
+# size), probes are k pure column lookups against that bitmap, and
+# bitmaps MERGE across benchmark shards/versions with a plain bit_or
+# (the union query proves merge(bloom(A), bloom(B)) == bloom(A ∪ B)
+# value-for-value). One-sided error is the contract that makes this
+# sound for scrubbing: a false positive drops a clean document
+# (bounded, tunable loss); a false negative — leaking benchmark text
+# into training data — cannot happen.
+#
+# Determinism/oracle notes: bit positions are the CMS's integer double
+# hashes mod BLOOM_BITS; the bitmap packs 32 bits per BIGINT word
+# (position >> 5 / & 31 — DuckDB raises on 1::BIGINT << 63, so 64-bit
+# words would trap on the top bit; 32-bit masks stay in [1, 2^31],
+# exactly representable and shift-safe in both engines).
+#
+# Size the filter to the membership set at production scale: at the
+# default m = 2^18 bits, k = 4, a 100k-gram benchmark reads ~4% FPR;
+# real deployments size m from an HLL estimate of the gram count
+# (sketch_distinct_hll composes for exactly this).
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 18       # filter size m in bits (32 KiB of bitmap)
+BLOOM_WORD_SHIFT = 5       # 32-bit words: word = pos >> 5, bit = pos & 31
+BLOOM_K = CMS_DEPTH        # hash functions (reuses CMS_COEFFS rows)
+
+
+def bloom_words(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group Bloom bitmap as a sparse word table (group..., word,
+    bits): each value sets BLOOM_K bits. ONE map-side-combinable
+    bit_or shuffle; output ≤ BLOOM_BITS/32 rows per group regardless
+    of input size. Word tables merge across shards with
+    groupBy(word).agg(bit_or(bits)) — bit_or is idempotent and
+    associative, so shard overlap is harmless."""
+    coords = (
+        _cms_halved(df, group_cols, value_col)
+        .select(
+            *group_cols,
+            F.explode(_cms_coords(BLOOM_BITS)).alias("rc"),
+        )
+        .select(*group_cols, F.col("rc.c").alias("pos"))
+        .select(
+            *group_cols,
+            F.shiftright(F.col("pos"), BLOOM_WORD_SHIFT).alias("word"),
+            # variable-amount shift: SQL form (the Python F.shiftleft
+            # binding takes only a literal bit count)
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 31 AS INT))")
+            .alias("mask"),
+        )
+    )
+    return coords.groupBy(*group_cols, "word").agg(
+        F.bit_or("mask").alias("bits")
+    )
+
+
+def bloom_probe(
+    items: DataFrame, id_cols: list[str], value_col: str, words: DataFrame
+) -> DataFrame:
+    """Probe each item row's value against a (word, bits) Bloom table:
+    returns id_cols + ``present`` (true iff all BLOOM_K bits are set —
+    definitely-absent otherwise). Plan shape: BLOOM_K broadcast hash
+    joins against the ≤ 8192-row word table (bounded BY CONSTRUCTION —
+    the PLANS.md rule for an explicit broadcast hint), zero shuffles,
+    one row in → one row out; the corpus never repartitions."""
+    probed = _cms_halved(items, id_cols, value_col)
+    present = F.lit(True)
+    for i, (a, b) in enumerate(CMS_COEFFS[:BLOOM_K]):
+        pos = (
+            (F.lit(a) * F.col("_h1") + F.lit(b) * F.col("_h2") + F.lit(i))
+            % CMS_P
+        ) % BLOOM_BITS
+        w = words.select(
+            F.col("word").alias(f"_bw{i}"), F.col("bits").alias(f"_bb{i}")
+        )
+        probed = probed.withColumn(f"_bpos{i}", pos).withColumn(
+            f"_bm{i}",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_bpos{i} & 31 AS INT))"),
+        ).join(
+            F.broadcast(w),
+            F.shiftright(F.col(f"_bpos{i}"), BLOOM_WORD_SHIFT)
+            == F.col(f"_bw{i}"),
+            "left",
+        )
+        present = present & (
+            F.coalesce(F.col(f"_bb{i}"), F.lit(0)).bitwiseAND(F.col(f"_bm{i}"))
+            == F.col(f"_bm{i}")
+        )
+    return probed.select(*id_cols, present.alias("present"))
+
+
+def _bloom_scrub(
+    docs: DataFrame, words: DataFrame
+) -> DataFrame:
+    """Shared tail of the two Bloom gate queries: probe every train
+    doc's distinct DECONTAM_N-grams against a benchmark bitmap and
+    report per-doc flagged-gram counts (pipeline_decontam's output
+    shape, so exact-vs-bloom is diffable operator-to-operator)."""
+    from graphview_spark.operators.pipeline import DECONTAM_N, _word_ngrams
+
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    grams = train.select(
+        "doc_id", F.explode(_word_ngrams(F.col("text"), DECONTAM_N)).alias("g")
+    )
+    hits = (
+        bloom_probe(grams, ["doc_id"], "g", words)
+        .filter(F.col("present"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+            (F.coalesce("n_flagged", F.lit(0)) > 0).alias("flagged"),
+        )
+    )
+
+
+def q_sketch_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark scrub: the benchmark's distinct 5-grams
+    (doc_id % 97 == 0, pipeline_decontam's fixture) compressed to one
+    32 KiB bitmap, then every training document's grams probed with k
+    pure column lookups. No-false-negative contract: every truly
+    contaminated doc is flagged; false positives are the bounded,
+    deterministic price (identical in the oracle, which replicates the
+    bitmap bit-for-bit)."""
+    from graphview_spark.operators.pipeline import (
+        DECONTAM_N, _word_ngrams, benchmark_docs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench_grams = benchmark_docs(docs).select(
+        F.explode(_word_ngrams(F.col("text"), DECONTAM_N)).alias("g")
+    )
+    words = bloom_words(bench_grams, [], "g")
+    return _bloom_scrub(docs, words)
+
+
+def q_sketch_bloom_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom mergeability end-to-end: per-half bitmaps (benchmark docs
+    split by doc_id parity — the shards may share grams; bit_or is
+    idempotent) merged word-wise, then probed. The oracle builds the
+    whole-benchmark bitmap DIRECTLY — value-for-value equality proves
+    the bit_or merge is lossless, the property that lets per-version /
+    per-benchmark bitmaps roll up without re-reading any benchmark."""
+    from graphview_spark.operators.pipeline import (
+        DECONTAM_N, _word_ngrams, benchmark_docs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench_grams = benchmark_docs(docs).select(
+        (F.col("doc_id") % 2).cast("int").alias("half"),
+        F.explode(_word_ngrams(F.col("text"), DECONTAM_N)).alias("g"),
+    )
+    halves = bloom_words(bench_grams, ["half"], "g")
+    words = halves.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    return _bloom_scrub(docs, words)
+
+
+def _sql_bloom() -> str:
+    """DuckDB mirror: same md5 halves, same double-hashed bit
+    positions, same 32-bit word packing, same k left joins (direct
+    whole-benchmark bitmap — also the union oracle)."""
+    from graphview_spark.operators.pipeline import (
+        DECONTAM_N, _sql_word_ngrams,
+    )
+
+    m, p, fold = BLOOM_BITS, CMS_P, _CMS_FOLD
+    g = _sql_word_ngrams(DECONTAM_N)
+    h1 = _sql_fold_hex("substr(hx, 1, 15)")
+    h2 = _sql_fold_hex("substr(hx, 16, 15)")
+    bench_pos = " UNION ALL ".join(
+        f"SELECT (({a} * h1 + {b} * h2 + {i}) % {p}) % {m} AS pos FROM bh"
+        for i, (a, b) in enumerate(CMS_COEFFS[:BLOOM_K])
+    )
+    probe_cols = ", ".join(
+        f"(({a} * h1 + {b} * h2 + {i}) % {p}) % {m} AS pos{i}"
+        for i, (a, b) in enumerate(CMS_COEFFS[:BLOOM_K])
+    )
+    joins = " ".join(
+        f"LEFT JOIN words w{i} ON w{i}.word = (t.pos{i} >> 5)"
+        for i in range(BLOOM_K)
+    )
+    present = " AND ".join(
+        f"(coalesce(w{i}.bits, 0) & (1::BIGINT << (t.pos{i} & 31)))"
+        f" = (1::BIGINT << (t.pos{i} & 31))"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (SELECT doc_id, {g} AS grams FROM w),
+bg AS (SELECT DISTINCT unnest(grams) AS gram FROM grams WHERE doc_id % 97 = 0),
+bh AS (
+  SELECT {h1} % {fold} AS h1, {h2} % {fold} AS h2
+  FROM (SELECT md5(gram) AS hx FROM bg)
+),
+bpos AS ({bench_pos}),
+words AS (
+  SELECT pos >> 5 AS word,
+         bit_or(1::BIGINT << (pos & 31)) AS bits
+  FROM bpos GROUP BY 1
+),
+tg AS (SELECT doc_id, unnest(grams) AS gram FROM grams WHERE doc_id % 97 <> 0),
+t AS (
+  SELECT doc_id, {probe_cols}
+  FROM (SELECT doc_id, {h1} % {fold} AS h1, {h2} % {fold} AS h2
+        FROM (SELECT doc_id, md5(gram) AS hx FROM tg))
+),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_flagged
+  FROM t {joins}
+  WHERE {present}
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_flagged, 0) AS n_flagged,
+       coalesce(h.n_flagged, 0) > 0 AS flagged
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 QUERIES = {}
 ORACLES = {}
 EXTRA_QUERIES = {
@@ -398,6 +637,8 @@ EXTRA_QUERIES = {
     "sketch_hll_union": q_sketch_hll_union,
     "sketch_cms_counts": q_sketch_cms_counts,
     "sketch_cms_union": q_sketch_cms_union,
+    "sketch_bloom_decontam": q_sketch_bloom_decontam,
+    "sketch_bloom_union": q_sketch_bloom_union,
 }
 EXTRA_ORACLES = {
     "sketch_distinct_hll": _sql_hll(group_by_half=False),
@@ -407,4 +648,7 @@ EXTRA_ORACLES = {
     "sketch_hll_union": _sql_hll(group_by_half=False),
     "sketch_cms_counts": _sql_cms(),
     "sketch_cms_union": _sql_cms(),
+    "sketch_bloom_decontam": _sql_bloom(),
+    # direct whole-benchmark bitmap — equality proves the bit_or merge
+    "sketch_bloom_union": _sql_bloom(),
 }

@@ -152,3 +152,108 @@ def test_cms_cell_table_bounded(spark):
     df = spark.range(30_000).select(
         F.lit("g").alias("g"), F.col("id").cast("string").alias("w"))
     assert cms_cells(df, ["g"], "w").count() <= CMS_DEPTH * CMS_WIDTH
+
+
+# --------------------------------------------------------------------------
+# Bloom filter
+# --------------------------------------------------------------------------
+
+def _vals(spark, lo, hi, prefix="v"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(prefix), F.col("id")).cast("string").alias("w"))
+
+
+def test_bloom_no_false_negatives(spark):
+    """The one-sided-error contract that makes Bloom scrubbing sound:
+    every inserted value probes present. Structural (all k bits were
+    set at insert), asserted end-to-end over 2k values."""
+    from graphview_spark.operators.sketch import bloom_probe, bloom_words
+
+    inserted = _vals(spark, 0, 2_000)
+    words = bloom_words(inserted, [], "w")
+    n_present = (
+        bloom_probe(inserted.select(F.col("w").alias("v"), "w"), ["v"], "w", words)
+        .filter(F.col("present")).count()
+    )
+    assert n_present == 2_000
+
+
+def test_bloom_false_positive_rate_bounded_and_deterministic(spark):
+    """Absent values probe present only on k-fold hash collisions:
+    with 2k inserted values in a 2^18-bit filter the expected FPR is
+    ~(kn/m)^k ≈ 1e-6 — assert < 1% observed on 5k absent probes, and
+    that the flagged set is identical across reruns (md5, no rand)."""
+    from graphview_spark.operators.sketch import bloom_probe, bloom_words
+
+    words = bloom_words(_vals(spark, 0, 2_000), [], "w")
+    absent = _vals(spark, 10_000, 15_000).select(F.col("w").alias("v"), F.col("w"))
+
+    def flagged():
+        return sorted(
+            r["v"] for r in
+            bloom_probe(absent, ["v"], "w", words)
+            .filter(F.col("present")).collect()
+        )
+
+    first = flagged()
+    assert len(first) < 50
+    assert flagged() == first
+
+
+def test_bloom_word_table_bounded(spark):
+    """Bitmap words are the sketch's whole state: ≤ BLOOM_BITS/32 rows
+    no matter how many values are inserted — the broadcast-anywhere
+    property."""
+    from graphview_spark.operators.sketch import BLOOM_BITS, bloom_words
+
+    words = bloom_words(_vals(spark, 0, 50_000), [], "w")
+    assert words.count() <= BLOOM_BITS // 32
+
+
+def test_bloom_merge_equals_direct(spark):
+    """bit_or over per-shard word tables == the union's word table,
+    row-for-row (even with overlapping shards — bit_or is idempotent),
+    so shard bitmaps roll up losslessly."""
+    from graphview_spark.operators.sketch import bloom_words
+
+    a = _vals(spark, 0, 1_000)
+    b = _vals(spark, 500, 1_500)  # overlaps a
+    direct = {(r["word"]): r["bits"] for r in
+              bloom_words(a.unionByName(b), [], "w").collect()}
+    merged = {(r["word"]): r["bits"] for r in
+              bloom_words(a, [], "w").unionByName(bloom_words(b, [], "w"))
+              .groupBy("word").agg(F.bit_or("bits").alias("bits")).collect()}
+    assert merged == direct
+
+
+def test_bloom_scrub_supersets_exact_decontam(spark):
+    """Operator-to-operator: the Bloom scrub flags every document the
+    exact join decontam flags (no false negatives), and its per-doc
+    count is ≥ the exact shared-gram count (false positives only add).
+    Run on the sf0.001 fixture corpus."""
+    from graphview_spark.operators.pipeline import q_pipeline_decontam
+    from graphview_spark.operators.sketch import q_sketch_bloom_decontam
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["doc_id"]: r["n_shared_ngrams"]
+             for r in q_pipeline_decontam(spark, sf).collect()}
+    bloom = {r["doc_id"]: r["n_flagged"]
+             for r in q_sketch_bloom_decontam(spark, sf).collect()}
+    assert set(bloom) == set(exact)
+    for doc, n_exact in exact.items():
+        assert bloom[doc] >= n_exact, (doc, bloom[doc], n_exact)
+
+
+def test_bloom_probe_plan_is_broadcast_only(spark):
+    """The probe side must never shuffle the corpus: all Bloom lookups
+    are broadcast hash joins (the word table is bounded by
+    construction), no sort-merge join, no cartesian product."""
+    from graphview_spark.operators.sketch import q_sketch_bloom_decontam
+
+    df = q_sketch_bloom_decontam(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
