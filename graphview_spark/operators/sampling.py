@@ -263,6 +263,98 @@ FROM b GROUP BY split
     )
 
 
+# --------------------------------------------------------------------------
+# weighted sampling — probability-proportional-to-size (PPS) without
+# replacement, the primitive behind "sample the corpus but keep the
+# long documents": upweighting by size/quality beats uniform sampling
+# whenever the downstream cost or value scales with the row (tokens
+# contributed, bytes decoded, edges expanded).
+#
+# Scheme: SEQUENTIAL POISSON SAMPLING (Ohlsson 1998; the order-sampling
+# family that also contains Efraimidis–Spirakis A-ES): each row draws a
+# deterministic uniform u from md5(key) and takes priority ξ = u / w;
+# the k smallest ξ per stratum are the sample. Inclusion probability is
+# asymptotically ∝ w (Ohlsson proves the PPS property for u/w order
+# sampling). We use ξ = u/w rather than A-ES's u^(1/w) DELIBERATELY:
+# one correctly-rounded IEEE division of a ≤2^50 integer is
+# bit-identical across engines (the DuckDB oracle reproduces every ξ
+# exactly), while pow/log go through libm, whose last-ulp rounding is
+# engine-specific — a rank-boundary coin flip the oracle contract
+# cannot tolerate.
+#
+# Scale shape: draw + priority are pure map-side column expressions;
+# the per-stratum top-k runs as a rank window that Spark ≥3.5 rewrites
+# to WindowGroupLimit — every task keeps only its local top-k before
+# the shuffle, so the exchange carries O(k · strata · tasks) rows, not
+# the corpus (asserted in tests/test_pipeline_ops.py). Like everything
+# in this module the draw is hash-keyed, never rand(): re-runs,
+# repartitions, and corpus growth never reshuffle who was sampled.
+# --------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 20     # rows kept per stratum in the gate query
+_U_BITS = 50               # uniform draw width: < 2^53, double-exact
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    stratum_col: str,
+    k: int = WEIGHTED_SAMPLE_K,
+) -> DataFrame:
+    """PPS-without-replacement sample of ``k`` rows per stratum:
+    priority ξ = (md5-uniform of key) / weight, keep the k smallest.
+    Weights must be positive. Adds ``smp_rank`` (1 = highest
+    priority). Deterministic and engine-portable: the uniform is a
+    50-bit integer (double-exact) and ξ is one correctly-rounded
+    division, so any engine with md5 ranks the identical sample."""
+    from pyspark.sql import Window as W
+
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long") % (1 << _U_BITS)
+    )
+    xi = u.cast("double") / F.col(weight_col).cast("double")
+    w = W.partitionBy(stratum_col).orderBy(
+        xi.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= k)
+    )
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: 20 docs per language, inclusion probability ∝
+    document length (n_chars) — long documents contribute most tokens,
+    so a token-budgeted subcorpus wants them overrepresented exactly in
+    proportion."""
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", "lang").select(
+        "lang", "smp_rank", "doc_id", "n_chars"
+    )
+
+
+def _oracle_sample_weighted() -> str:
+    from graphview_spark.operators.dedup import _sql_hex15_to_int
+
+    return f"""
+WITH pr AS (
+  SELECT doc_id, lang, n_chars,
+         (({_sql_hex15_to_int('doc_id::VARCHAR')}) % {1 << _U_BITS})::DOUBLE
+           / n_chars::DOUBLE AS xi
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY xi, doc_id) AS smp_rank
+  FROM pr
+)
+SELECT lang, smp_rank::INT AS smp_rank, doc_id, n_chars
+FROM r WHERE smp_rank <= {WEIGHTED_SAMPLE_K}
+"""
+
+
 QUERIES = {
     "sample_split": q_sample_split,
 }
@@ -275,8 +367,10 @@ ORACLES = {
 EXTRA_QUERIES = {
     "sample_group_topk": q_sample_group_topk,
     "sample_cluster_split": q_sample_cluster_split,
+    "sample_weighted": q_sample_weighted,
 }
 EXTRA_ORACLES = {
     "sample_group_topk": _oracle_group_topk(),
     "sample_cluster_split": _oracle_cluster_split(),
+    "sample_weighted": _oracle_sample_weighted(),
 }

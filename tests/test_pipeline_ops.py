@@ -291,3 +291,60 @@ def test_embed_cosine_query_exact_even_with_giant_labels(
     want = sorted(map(tuple, D.embed_cosine_pairs(
         emb, D.COSINE_T, label_threshold=10**9).collect()))
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------------------------------------
+# weighted (PPS) sampling
+# --------------------------------------------------------------------------
+
+def test_weighted_sample_partition_invariant(spark):
+    """The sample is a pure function of (key, weight): repartitioning
+    the input returns the identical rows in the identical ranks."""
+    from graphview_spark.operators.sampling import weighted_sample
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        (F.lit("s") == F.lit("s")).cast("int").alias("_one"),
+        ((F.col("id") % 3)).cast("string").alias("g"),
+        (F.col("id") % 50 + 1).alias("w"),
+    ).drop("_one")
+    base = sorted(
+        (r["g"], r["smp_rank"], r["k"])
+        for r in weighted_sample(df, "k", "w", "g", k=10).collect())
+    again = sorted(
+        (r["g"], r["smp_rank"], r["k"])
+        for r in weighted_sample(df.repartition(7), "k", "w", "g", k=10)
+        .collect())
+    assert base == again
+    assert len(base) == 30
+
+
+def test_weighted_sample_is_pps(spark):
+    """Probability-proportional-to-size: with two weight classes
+    (w=200 vs w=1, equal counts) the heavy class must dominate the
+    sample. Deterministic — the md5 draw never changes."""
+    from graphview_spark.operators.sampling import weighted_sample
+
+    df = spark.range(1_000).select(
+        F.col("id").alias("k"),
+        F.lit("g").alias("g"),
+        F.when(F.col("id") % 2 == 0, F.lit(200)).otherwise(F.lit(1))
+        .alias("w"),
+    )
+    got = weighted_sample(df, "k", "w", "g", k=50).collect()
+    heavy = sum(1 for r in got if r["w"] == 200)
+    assert len(got) == 50
+    assert heavy >= 45, heavy
+
+
+def test_weighted_sample_plan_uses_window_group_limit(spark):
+    """The per-stratum top-k must push a partial limit below the
+    shuffle (WindowGroupLimit, Spark >=3.5) — the property that keeps
+    the exchange at O(k · strata · tasks) rows instead of the corpus."""
+    from graphview_spark.operators.sampling import q_sample_weighted
+
+    df = q_sample_weighted(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "WindowGroupLimit" in plan
