@@ -630,6 +630,173 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# HDR histogram — the QUANTILE member of the sketch family: bounded-
+# state percentile estimates with a guaranteed RELATIVE error, merged
+# across shards by plain count-sum. Log-scaled buckets after
+# HdrHistogram (Tene): values scale to integer micro-units, each lands
+# in the bucket keyed by (exponent, top HDR_SUB_BITS mantissa bits) —
+# ≤ 64 · 2^HDR_SUB_BITS buckets EVER, so per-group state is ~4k rows
+# no matter the value domain or corpus size, and the estimate's
+# relative error is ≤ 2^-HDR_SUB_BITS (1.56% at the default 6 bits).
+#
+# Why not percentile_approx/GK: Spark's sketch is neither mergeable-
+# by-SQL nor replicable in DuckDB. Here EVERYTHING is integer: the
+# micro-scaling (floor of one correctly-rounded multiply — Spark's
+# double→long cast truncates while DuckDB's rounds, so the explicit
+# floor is load-bearing), the bucket id (bit-length + shifts), the
+# rank (ceil via integer division), and the reported estimate (the
+# bucket's exact lower bound in micro-units, BIGINT). Both engines
+# agree bit-for-bit; the union query's oracle computes the whole-table
+# histogram directly while Spark sums per-half bucket tables —
+# equality IS the mergeability proof (counts are linear).
+# --------------------------------------------------------------------------
+
+HDR_SUB_BITS = 6                    # mantissa resolution: 2^-6 rel. error
+_HDR_SUB = 1 << HDR_SUB_BITS        # 64 subbuckets per binary magnitude
+HDR_PCTS = [50, 90, 99]             # gate-query percentiles
+
+
+def _hdr_bucket_expr() -> Column:
+    """Monotone log-scale bucket id of the staged non-negative BIGINT
+    column ``_vm``: values < 64 map to themselves (exact); above,
+    shift = bitlen−7 and id = shift·64 + (v >> shift) — contiguous,
+    order-preserving, integer-only (bin() length is floor(log2)+1,
+    the HLL's idiom)."""
+    s = HDR_SUB_BITS + 1
+    return F.expr(
+        f"CAST(greatest(length(bin(_vm)) - {s}, 0) AS BIGINT) * {_HDR_SUB}"
+        f" + shiftright(_vm, CAST(greatest(length(bin(_vm)) - {s}, 0) AS INT))"
+    )
+
+
+def _hdr_lower_expr() -> Column:
+    """Exact lower bound (micro-units) of the ``hdr_b`` bucket column:
+    the inverse of _hdr_bucket_expr's leading-bits truncation."""
+    return F.expr(
+        f"shiftleft(hdr_b - CAST(greatest(hdr_b div {_HDR_SUB} - 1, 0) "
+        f"AS BIGINT) * {_HDR_SUB}, "
+        f"CAST(greatest(hdr_b div {_HDR_SUB} - 1, 0) AS INT))"
+    )
+
+
+def hdr_buckets(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group HDR bucket table (group..., hdr_b, cnt): ONE map-side-
+    combinable shuffle, ≤ ~4k rows per group out regardless of input
+    size. Bucket tables merge across shards by summing cnt. Values are
+    clamped at 0 and scaled to integer micro-units with an explicit
+    floor (see module comment on the cast divergence)."""
+    vm = F.greatest(
+        F.floor(F.col(value_col).cast("double") * 1_000_000).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        df.select(*group_cols, vm.alias("_vm"))
+        .select(*group_cols, _hdr_bucket_expr().alias("hdr_b"))
+        .groupBy(*group_cols, "hdr_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    buckets: DataFrame, group_cols: list[str], pcts: list[int] = HDR_PCTS
+) -> DataFrame:
+    """Percentile estimates from a bucket table: rank_p = ⌈n·p/100⌉
+    (integer), estimate = lower bound of the first bucket whose
+    cumulative count reaches the rank. The window runs over the tiny
+    bucket table (≤ ~4k rows/group), never the data."""
+    from pyspark.sql import Window as W
+
+    wc = (
+        W.partitionBy(*group_cols).orderBy("hdr_b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy(*group_cols)
+    cum = buckets.select(
+        *group_cols,
+        "hdr_b",
+        F.sum("cnt").over(wc).alias("_cum"),
+        F.sum("cnt").over(wall).alias("_n"),
+        _hdr_lower_expr().alias("_lo"),
+    )
+    aggs = [F.max("_n").alias("n_rows")]
+    for p in pcts:
+        rank = F.expr(f"(_n * {p} + 99) div 100")  # ⌈n·p/100⌉, integer
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col("_lo")))
+            .alias(f"p{p}_micro")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def q_sketch_hdr_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type latency-style percentiles (p50/p90/p99 of value,
+    micro-units) from the bounded HDR bucket table — the rollup-able
+    replacement for an exact per-group sort at corpus scale."""
+    ev = read_table(spark, sf_dir, "events")
+    return hdr_quantiles(
+        hdr_buckets(ev, ["event_type"], "value"), ["event_type"]
+    )
+
+
+def q_sketch_hdr_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR mergeability end-to-end: per-half bucket tables (event_id
+    parity) summed bucket-wise, then estimated; the oracle histograms
+    the whole table directly — equality proves the count-sum merge is
+    lossless, the property that lets per-shard/per-day histograms roll
+    up into any window's percentiles without re-reading events."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "half", (F.col("event_id") % 2).cast("int")
+    )
+    halves = hdr_buckets(ev, ["event_type", "half"], "value")
+    merged = halves.groupBy("event_type", "hdr_b").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return hdr_quantiles(merged, ["event_type"])
+
+
+def _sql_hdr() -> str:
+    """DuckDB mirror: same micro-floor, same bit-length buckets, same
+    integer ranks and lower bounds (direct whole-table form — also the
+    union oracle)."""
+    s = HDR_SUB_BITS + 1
+    sub = _HDR_SUB
+    p_cols = ",\n       ".join(
+        f"min(CASE WHEN cum >= (n * {p} + 99) // 100 THEN lo END) "
+        f"AS p{p}_micro"
+        for p in HDR_PCTS
+    )
+    return f"""
+WITH vm AS (
+  SELECT event_type,
+         greatest(floor(value::DOUBLE * 1000000)::BIGINT, 0) AS v
+  FROM events
+),
+bk AS (
+  SELECT event_type,
+         greatest(length(printf('%b', v)) - {s}, 0)::BIGINT * {sub}
+           + (v >> greatest(length(printf('%b', v)) - {s}, 0)) AS hdr_b
+  FROM vm
+),
+cells AS (
+  SELECT event_type, hdr_b, count(*) AS cnt FROM bk GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, hdr_b, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY hdr_b
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n,
+         (hdr_b - greatest(hdr_b // {sub} - 1, 0) * {sub})
+           << greatest(hdr_b // {sub} - 1, 0)::INT AS lo
+  FROM cells
+)
+SELECT event_type, max(n)::BIGINT AS n_rows, {p_cols}
+FROM cum GROUP BY event_type
+"""
+
+
 QUERIES = {}
 ORACLES = {}
 EXTRA_QUERIES = {
@@ -639,6 +806,8 @@ EXTRA_QUERIES = {
     "sketch_cms_union": q_sketch_cms_union,
     "sketch_bloom_decontam": q_sketch_bloom_decontam,
     "sketch_bloom_union": q_sketch_bloom_union,
+    "sketch_hdr_quantile": q_sketch_hdr_quantile,
+    "sketch_hdr_union": q_sketch_hdr_union,
 }
 EXTRA_ORACLES = {
     "sketch_distinct_hll": _sql_hll(group_by_half=False),
@@ -651,4 +820,7 @@ EXTRA_ORACLES = {
     "sketch_bloom_decontam": _sql_bloom(),
     # direct whole-benchmark bitmap — equality proves the bit_or merge
     "sketch_bloom_union": _sql_bloom(),
+    "sketch_hdr_quantile": _sql_hdr(),
+    # direct whole-table histogram — equality proves the count-sum merge
+    "sketch_hdr_union": _sql_hdr(),
 }

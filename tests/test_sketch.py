@@ -257,3 +257,72 @@ def test_bloom_probe_plan_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+# --------------------------------------------------------------------------
+# HDR quantile histogram
+# --------------------------------------------------------------------------
+
+def test_hdr_bucket_table_bounded(spark):
+    """State is capped by the bucket-id space (~64 magnitudes × 64
+    subbuckets), not the data: 100k distinct values, ≤ 4096 buckets."""
+    from graphview_spark.operators.sketch import hdr_buckets
+
+    df = spark.range(100_000).select(
+        F.lit("g").alias("g"), (F.col("id") * 7 + 1).cast("double").alias("v"))
+    assert hdr_buckets(df, ["g"], "v").count() <= 4096
+
+
+def test_hdr_quantile_relative_error_bound(spark):
+    """The estimate is the containing bucket's lower bound: it never
+    exceeds the true percentile and sits within the 2^-HDR_SUB_BITS
+    relative-error guarantee below it."""
+    from graphview_spark.operators.sketch import (
+        HDR_SUB_BITS,
+        hdr_buckets,
+        hdr_quantiles,
+    )
+
+    n = 10_000
+    df = spark.range(1, n + 1).select(
+        F.lit("g").alias("g"), (F.col("id") / 100.0).alias("v"))
+    est = hdr_quantiles(hdr_buckets(df, ["g"], "v"), ["g"]).first()
+    for p in (50, 90, 99):
+        rank = -(-n * p // 100)          # ceil
+        exact_micro = rank * 10_000      # value rank/100 in micro units
+        got = est[f"p{p}_micro"]
+        assert got <= exact_micro, (p, got, exact_micro)
+        assert exact_micro - got <= exact_micro * 2 ** -HDR_SUB_BITS + 1, (
+            p, got, exact_micro)
+
+
+def test_hdr_merge_equals_direct(spark):
+    """Counts are linear: per-shard bucket tables summed == the
+    union's bucket table, so shard histograms roll up losslessly into
+    identical quantile estimates."""
+    from graphview_spark.operators.sketch import hdr_buckets, hdr_quantiles
+
+    a = spark.range(3_000).select(
+        F.lit("g").alias("g"), (F.col("id") * 0.37 + 1).alias("v"))
+    b = spark.range(5_000).select(
+        F.lit("g").alias("g"), (F.col("id") * 1.91 + 3).alias("v"))
+    direct = hdr_quantiles(
+        hdr_buckets(a.unionByName(b), ["g"], "v"), ["g"]).collect()
+    merged_tbl = (
+        hdr_buckets(a, ["g"], "v").unionByName(hdr_buckets(b, ["g"], "v"))
+        .groupBy("g", "hdr_b").agg(F.sum("cnt").alias("cnt"))
+    )
+    via_merge = hdr_quantiles(merged_tbl, ["g"]).collect()
+    assert [tuple(r) for r in via_merge] == [tuple(r) for r in direct]
+
+
+def test_hdr_small_values_exact(spark):
+    """Micro-values below 2^HDR_SUB_BITS+1 bucket to themselves — tiny
+    measurements are EXACT, the HdrHistogram property that matters for
+    sub-unit latencies."""
+    from graphview_spark.operators.sketch import hdr_buckets
+
+    df = spark.range(1, 64).select(
+        F.lit("g").alias("g"), (F.col("id") / 1_000_000.0).alias("v"))
+    rows = hdr_buckets(df, ["g"], "v").collect()
+    assert sorted(r["hdr_b"] for r in rows) == list(range(1, 64))
