@@ -43,15 +43,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # ×6, pipeline_chunk_dedup ×6 driver rounds each), where every local
 # sweep still oracle-checks them. The MATCH family keeps driver rows
 # through the two rotation-ins; stream_trending stays as the streaming
-# family's only gate-expressible row. Next-oldest after this round:
+# family's only gate-expressible row. Late round 10 also swaps IN the
+# three NEW operator families (sketch_bloom_decontam — Bloom membership
+# scrub; sketch_hdr_quantile — HDR quantile histogram; sample_weighted —
+# PPS order sampling) so their first driver row lands the round they
+# shipped, displacing three rel_ stalwarts with many prior rows
+# (rel_cube ×5, rel_rollup ×5, rel_window_ntile ×4 — all still swept by
+# tools/check.py). Next-oldest after this round:
 # rel_local_supplier_volume / rel_events_daily / dedup_exact class
 # (last driver rows r4-r5).
 GATE_ROSTER = [
     # relational dialect
-    "rel_string_split", "rel_grouping_sets", "rel_cube", "rel_lateral",
-    "rel_window_dist", "rel_window_ntile", "rel_distinct_agg",
+    "rel_string_split", "rel_grouping_sets", "rel_lateral",
+    "rel_window_dist", "rel_distinct_agg",
     "rel_exists_semi", "rel_in_subquery", "rel_not_exists_anti",
-    "rel_rollup", "rel_pricing_summary", "rel_shipping_priority",
+    "rel_pricing_summary", "rel_shipping_priority",
     # temporal / events
     "events_histogram", "events_anomaly", "events_json",
     "events_sessionize",
@@ -64,12 +70,12 @@ GATE_ROSTER = [
     # text analysis
     "text_pii_scrub", "text_gopher", "text_dup_spans",
     # sampling
-    "sample_group_topk", "sample_cluster_split",
+    "sample_group_topk", "sample_cluster_split", "sample_weighted",
     # similarity / ML
     "ml_outliers", "ml_knn", "ml_rproject",
     # sketches
     "sketch_distinct_hll", "sketch_hll_union", "sketch_cms_counts",
-    "sketch_cms_union",
+    "sketch_cms_union", "sketch_bloom_decontam", "sketch_hdr_quantile",
     # streaming
     "stream_trending",
     # graph algorithms

@@ -1,0 +1,76 @@
+"""Streaming percentiles via the HDR quantile sketch.
+
+Exact streaming percentiles need every observation retained; the HDR
+histogram (operators/sketch.py) needs ≤ ~4k bucket rows per group EVER,
+and bucket tables merge by count-sum — which is precisely the shape an
+incremental micro-batch rollup wants:
+
+  1. each batch histograms locally (``hdr_buckets`` — one map-side-
+     combinable aggregate over the BATCH only);
+  2. the batch table sums into the accumulated store
+     (groupBy(group, hdr_b).sum — the same lossless merge the batch
+     query ``sketch_hdr_union`` proves against its direct oracle);
+  3. ``quantiles()`` reads current p50/p90/p99 from the store at any
+     moment, without touching any past event.
+
+Scale posture: the store is BOUNDED (groups × ~4k rows) regardless of
+how many events ever flowed, so per-batch cost is O(batch + store) —
+never a history rescan — and each batch's merge materializes to one
+tiny localCheckpoint (mandatory anyway: a foreachBatch frame is only
+valid during its batch). A deployment persists it as a tiny parquet
+table; day-level bucket tables roll up into week/month percentiles
+with the same sum, which is the continuous-aggregate story
+(events_rollup) for percentiles — a statistic plain rollups cannot
+average.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphview_spark.operators.sketch import hdr_buckets, hdr_quantiles
+
+
+class StreamingHdrHistogram:
+    """``foreachBatch``-compatible percentile tracker.
+
+    Usage::
+
+        h = StreamingHdrHistogram(spark, group_cols=["event_type"],
+                                  value_col="value")
+        q = (events_stream.writeStream.foreachBatch(h)
+             .outputMode("append").start())
+        ... h.quantiles()   # DataFrame: group, n_rows, p50/p90/p99_micro
+    """
+
+    def __init__(self, spark, group_cols: list[str], value_col: str):
+        self.spark = spark
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self._store: DataFrame | None = None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_tbl = hdr_buckets(batch_df, self.group_cols, self.value_col)
+        if self._store is None:
+            merged = batch_tbl
+        else:
+            merged = (
+                self._store.unionByName(batch_tbl)
+                .groupBy(*self.group_cols, "hdr_b")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        # eager per-batch materialization is REQUIRED, not an
+        # optimization: a foreachBatch batch_df is only valid during
+        # its batch, so the store must never keep lineage into one.
+        # It is also the cost model — the checkpoint is the ≤ ~4k-row
+        # bucket table, so per-batch work stays O(batch + store).
+        self._store = merged.localCheckpoint(eager=True)
+
+    def bucket_store(self) -> DataFrame:
+        if self._store is None:
+            raise ValueError("no batches processed yet")
+        return self._store
+
+    def quantiles(self) -> DataFrame:
+        """Current percentile estimates from the accumulated store."""
+        return hdr_quantiles(self.bucket_store(), self.group_cols)

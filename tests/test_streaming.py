@@ -198,3 +198,65 @@ def test_trending_foreachbatch_equals_batch(spark, events_dir):
     assert sorted(map(tuple, collected[-n:])) == sorted(map(tuple, want))
     for r in want:
         assert 1 <= r["rank"] <= 3
+
+
+# --------------------------------------------------------------------------
+# streaming HDR percentiles
+# --------------------------------------------------------------------------
+
+def test_streaming_hdr_matches_batch_sketch(spark, tmp_path):
+    """Percentiles accumulated micro-batch by micro-batch equal the
+    batch sketch over the union of all batches — the count-sum merge
+    is lossless, so arrival slicing is invisible."""
+    from graphview_spark.operators.sketch import hdr_buckets, hdr_quantiles
+    from graphview_spark.streaming.hdr_stream import StreamingHdrHistogram
+
+    rows = [(i, "a" if i % 3 else "b", (i * 7 % 500) + 0.25)
+            for i in range(1, 601)]
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    # three arrival slices, written as separate files → separate batches
+    for lo, hi, name in [(0, 200, "b0"), (200, 400, "b1"), (400, 600, "b2")]:
+        spark.createDataFrame(
+            rows[lo:hi], ["event_id", "event_type", "value"]
+        ).coalesce(1).write.json(str(src / name))
+
+    h = StreamingHdrHistogram(spark, ["event_type"], "value")
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1).json(str(src / "*"))
+    )
+    q = (stream.writeStream.foreachBatch(h)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    streamed = sorted(tuple(r) for r in h.quantiles().collect())
+    batch_df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    direct = sorted(tuple(r) for r in hdr_quantiles(
+        hdr_buckets(batch_df, ["event_type"], "value"), ["event_type"]
+    ).collect())
+    assert streamed == direct
+    assert {r[0] for r in streamed} == {"a", "b"}
+
+
+def test_streaming_hdr_store_stays_bounded(spark, tmp_path):
+    """The accumulated state is the bucket table, not the data: after
+    all batches the store holds ≤ 4096 rows per group."""
+    from graphview_spark.streaming.hdr_stream import StreamingHdrHistogram
+
+    src = tmp_path / "ev_bound"
+    src.mkdir()
+    for b in range(3):
+        spark.createDataFrame(
+            [(i, "g", float(i * 13 + b * 10_000 + 1)) for i in range(2_000)],
+            ["event_id", "event_type", "value"],
+        ).coalesce(1).write.json(str(src / f"b{b}"))
+    h = StreamingHdrHistogram(spark, ["event_type"], "value")
+    q = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1).json(str(src / "*"))
+        .writeStream.foreachBatch(h)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    assert h.bucket_store().count() <= 4096
