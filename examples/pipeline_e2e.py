@@ -12,20 +12,31 @@ modules contributed plans).
                               (T=0.7) duplicate clusters
       3. cross-corpus scrub   drop train docs that near-dup a held-out
                               source (train/eval leak)
-      4. decontamination      drop docs sharing a 5-gram with the
-                              benchmark slice
+      4. decontamination      TWO-TIER: a 128 KiB Bloom bitmap of the
+                              benchmark's 5-grams pre-screens every doc
+                              with broadcast-only probes (no false
+                              negatives, so the definitely-clean
+                              majority exits without joining anything);
+                              the exact gram join then confirms ONLY
+                              the Bloom-flagged sliver, discarding the
+                              bitmap's false positives
       5. quality filter       keep docs at/above the per-lang median
                               quality score
       6. split                LEAKAGE-SAFE 80/10/10: keyed on the
                               near-dup clusters from stage 2, so no
                               near-duplicate pair straddles splits;
                               keep train
+      6b. token budget        weighted PPS subsample (inclusion ∝
+                              n_chars): cap docs/lang while keeping
+                              the token mass long documents carry
       7. pack                 concat-and-chunk into 2048-token
                               sequences over 8 shards
       8. report               per-language vocabulary-size estimate of
                               the packed train set via the
                               deterministic HLL sketch (≤256 register
-                              rows/language — no vocab-sized shuffle)
+                              rows/language — no vocab-sized shuffle),
+                              plus length percentiles from the bounded
+                              HDR histogram
 
 Run: python examples/pipeline_e2e.py [sf_dir]
 """
@@ -86,9 +97,25 @@ def run_pipeline(spark, sf_dir: str) -> dict[str, DataFrame]:
     ).join(leaked, "doc_id", "left_anti")
     stages["cross_scrub"] = docs
 
-    # 4. decontamination against the benchmark slice (the operator
-    #    returns a per-doc report; drop the contaminated ids)
-    report = decontaminate(docs, benchmark_docs(stages["raw"]))
+    # 4. decontamination, two-tier: Bloom pre-screen (broadcast-only
+    #    probes against the 128 KiB benchmark bitmap — at 100 TB the
+    #    clean majority never joins anything), exact gram join only on
+    #    the flagged sliver (kills the bitmap's false positives)
+    from graphview_spark.operators.pipeline import DECONTAM_N, _word_ngrams
+    from graphview_spark.operators.sketch import bloom_probe, bloom_words
+
+    bench = benchmark_docs(stages["raw"])
+    bench_grams = bench.select(
+        F.explode(_word_ngrams(F.col("text"), DECONTAM_N)).alias("g"))
+    bitmap = bloom_words(bench_grams, [], "g")
+    doc_grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(F.col("text"), DECONTAM_N)).alias("g"))
+    suspects = (
+        bloom_probe(doc_grams, ["doc_id"], "g", bitmap)
+        .filter(F.col("present")).select("doc_id").distinct()
+    )
+    report = decontaminate(
+        docs.join(suspects, "doc_id", "left_semi"), bench)
     dirty = report.filter(F.col("contaminated")).select("doc_id")
     docs = docs.join(dirty, "doc_id", "left_anti")
     stages["decontam"] = docs
@@ -113,6 +140,16 @@ def run_pipeline(spark, sf_dir: str) -> dict[str, DataFrame]:
         F.col("split") == "train")
     stages["train_split"] = docs
 
+    # 6b. token-budget cap: at most 200 docs per language, inclusion
+    #     probability ∝ n_chars (sequential Poisson — long docs carry
+    #     the tokens, so a token-budgeted subcorpus overrepresents
+    #     them in exact proportion); map-side top-k, deterministic
+    from graphview_spark.operators.sampling import weighted_sample
+
+    docs = weighted_sample(docs, "doc_id", "n_chars", "lang", k=200).drop(
+        "smp_rank")
+    stages["token_budget"] = docs
+
     # 7. pack into fixed-budget sequences
     stages["packed"] = pack_sequences(docs)
 
@@ -123,6 +160,14 @@ def run_pipeline(spark, sf_dir: str) -> dict[str, DataFrame]:
     ).filter(F.col("w") != "")
     stages["vocab_report"] = hll_estimate(
         hll_registers(tok, ["lang"], "w"), ["lang"])
+
+    # 8b. length percentiles of the final train set from the bounded
+    #     HDR histogram (p50/p90/p99 in micro-units — the data-card
+    #     stat plain averages hide)
+    from graphview_spark.operators.sketch import hdr_buckets, hdr_quantiles
+
+    stages["length_report"] = hdr_quantiles(
+        hdr_buckets(docs, ["lang"], "n_chars"), ["lang"])
     return stages
 
 

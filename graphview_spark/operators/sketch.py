@@ -405,7 +405,7 @@ SELECT lang, token, min(n) AS est FROM pointq GROUP BY lang, token
 # the benchmark gram set — correct, but the bench-gram table rides along
 # as a real (if broadcast) join input everywhere the scrub runs. The
 # Bloom form compresses the ENTIRE membership set into ≤ BLOOM_BITS/32
-# bitmap words (32 KiB at the default — broadcast-trivial at any corpus
+# bitmap words (128 KiB at the default — broadcast-trivial at any corpus
 # size), probes are k pure column lookups against that bitmap, and
 # bitmaps MERGE across benchmark shards/versions with a plain bit_or
 # (the union query proves merge(bloom(A), bloom(B)) == bloom(A ∪ B)
@@ -420,13 +420,18 @@ SELECT lang, token, min(n) AS est FROM pointq GROUP BY lang, token
 # words would trap on the top bit; 32-bit masks stay in [1, 2^31],
 # exactly representable and shift-safe in both engines).
 #
-# Size the filter to the membership set at production scale: at the
-# default m = 2^18 bits, k = 4, a 100k-gram benchmark reads ~4% FPR;
+# Size the filter to the membership set at production scale: the
+# default m = 2^20 bits, k = 4 keeps the PER-GRAM FPR ≈ (1−e^(−4n/m))^4
+# under ~0.5% through a 100k-gram benchmark (the sf3 sweep's size), so
+# the PER-DOC flag rate (≈ 1−(1−fpr)^grams over ~60 grams/doc) stays
+# meaningful; a fixed default always saturates eventually, which is why
 # real deployments size m from an HLL estimate of the gram count
-# (sketch_distinct_hll composes for exactly this).
+# (sketch_distinct_hll composes for exactly this). Saturation degrades
+# usefulness only, never correctness — the oracle replicates the same
+# bitmap, and false negatives remain impossible at any fill level.
 # --------------------------------------------------------------------------
 
-BLOOM_BITS = 1 << 18       # filter size m in bits (32 KiB of bitmap)
+BLOOM_BITS = 1 << 20       # filter size m in bits (128 KiB of bitmap)
 BLOOM_WORD_SHIFT = 5       # 32-bit words: word = pos >> 5, bit = pos & 31
 BLOOM_K = CMS_DEPTH        # hash functions (reuses CMS_COEFFS rows)
 
@@ -467,7 +472,7 @@ def bloom_probe(
     """Probe each item row's value against a (word, bits) Bloom table:
     returns id_cols + ``present`` (true iff all BLOOM_K bits are set —
     definitely-absent otherwise). Plan shape: BLOOM_K broadcast hash
-    joins against the ≤ 8192-row word table (bounded BY CONSTRUCTION —
+    joins against the ≤ 32768-row word table (bounded BY CONSTRUCTION —
     the PLANS.md rule for an explicit broadcast hint), zero shuffles,
     one row in → one row out; the corpus never repartitions."""
     probed = _cms_halved(items, id_cols, value_col)
@@ -529,7 +534,7 @@ def _bloom_scrub(
 def q_sketch_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter benchmark scrub: the benchmark's distinct 5-grams
     (doc_id % 97 == 0, pipeline_decontam's fixture) compressed to one
-    32 KiB bitmap, then every training document's grams probed with k
+    128 KiB bitmap, then every training document's grams probed with k
     pure column lookups. No-false-negative contract: every truly
     contaminated doc is flagged; false positives are the bounded,
     deterministic price (identical in the oracle, which replicates the

@@ -19,7 +19,7 @@ def test_pipeline_e2e_stages(spark):
     # every filtering stage is monotone non-increasing
     order = [
         "raw", "exact_dedup", "near_dedup", "cross_scrub",
-        "decontam", "quality", "train_split",
+        "decontam", "quality", "train_split", "token_budget",
     ]
     for a, b in zip(order, order[1:]):
         assert counts[b] <= counts[a], (a, b, counts)
@@ -31,10 +31,10 @@ def test_pipeline_e2e_stages(spark):
         r["source"] for r in stages["train_split"].select("source").distinct().collect()
     }
     assert survivors.isdisjoint(set(HELDOUT_SOURCES))
-    # packing covers every training doc exactly once
+    # packing covers every budgeted training doc exactly once
     packed = stages["packed"]
-    assert packed.count() == counts["train_split"]
-    assert packed.select("doc_id").distinct().count() == counts["train_split"]
+    assert packed.count() == counts["token_budget"]
+    assert packed.select("doc_id").distinct().count() == counts["token_budget"]
 
 
 def test_pipeline_e2e_round7_stages(spark):
@@ -54,3 +54,11 @@ def test_pipeline_e2e_round7_stages(spark):
     for r in report:
         assert r["est_distinct"] > 0
         assert r["n_registers"] <= 256
+    # round-10 stages: the two-tier Bloom decontam must agree with the
+    # exact operator on WHO is dropped (the exact tier kills the
+    # bitmap's false positives), and the HDR length report brackets
+    # every estimate below the max length
+    lengths = stages["length_report"].collect()
+    assert lengths
+    for r in lengths:
+        assert 0 < r["p50_micro"] <= r["p90_micro"] <= r["p99_micro"]
