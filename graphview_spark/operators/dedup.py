@@ -549,9 +549,51 @@ EMBED_LSH_BITS = 12    # hyperplanes per table (AND-amplification)
 EMBED_LSH_TABLES = 8   # OR-amplified tables; recall ≈ 1-(1-p^bits)^tables
 _EMBED_LSH_SEED = 101
 
+# Density-adaptive shape (round-11, VERDICT r10 "What's wrong #1"): with
+# a FIXED 2^12-bucket table, per-bucket occupancy grows linearly with
+# label size, so the collision-verify mass grows ~quadratically — the
+# sf10 rung measured 19.6× cost at 10× data. The fix sizes bits so the
+# EXPECTED random-sign occupancy n/2^bits stays ≤ a constant, making
+# the random collision mass n²/2^bits ≈ n·TARGET_OCC — linear in rows —
+# and then re-sizes the OR-amplified table count so the recall bound at
+# the 0.99 gate threshold is UNCHANGED: miss = (1-p^bits)^tables ≤
+# _EMBED_LSH_MISS with p = 1 - arccos(0.99)/π. At bits=12 the formula
+# reproduces tables=8 exactly, so every corpus whose labels fit in
+# 2^12·TARGET_OCC rows (all gate/bench SFs through sf1) keeps the
+# historical (12, 8) shape and byte-identical plans.
+EMBED_LSH_TARGET_OCC = 2       # target expected rows per sign bucket
+EMBED_LSH_MAX_BITS = 24        # 16M buckets; far past any tested rung
+_EMBED_LSH_MISS = 2e-3         # per-pair miss budget at cosine 0.99
 
-def _embed_lsh_planes(dim: int) -> list[list[list[float]]]:
-    """TABLES × BITS seeded hyperplanes (driver-side constants folded
+
+def _lsh_shape(max_label_rows: int | None) -> tuple[int, int]:
+    """(bits, tables) for a corpus whose biggest label has
+    ``max_label_rows`` rows; (EMBED_LSH_BITS, EMBED_LSH_TABLES) when
+    unknown (lazy plan audit) or small. Pure integer/driver math."""
+    import math
+
+    if max_label_rows is None or max_label_rows <= 0:
+        return EMBED_LSH_BITS, EMBED_LSH_TABLES
+    bits = max(
+        EMBED_LSH_BITS,
+        math.ceil(math.log2(max(max_label_rows / EMBED_LSH_TARGET_OCC, 1))),
+    )
+    bits = min(bits, EMBED_LSH_MAX_BITS)
+    if bits == EMBED_LSH_BITS:
+        return bits, EMBED_LSH_TABLES
+    p = 1.0 - math.acos(0.99) / math.pi       # sign-agreement prob/plane
+    miss_per_table = 1.0 - p ** bits
+    tables = max(
+        EMBED_LSH_TABLES,
+        math.ceil(math.log(_EMBED_LSH_MISS) / math.log(miss_per_table)),
+    )
+    return bits, tables
+
+
+def _embed_lsh_planes(
+    dim: int, bits: int = EMBED_LSH_BITS, tables: int = EMBED_LSH_TABLES
+) -> list[list[list[float]]]:
+    """tables × bits seeded hyperplanes (driver-side constants folded
     into the plan as array literals — nothing shipped to Python)."""
     import numpy as np
 
@@ -559,9 +601,9 @@ def _embed_lsh_planes(dim: int) -> list[list[list[float]]]:
     return [
         [
             [round(float(x), 6) for x in rng.randn(dim)]
-            for _ in range(EMBED_LSH_BITS)
+            for _ in range(bits)
         ]
-        for _ in range(EMBED_LSH_TABLES)
+        for _ in range(tables)
     ]
 
 
@@ -725,8 +767,11 @@ def embed_cosine_pairs(
     if big is None or (mx is not None and mx <= label_threshold):
         return exact
 
-    # LSH leg: ids-only candidate generation, then one exact verify
-    planes = _embed_lsh_planes(dim)
+    # LSH leg: ids-only candidate generation, then one exact verify.
+    # Shape is density-adaptive: bits sized so expected bucket occupancy
+    # stays O(1) as labels grow (mx=None under lazy audit → default).
+    bits, tables = _lsh_shape(mx)
+    planes = _embed_lsh_planes(dim, bits, tables)
     keyed = big.select(
         "vec_id", "label", _table_buckets_col(F.col("v"), planes).alias("_bk")
     ).select(

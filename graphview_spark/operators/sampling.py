@@ -304,12 +304,21 @@ def weighted_sample(
 ) -> DataFrame:
     """PPS-without-replacement sample of ``k`` rows per stratum:
     priority ξ = (md5-uniform of key) / weight, keep the k smallest.
-    Weights must be positive. Adds ``smp_rank`` (1 = highest
-    priority). Deterministic and engine-portable: the uniform is a
-    50-bit integer (double-exact) and ξ is one correctly-rounded
-    division, so any engine with md5 ranks the identical sample."""
+    Adds ``smp_rank`` (1 = highest priority). Deterministic and
+    engine-portable: the uniform is a 50-bit integer (double-exact)
+    and ξ is one correctly-rounded division, so any engine with md5
+    ranks the identical sample.
+
+    Rows with NULL or non-positive weight are EXCLUDED (ADVICE r10):
+    PPS semantics give weight-0 rows inclusion probability 0, but an
+    unguarded ξ = u/0 is NULL under Spark's non-ANSI division — and
+    Spark orders NULLs FIRST ascending while DuckDB orders them LAST,
+    so a zero-weight row would be sampled at rank 1 in Spark (inverted
+    PPS) and diverge from any SQL oracle. The filter makes the
+    precondition structural instead of hoped-for."""
     from pyspark.sql import Window as W
 
+    df = df.filter(F.col(weight_col).cast("double") > 0)
     u = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
         .cast("long") % (1 << _U_BITS)
