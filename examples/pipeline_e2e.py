@@ -12,7 +12,8 @@ modules contributed plans).
                               (T=0.7) duplicate clusters
       3. cross-corpus scrub   drop train docs that near-dup a held-out
                               source (train/eval leak)
-      4. decontamination      TWO-TIER: a 128 KiB Bloom bitmap of the
+      4. decontamination      TWO-TIER: an HLL-auto-sized Bloom bitmap
+                              (≥128 KiB) of the
                               benchmark's 5-grams pre-screens every doc
                               with broadcast-only probes (no false
                               negatives, so the definitely-clean
@@ -102,16 +103,24 @@ def run_pipeline(spark, sf_dir: str) -> dict[str, DataFrame]:
     #    clean majority never joins anything), exact gram join only on
     #    the flagged sliver (kills the bitmap's false positives)
     from graphview_spark.operators.pipeline import DECONTAM_N, _word_ngrams
-    from graphview_spark.operators.sketch import bloom_probe, bloom_words
+    from graphview_spark.operators.sketch import (
+        bloom_auto_m,
+        bloom_probe,
+        bloom_words,
+    )
 
     bench = benchmark_docs(stages["raw"])
     bench_grams = bench.select(
         F.explode(_word_ngrams(F.col("text"), DECONTAM_N)).alias("g"))
-    bitmap = bloom_words(bench_grams, [], "g")
+    # bitmap sized from the HLL gram-count estimate (never below the
+    # 128 KiB default) so a growing benchmark can't silently saturate
+    # the pre-screen into flagging the whole corpus
+    m_bits = bloom_auto_m(bench_grams, "g")
+    bitmap = bloom_words(bench_grams, [], "g", m_bits=m_bits)
     doc_grams = docs.select(
         "doc_id", F.explode(_word_ngrams(F.col("text"), DECONTAM_N)).alias("g"))
     suspects = (
-        bloom_probe(doc_grams, ["doc_id"], "g", bitmap)
+        bloom_probe(doc_grams, ["doc_id"], "g", bitmap, m_bits=m_bits)
         .filter(F.col("present")).select("doc_id").distinct()
     )
     report = decontaminate(

