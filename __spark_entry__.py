@@ -49,41 +49,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # PPS order sampling) so their first driver row lands the round they
 # shipped, displacing three rel_ stalwarts with many prior rows
 # (rel_cube ×5, rel_rollup ×5, rel_window_ntile ×4 — all still swept by
-# tools/check.py). Next-oldest after this round:
-# rel_local_supplier_volume / rel_events_daily / dedup_exact class
-# (last driver rows r4-r5).
+# tools/check.py).
+# Round-11 rotation (VERDICT r10 "Next #4"): the next-oldest driver
+# rows come back IN — rel_local_supplier_volume ×3/r3, rel_events_daily
+# ×3/r3, and the dedup class (dedup_exact ×4/r4, dedup_minhash_lsh
+# ×4/r4, dedup_simhash ×3/r3, dedup_ngram_jaccard ×4/r4) — plus
+# stream_hdr_replay (NEW this round: the streaming family's first
+# ORACLE-gated row, r10 "Next #6") takes the streaming slot from
+# stream_trending ×7. Displaced to extra_queries(): stream_trending,
+# pipeline_quality_quantile ×7, rel_string_split ×6, events_histogram
+# ×6, text_pii_scrub ×6, sample_group_topk ×6, ml_outliers ×6 — every
+# one still swept per-SF by tools/check.py. Next-oldest after this
+# round: the r2 singles (rel_scalar_subquery / rel_window_rank /
+# text_stats / sim_topk_bruteforce class, last driver rows r2).
 GATE_ROSTER = [
     # relational dialect
-    "rel_string_split", "rel_grouping_sets", "rel_lateral",
+    "rel_local_supplier_volume", "rel_grouping_sets", "rel_lateral",
     "rel_window_dist", "rel_distinct_agg",
     "rel_exists_semi", "rel_in_subquery", "rel_not_exists_anti",
     "rel_pricing_summary", "rel_shipping_priority",
     # temporal / events
-    "events_histogram", "events_anomaly", "events_json",
+    "rel_events_daily", "events_anomaly", "events_json",
     "events_sessionize",
     # MATCH surface
     "match_customers_per_region", "match_refer_path",
     # planner statistics (sampling tables)
     "stats_sampled_degree",
     # dedup family
-    "dedup_embed_lsh",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_embed_lsh",
     # text analysis
-    "text_pii_scrub", "text_gopher", "text_dup_spans",
+    "text_gopher", "text_dup_spans",
     # sampling
-    "sample_group_topk", "sample_cluster_split", "sample_weighted",
+    "sample_cluster_split", "sample_weighted",
     # similarity / ML
-    "ml_outliers", "ml_knn", "ml_rproject",
+    "ml_knn", "ml_rproject",
     # sketches
     "sketch_distinct_hll", "sketch_hll_union", "sketch_cms_counts",
     "sketch_cms_union", "sketch_bloom_decontam", "sketch_hdr_quantile",
-    # streaming
-    "stream_trending",
+    # streaming (oracle row for the replayed HDR rollup, new r11)
+    "stream_hdr_replay",
     # graph algorithms
     "graph_kcore", "graph_ppr", "graph_node_sim", "graph_closeness",
     "graph_ktruss", "graph_scc", "graph_scc_peel", "graph_betweenness",
     "graph_betweenness_bfs",
     # pipeline
-    "pipeline_quality_quantile",
     "pipeline_temperature_mix", "pipeline_perplexity",
     "pipeline_perplexity_bigram",
     # search / retrieval
@@ -114,11 +124,12 @@ def _registry() -> tuple[
         text,
     )
     from graphview_spark.streaming import events as streaming_events
+    from graphview_spark.streaming import hdr_stream as streaming_hdr
 
     mods = [
         relational, temporal, graph_queries, dedup, text, sampling,
-        similarity, clustering, multimodal, streaming_events, algorithms,
-        pipeline, search, sketch, skew,
+        similarity, clustering, multimodal, streaming_events,
+        streaming_hdr, algorithms, pipeline, search, sketch, skew,
     ]
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

@@ -26,9 +26,10 @@ average.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from graphview_spark.operators.sketch import hdr_buckets, hdr_quantiles
+from graphview_spark.operators.sketch import _sql_hdr, hdr_buckets, hdr_quantiles
+from graphview_spark.plans import lazy as _lazy
 
 
 class StreamingHdrHistogram:
@@ -64,7 +65,10 @@ class StreamingHdrHistogram:
         # its batch, so the store must never keep lineage into one.
         # It is also the cost model — the checkpoint is the ≤ ~4k-row
         # bucket table, so per-batch work stays O(batch + store).
-        self._store = merged.localCheckpoint(eager=True)
+        # (pin() IS that eager checkpoint; it only passes through under
+        # lazy_plans(), where no stream exists and the plan audit needs
+        # the full replayed lineage with zero jobs run.)
+        self._store = _lazy.pin(merged)
 
     def bucket_store(self) -> DataFrame:
         if self._store is None:
@@ -74,3 +78,35 @@ class StreamingHdrHistogram:
     def quantiles(self) -> DataFrame:
         """Current percentile estimates from the accumulated store."""
         return hdr_quantiles(self.bucket_store(), self.group_cols)
+
+
+HDR_REPLAY_BATCHES = 4
+
+
+def q_stream_hdr_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle exposure for the streaming rollup (VERDICT r10 "Next
+    #6"): replay the events table through StreamingHdrHistogram as
+    HDR_REPLAY_BATCHES deterministic micro-batches (event_id mod the
+    batch count — the fixed sequence a foreachBatch sink would see),
+    then read the final percentiles from the accumulated store. The
+    DuckDB oracle histograms the WHOLE table directly, so equality is
+    the streamed==batch claim as an oracle row, not just a pytest:
+    per-batch bucket tables count-sum-merged across checkpoints must
+    lose nothing."""
+    from graphview_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    h = StreamingHdrHistogram(spark, ["event_type"], "value")
+    for b in range(HDR_REPLAY_BATCHES):
+        h(ev.filter(F.col("event_id") % HDR_REPLAY_BATCHES == b), b)
+    return h.quantiles()
+
+
+EXTRA_QUERIES = {
+    "stream_hdr_replay": q_stream_hdr_replay,
+}
+EXTRA_ORACLES = {
+    # direct whole-table histogram — equality proves the replayed
+    # incremental merge is lossless
+    "stream_hdr_replay": _sql_hdr(),
+}

@@ -239,6 +239,20 @@ def test_streaming_hdr_matches_batch_sketch(spark, tmp_path):
     assert {r[0] for r in streamed} == {"a", "b"}
 
 
+def test_stream_hdr_replay_equals_direct_sketch(spark):
+    """The oracle-gated replay projection (VERDICT r10 "Next #6"):
+    q_stream_hdr_replay's four replayed micro-batches must reproduce
+    the one-shot batch sketch over the whole events table — the same
+    equality its DuckDB oracle asserts cross-engine."""
+    from graphview_spark.operators.sketch import q_sketch_hdr_quantile
+    from graphview_spark.streaming.hdr_stream import q_stream_hdr_replay
+
+    sf = "/root/testdata/sf0.001"
+    replayed = sorted(tuple(r) for r in q_stream_hdr_replay(spark, sf).collect())
+    direct = sorted(tuple(r) for r in q_sketch_hdr_quantile(spark, sf).collect())
+    assert replayed == direct and len(replayed) > 0
+
+
 def test_streaming_hdr_store_stays_bounded(spark, tmp_path):
     """The accumulated state is the bucket table, not the data: after
     all batches the store holds ≤ 4096 rows per group."""
