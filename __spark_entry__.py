@@ -84,13 +84,17 @@ GATE_ROSTER = [
     "sample_cluster_split", "sample_weighted",
     # similarity / ML
     "ml_knn", "ml_rproject",
-    # sketches
+    # sketches (KMV set-operation sketch NEW this round — first driver
+    # row the round it shipped, the r10 precedent; displaces
+    # graph_kcore ×6 and graph_node_sim ×6, both judge-swept and
+    # family-covered by graph_ktruss / the remaining 7 graph rows)
     "sketch_distinct_hll", "sketch_hll_union", "sketch_cms_counts",
     "sketch_cms_union", "sketch_bloom_decontam", "sketch_hdr_quantile",
+    "sketch_kmv_distinct", "sketch_kmv_intersect",
     # streaming (oracle row for the replayed HDR rollup, new r11)
     "stream_hdr_replay",
     # graph algorithms
-    "graph_kcore", "graph_ppr", "graph_node_sim", "graph_closeness",
+    "graph_ppr", "graph_closeness",
     "graph_ktruss", "graph_scc", "graph_scc_peel", "graph_betweenness",
     "graph_betweenness_bfs",
     # pipeline

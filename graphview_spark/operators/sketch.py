@@ -882,6 +882,207 @@ FROM cum GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# KMV / theta sketch — the SET-OPERATION member of the sketch family
+# (Bar-Yossef et al. 2002 "Counting distinct elements in a data stream";
+# the k-minimum-values form θ-sketches generalize): keep the k smallest
+# distinct hash values per group. Unlike the HLL (cardinality only),
+# KMV sketches support INTERSECTION and Jaccard estimates between sets
+# — "how much does this corpus snapshot overlap that one?", the
+# question a dedup/decontam pipeline asks across shards, days and
+# sources before paying for an exact join.
+#
+# Scale shape: the k-smallest selection is a rank window the same
+# WindowGroupLimit rewrite as weighted sampling uses — every task
+# keeps only its local top-k BEFORE the shuffle, so the exchange
+# carries O(k · groups · tasks) rows, never the corpus; sketch state
+# is ≤ KMV_K rows per group EVER. Sketches MERGE by taking the k
+# smallest of the union (pure SQL, proved by the union-merge pytest).
+#
+# Determinism/oracle notes: hashes are the repo-standard 60-bit md5
+# integers (no ties — ranks are total), the θ denominator is the k-th
+# smallest hash (a BIGINT), and each estimate is ONE correctly-rounded
+# double division of exactly-representable integers ((k−1)·2^60 has 8
+# significant bits), so DuckDB replicates every value bit-for-bit.
+# Groups with fewer than k distinct values estimate EXACTLY (the
+# sketch holds the whole set).
+# --------------------------------------------------------------------------
+
+KMV_K = 256                 # sketch size; rel. std. error ≈ 1/√(k−2) ≈ 6%
+_KMV_DOMAIN = 1 << 60       # hash domain (15 md5 hex digits)
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group KMV sketch: (group..., h) — the KMV_K smallest
+    DISTINCT 60-bit hashes of ``value_col``. dense_rank (not
+    row_number) so pre-window duplicates of one value can't evict a
+    distinct hash; the tiny post-filter distinct dedups the survivors
+    (≤ k · duplicates rows, never the corpus)."""
+    from pyspark.sql import Window as W
+
+    hashed = df.select(*group_cols, _hash60(F.col(value_col)).alias("h"))
+    w = W.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("_r", F.dense_rank().over(w))
+        .filter(F.col("_r") <= KMV_K)
+        .drop("_r")
+        .distinct()
+    )
+
+
+def kmv_estimate(sk: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Distinct-count estimate from a sketch: (k−1)·2^60 / h_k when
+    the sketch is full, the exact held count otherwise. Returns
+    (group..., n_kept, est_distinct long)."""
+    agg = sk.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("_hk"),
+    )
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float((KMV_K - 1) * _KMV_DOMAIN)) / F.col("_hk").cast("double")
+    )
+    return agg.select(
+        *group_cols, "n_kept",
+        F.round(est, 0).cast("long").alias("est_distinct"),
+    )
+
+
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary estimate via the KMV sketch — the same
+    question as sketch_distinct_hll answered by the set-operation
+    sketch (so the two estimators cross-check each other in tests),
+    with the k-smallest selection running as a map-side partial
+    top-k."""
+    return kmv_estimate(
+        kmv_sketch(_tokens(spark, sf_dir), ["lang"], "w"), ["lang"]
+    ).select("lang", "n_kept", "est_distinct")
+
+
+def q_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap WITHOUT the exact join: token-set
+    intersection and Jaccard between the even and odd doc_id halves of
+    the corpus, estimated entirely from two ≤ KMV_K-row sketches. The
+    union sketch is the k smallest of the merged hash sets; matches =
+    union-sketch hashes present in BOTH sides; est_intersection =
+    matches/k · est(|A ∪ B|), jaccard_milli = ⌊1000·matches/k⌋
+    (integer — no float comparison surface). Exact when the union
+    fits the sketch."""
+    from pyspark.sql import Window as W
+
+    tok = _tokens(spark, sf_dir).withColumn(
+        "half", (F.col("doc_id") % 2).cast("int"))
+    sk = kmv_sketch(tok, ["half"], "w")
+    a = sk.filter(F.col("half") == 0).select("h")
+    b = sk.filter(F.col("half") == 1).select("h")
+    # union sketch = k smallest of the two sketches' hash union (the
+    # values are ALREADY hashes — selecting, not re-hashing). The
+    # global window runs over ≤ 2·KMV_K rows, never data.
+    union_sk = (
+        a.unionByName(b).distinct()
+        .withColumn("_r", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("_r") <= KMV_K)
+        .select(F.col("h").alias("hu"))
+    )
+    flagged = (
+        union_sk
+        .join(a.select(F.col("h").alias("hu"), F.lit(1).alias("_ina")),
+              "hu", "left")
+        .join(b.select(F.col("h").alias("hu"), F.lit(1).alias("_inb")),
+              "hu", "left")
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("hu").alias("_hk"),
+        F.sum(
+            F.when(F.col("_ina").isNotNull() & F.col("_inb").isNotNull(),
+                   F.lit(1)).otherwise(F.lit(0))
+        ).alias("matches"),
+    )
+    est_union = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float((KMV_K - 1) * _KMV_DOMAIN)) / F.col("_hk").cast("double")
+    )
+    return agg.select(
+        "n_kept",
+        "matches",
+        F.round(est_union, 0).cast("long").alias("est_union"),
+        F.round(
+            F.col("matches").cast("double") / F.col("n_kept") * est_union, 0
+        ).cast("long").alias("est_intersection"),
+        F.expr("CAST(matches * 1000 AS BIGINT) div n_kept")
+        .alias("jaccard_milli"),
+    )
+
+
+def _sql_kmv_hash(var: str) -> str:
+    """DuckDB mirror of _hash60 (the dedup module's digit-fold idiom
+    applied to md5({var}))."""
+    from graphview_spark.operators.dedup import _sql_hex15_to_int
+
+    return _sql_hex15_to_int(var)
+
+
+def _sql_kmv(intersect: bool = False) -> str:
+    k, dom = KMV_K, _KMV_DOMAIN
+    numer = float((KMV_K - 1) * _KMV_DOMAIN)
+    tok = """
+tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+tk AS (SELECT * FROM tok WHERE w <> '')"""
+    if not intersect:
+        return f"""
+WITH {tok},
+h AS (SELECT DISTINCT lang, {_sql_kmv_hash('w')} AS h FROM tk),
+r AS (SELECT lang, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM h),
+sk AS (SELECT lang, h FROM r WHERE rn <= {k}),
+agg AS (SELECT lang, count(*) AS n_kept, max(h) AS hk FROM sk GROUP BY lang)
+SELECT lang, n_kept,
+       round(CASE WHEN n_kept < {k} THEN n_kept::DOUBLE
+                  ELSE {numer!r}::DOUBLE / hk::DOUBLE END, 0)::BIGINT
+         AS est_distinct
+FROM agg
+"""
+    return f"""
+WITH {tok},
+hh AS (SELECT DISTINCT (doc_id % 2)::INT AS half, {_sql_kmv_hash('w')} AS h
+       FROM tk),
+r AS (SELECT half, h,
+             row_number() OVER (PARTITION BY half ORDER BY h) AS rn
+      FROM hh),
+sk AS (SELECT half, h FROM r WHERE rn <= {k}),
+u AS (SELECT DISTINCT h FROM sk),
+ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u),
+usk AS (SELECT h FROM ur WHERE rn <= {k}),
+fl AS (
+  SELECT usk.h,
+         (SELECT count(*) FROM sk WHERE sk.half = 0 AND sk.h = usk.h) AS ina,
+         (SELECT count(*) FROM sk WHERE sk.half = 1 AND sk.h = usk.h) AS inb
+  FROM usk
+),
+agg AS (SELECT count(*) AS n_kept, max(h) AS hk,
+               sum(CASE WHEN ina > 0 AND inb > 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS matches
+        FROM fl)
+SELECT n_kept, matches,
+       round(CASE WHEN n_kept < {k} THEN n_kept::DOUBLE
+                  ELSE {numer!r}::DOUBLE / hk::DOUBLE END, 0)::BIGINT
+         AS est_union,
+       round(matches::DOUBLE / n_kept
+             * CASE WHEN n_kept < {k} THEN n_kept::DOUBLE
+                    ELSE {numer!r}::DOUBLE / hk::DOUBLE END, 0)::BIGINT
+         AS est_intersection,
+       (matches * 1000 // n_kept)::BIGINT AS jaccard_milli
+FROM agg
+"""
+
+
 QUERIES = {}
 ORACLES = {}
 EXTRA_QUERIES = {
@@ -893,6 +1094,8 @@ EXTRA_QUERIES = {
     "sketch_bloom_union": q_sketch_bloom_union,
     "sketch_hdr_quantile": q_sketch_hdr_quantile,
     "sketch_hdr_union": q_sketch_hdr_union,
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,
+    "sketch_kmv_intersect": q_sketch_kmv_intersect,
 }
 EXTRA_ORACLES = {
     "sketch_distinct_hll": _sql_hll(group_by_half=False),
@@ -908,4 +1111,6 @@ EXTRA_ORACLES = {
     "sketch_hdr_quantile": _sql_hdr(),
     # direct whole-table histogram — equality proves the count-sum merge
     "sketch_hdr_union": _sql_hdr(),
+    "sketch_kmv_distinct": _sql_kmv(),
+    "sketch_kmv_intersect": _sql_kmv(intersect=True),
 }

@@ -153,6 +153,35 @@ def test_closure_mass_estimate_exact_when_all_seeds(spark, monkeypatch):
     assert A._closure_mass_estimate(e2, budget=10**6) == 1.0
 
 
+def test_calibration_true_mass_exact_and_depth_loud(spark):
+    """The calibration tool's exact BFS (the 'true' every estimator
+    ratio is judged against) must count a known closure exactly and
+    must RAISE — not silently truncate — when the graph outlives its
+    depth budget; the first hubbridge run (round 11) under-reported
+    'true' by exactly the hub→sink term because a 65-hop family hit
+    the silent 64-round cap."""
+    import pytest as _pytest
+
+    from tools.calibrate_mass import build_hubbridge, true_mass
+
+    # chain 1→2→3→4 with shortcut 1→3, plus cycle 5→6→5 (same family
+    # as the estimator's exactness test: 10 closure pairs)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (5, 6), (6, 5)],
+        "src long, sink long",
+    )
+    assert true_mass(e) == 10
+    with _pytest.raises(RuntimeError, match="frontier alive"):
+        true_mass(e, max_depth=1)
+    # tiny hubbridge: closed-form mass = pad + hubs·(bridge+hubs)
+    #                                   + Σ_k((bridge−k)+hubs)
+    pad, hubs, bridge = 20, 3, 4
+    hb = build_hubbridge(spark, pad, hubs, bridge)
+    want = pad + hubs * (bridge + hubs) + sum(
+        (bridge - k) + hubs for k in range(1, bridge + 1))
+    assert true_mass(hb) == want
+
+
 def test_mass_verdict_uses_asymmetric_threshold(monkeypatch):
     """The verdict compares the MAX of the forward and reverse
     estimates against a FRACTION of the budget: wrong attempts are

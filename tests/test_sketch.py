@@ -392,6 +392,92 @@ def test_hdr_merge_equals_direct(spark):
     assert [tuple(r) for r in via_merge] == [tuple(r) for r in direct]
 
 
+# --------------------------------------------------------------------------
+# KMV / theta sketch
+# --------------------------------------------------------------------------
+
+def test_kmv_state_bounded_and_plan_partial_topk(spark):
+    """Sketch state is ≤ KMV_K rows per group no matter the input, and
+    the k-smallest selection must push a partial limit below the
+    shuffle (WindowGroupLimit) so the exchange never carries the
+    corpus."""
+    from graphview_spark.operators.sketch import KMV_K, kmv_sketch
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 2).cast("int").alias("g"),
+        F.col("id").cast("string").alias("w"))
+    sk = kmv_sketch(df, ["g"], "w")
+    assert sk.groupBy("g").count().agg(F.max("count")).first()[0] <= KMV_K
+    plan = sk._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "WindowGroupLimit" in plan
+
+
+def test_kmv_merge_equals_direct(spark):
+    """k-smallest of the UNION of two sketches == the union's sketch,
+    row-for-row (hash sets, min-merge is lossless) — the property that
+    lets per-shard/per-day sketches roll up without re-reading data."""
+    from pyspark.sql import Window as W
+
+    from graphview_spark.operators.sketch import KMV_K, kmv_sketch
+
+    a = _vals(spark, 0, 5_000)
+    b = _vals(spark, 2_500, 7_500)  # overlaps a
+    direct = sorted(
+        r["h"] for r in kmv_sketch(a.unionByName(b), [], "w").collect())
+    merged_frame = (
+        kmv_sketch(a, [], "w").unionByName(kmv_sketch(b, [], "w"))
+        .distinct()
+        .withColumn("_r", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("_r") <= KMV_K).drop("_r")
+    )
+    merged = sorted(r["h"] for r in merged_frame.collect())
+    assert merged == direct
+
+
+def test_kmv_estimate_accuracy_and_exact_small(spark):
+    """Full sketch: estimate within ~4 standard errors (4/√(k−2)) of
+    the true distinct count. Under-full sketch: EXACT."""
+    from graphview_spark.operators.sketch import KMV_K, kmv_estimate, kmv_sketch
+
+    n = 30_000
+    big = _vals(spark, 0, n)
+    est = kmv_estimate(kmv_sketch(big, [], "w"), []).first()
+    assert est["n_kept"] == KMV_K
+    tol = 4.0 / (KMV_K - 2) ** 0.5
+    assert abs(est["est_distinct"] - n) <= n * tol, est["est_distinct"]
+    small = _vals(spark, 0, 100)
+    est2 = kmv_estimate(kmv_sketch(small, [], "w"), []).first()
+    assert est2["est_distinct"] == 100 and est2["n_kept"] == 100
+
+
+def test_kmv_intersect_tracks_true_overlap(spark, sf_dir):
+    """The intersect gate query's Jaccard estimate must track the TRUE
+    token-set Jaccard of the two corpus halves within the sketch's
+    error band — the cross-corpus overlap answer the sketch exists to
+    give without an exact join."""
+    from graphview_spark.operators.sketch import (
+        KMV_K,
+        _tokens,
+        q_sketch_kmv_intersect,
+    )
+
+    got = q_sketch_kmv_intersect(spark, sf_dir).first()
+    tok = _tokens(spark, sf_dir).withColumn(
+        "half", (F.col("doc_id") % 2).cast("int"))
+    a = tok.filter("half = 0").select("w").distinct()
+    b = tok.filter("half = 1").select("w").distinct()
+    inter = a.intersect(b).count()
+    union = a.unionByName(b).distinct().count()
+    true_j = inter / union
+    tol = 4.0 / (KMV_K - 2) ** 0.5  # ±4σ of the k-sample match fraction
+    assert abs(got["jaccard_milli"] / 1000 - true_j) <= tol + 1e-3, (
+        got["jaccard_milli"], true_j)
+    assert abs(got["est_intersection"] - inter) <= max(
+        inter * 2.5 * tol, 50), (got["est_intersection"], inter)
+
+
 def test_hdr_extreme_values_clamp_matches_oracle(spark):
     """ADVICE r10 #4: above ~9.2e12 the unclamped double→long cast
     diverged (Spark saturates, DuckDB raises). Both engines now clamp
