@@ -24,9 +24,24 @@ tail -1 /tmp/checks_01.txt
 # scale_sweep refuses a contended host, generates missing data, and
 # writes head-stamped artifacts to .testdata/sweep_sf{1,3}.json —
 # copy those over artifacts/ and diff against the committed priors
-# for the SCALECHECK section)
+# for the SCALECHECK section). The sweeps gate on host idleness and
+# the preceding check saturates the 1-minute loadavg, so wait for it
+# to decay below the gate before each sweep (max 5 min).
+# waits for BOTH loadavg decay and the previous stage's JVM teardown —
+# a check.py JVM lingers a few seconds past its python's exit, and the
+# sweep's orphan-JVM detector (correctly) refuses to start next to it
+wait_idle() {
+  i=0
+  while { pgrep -x java > /dev/null \
+          || [ "$(awk -v c="$(nproc)" '{exit !($1 > 0.45 * c)}' /proc/loadavg; echo $?)" = "0" ]; } \
+        && [ "$i" -lt 30 ]; do
+    sleep 10; i=$((i + 1))
+  done
+}
+wait_idle
 python tools/scale_sweep.py 1.0
 cp .testdata/sweep_sf1.json artifacts/sweep_sf1.json
+wait_idle
 python tools/scale_sweep.py 3.0
 cp .testdata/sweep_sf3.json artifacts/sweep_sf3.json
 # let the 1-minute loadavg decay below bench.py's host_contended
