@@ -129,11 +129,13 @@ def _registry() -> tuple[
     )
     from graphview_spark.streaming import events as streaming_events
     from graphview_spark.streaming import hdr_stream as streaming_hdr
+    from graphview_spark.streaming import kmv_stream as streaming_kmv
 
     mods = [
         relational, temporal, graph_queries, dedup, text, sampling,
         similarity, clustering, multimodal, streaming_events,
-        streaming_hdr, algorithms, pipeline, search, sketch, skew,
+        streaming_hdr, streaming_kmv, algorithms, pipeline, search,
+        sketch, skew,
     ]
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

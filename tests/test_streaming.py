@@ -253,6 +253,59 @@ def test_stream_hdr_replay_equals_direct_sketch(spark):
     assert replayed == direct and len(replayed) > 0
 
 
+def test_streaming_kmv_matches_batch_and_stays_bounded(spark, tmp_path):
+    """Distinct estimates accumulated micro-batch by micro-batch equal
+    the batch sketch over the union (min-merge is lossless), through a
+    REAL readStream/foreachBatch pipeline; the store never exceeds
+    KMV_K rows per group."""
+    from graphview_spark.operators.sketch import (
+        KMV_K,
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from graphview_spark.streaming.kmv_stream import StreamingKmv
+
+    rows = [(i, "a" if i % 3 else "b", f"w{i * 7 % 900}")
+            for i in range(1, 1_201)]
+    src = tmp_path / "kmv_in"
+    src.mkdir()
+    for lo, hi, name in [(0, 400, "b0"), (400, 800, "b1"), (800, 1200, "b2")]:
+        spark.createDataFrame(
+            rows[lo:hi], ["doc_id", "lang", "w"]
+        ).coalesce(1).write.json(str(src / name))
+
+    k = StreamingKmv(spark, ["lang"], "w")
+    q = (
+        spark.readStream.schema("doc_id long, lang string, w string")
+        .option("maxFilesPerTrigger", 1).json(str(src / "*"))
+        .writeStream.foreachBatch(k)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+
+    streamed = sorted(tuple(r) for r in k.estimate().collect())
+    batch_df = spark.createDataFrame(rows, ["doc_id", "lang", "w"])
+    direct = sorted(tuple(r) for r in kmv_estimate(
+        kmv_sketch(batch_df, ["lang"], "w"), ["lang"]).collect())
+    assert streamed == direct
+    assert {r[0] for r in streamed} == {"a", "b"}
+    per_group = k.sketch_store().groupBy("lang").count()
+    assert per_group.agg(F.max("count")).first()[0] <= KMV_K
+
+
+def test_stream_kmv_replay_equals_direct_sketch(spark):
+    """The oracle-gated replay projection: four replayed micro-batches
+    must reproduce the one-shot corpus sketch — the same equality its
+    DuckDB oracle asserts cross-engine."""
+    from graphview_spark.operators.sketch import q_sketch_kmv_distinct
+    from graphview_spark.streaming.kmv_stream import q_stream_kmv_replay
+
+    sf = "/root/testdata/sf0.001"
+    replayed = sorted(tuple(r) for r in q_stream_kmv_replay(spark, sf).collect())
+    direct = sorted(tuple(r) for r in q_sketch_kmv_distinct(spark, sf).collect())
+    assert replayed == direct and len(replayed) > 0
+
+
 def test_streaming_hdr_store_stays_bounded(spark, tmp_path):
     """The accumulated state is the bucket table, not the data: after
     all batches the store holds ≤ 4096 rows per group."""
