@@ -588,13 +588,29 @@ def _order_component_beam(
         states.append((r0, r0, frozenset({root}), (), {}, root))
 
     for _ in range(len(comp_edges)):
-        successors: dict[tuple, tuple] = {}
+        # Per-(bound, edge-set) *Pareto frontier* over (cost, rows) —
+        # NOT keep-min-cost. Two states with the same bound set and
+        # edge set can be Pareto-incomparable: a higher cost-so-far
+        # with lower current rows completes to a globally cheaper
+        # order (Hypothesis found a 3-alias cyclic counterexample
+        # where keep-min-cost made the beam model 3% worse than
+        # greedy; it is pinned as a permanent @example in
+        # tests/test_property_planner.py). Evict a state only when
+        # another is ≤ in BOTH cost and rows; exact (cost, rows) ties
+        # keep the lexicographically smallest order for determinism.
+        successors: dict[tuple, list] = {}
 
         def consider(st):
             key = (st[2], frozenset(st[3]))
-            old = successors.get(key)
-            if old is None or (st[0], st[3]) < (old[0], old[3]):
-                successors[key] = st
+            bucket = successors.setdefault(key, [])
+            for old in bucket:
+                if old[0] <= st[0] and old[1] <= st[1] and (
+                        (old[0], old[1]) != (st[0], st[1])
+                        or old[3] <= st[3]):
+                    return  # dominated (or an identical-score twin)
+            bucket[:] = [o for o in bucket
+                         if not (st[0] <= o[0] and st[1] <= o[1])]
+            bucket.append(st)
 
         for cost, rows, bound, order, frontier, root in states:
             rem = [e for e in comp_edges if idx_of[id(e)] not in order]
@@ -636,7 +652,8 @@ def _order_component_beam(
         if not successors:
             return None
         states = sorted(
-            successors.values(), key=lambda s: (s[0], s[3])
+            (s for bucket in successors.values() for s in bucket),
+            key=lambda s: (s[0], s[3])
         )[:_BEAM_MAX_STATES]
 
     best = min(states, key=lambda s: (s[0], s[3]))

@@ -17,7 +17,7 @@ two invariants must hold on random components:
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 import graphview_spark.matching.planner as planner
@@ -98,7 +98,19 @@ def components(draw):
 
 
 @given(components())
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=200, deadline=None)
+@example(
+    # Pinned regression (round-11 judge finding): keep-min-cost
+    # successor dedup evicted a Pareto-incomparable state (higher
+    # cost-so-far, lower rows) whose completion was globally cheaper,
+    # so the beam modeled 3% worse than greedy on this cyclic
+    # 3-alias component. Fixed by the (cost, rows) Pareto frontier in
+    # planner._order_component_beam.
+    comp=(['a0', 'a1', 'a2'],
+          [('a0', 'a1'), ('a0', 'a2'), ('a1', 'a0')],
+          [(1.0, 1.0), (1.0, 2.0), (0.3125, 0.25)],
+          {'a0': 6453, 'a1': 6145, 'a2': 2863}),
+)
 def test_beam_orders_are_valid_and_never_model_worse(comp):
     aliases, raw_edges, fanouts, counts = comp
     edges = [
