@@ -109,9 +109,14 @@ def run_pipeline(spark, sf_dir: str) -> dict[str, DataFrame]:
         bloom_words,
     )
 
+    from graphview_spark.plans.lazy import pin
+
     bench = benchmark_docs(stages["raw"])
-    bench_grams = bench.select(
-        F.explode(_word_ngrams(F.col("text"), DECONTAM_N)).alias("g"))
+    # pinned (ADVICE r11): both the auto-sizing HLL probe and the
+    # bitmap build consume this explosion — unpinned, the gram job
+    # runs twice per pipeline
+    bench_grams = pin(bench.select(
+        F.explode(_word_ngrams(F.col("text"), DECONTAM_N)).alias("g")))
     # bitmap sized from the HLL gram-count estimate (never below the
     # 128 KiB default) so a growing benchmark can't silently saturate
     # the pre-screen into flagging the whole corpus

@@ -353,6 +353,11 @@ WITH pr AS (
          (({_sql_hex15_to_int('doc_id::VARCHAR')}) % {1 << _U_BITS})::DOUBLE
            / n_chars::DOUBLE AS xi
   FROM documents
+  -- mirror of the Spark-side weight guard (ADVICE r11): the operator
+  -- structurally excludes NULL/non-positive weights, so the oracle
+  -- must too — otherwise a <=0/NULL n_chars doc would fill tail ranks
+  -- here while Spark excludes it.
+  WHERE n_chars > 0
 ),
 r AS (
   SELECT lang, doc_id, n_chars,

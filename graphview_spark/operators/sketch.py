@@ -476,7 +476,11 @@ def bloom_auto_m(
     if _lazy.is_lazy():
         return BLOOM_BITS
     est_row = hll_estimate(hll_registers(df, [], value_col), []).first()
-    n = int(est_row["est_distinct"]) if est_row is not None else 0
+    # a global (no-group) aggregate over ZERO rows still yields one
+    # row, with a NULL estimate (sum over nothing) — `or 0` covers the
+    # empty-frame case the `is not None` guard can never reach
+    # (ADVICE r11)
+    n = int(est_row["est_distinct"] or 0) if est_row is not None else 0
     m = BLOOM_BITS
     while m < BLOOM_MAX_BITS and bloom_predicted_fpr(n, m) > target_fpr:
         m <<= 1
@@ -768,7 +772,16 @@ def hdr_buckets(
     scaled to integer micro-units with an explicit floor (see module
     comment on the cast divergence) and clamped to [0, HDR_MAX_MICRO]
     — the clamp is mirrored in the oracle so out-of-range inputs
-    degrade identically in both engines."""
+    degrade identically in both engines. NaN and NULL values are
+    FILTERED here and in the oracle (ADVICE r11): unfiltered, Spark's
+    floor(NaN) lands in bucket 0 while DuckDB's least(floor(NaN),
+    2^62) lands in the top clamp bucket — a silent cross-engine
+    divergence; and NULL is worse in BOTH engines, because
+    least/greatest skip NULL args, so the r10 clamp was silently
+    counting every NULL measurement as a max-value observation.
+    Non-measurements are out of the sketch's domain, full stop."""
+    vd = F.col(value_col).cast("double")
+    df = df.filter(vd.isNotNull() & ~F.isnan(vd))
     vm = F.greatest(
         F.least(
             F.floor(F.col(value_col).cast("double") * 1_000_000),
@@ -858,6 +871,9 @@ WITH vm AS (
          greatest(least(floor(value::DOUBLE * 1000000),
                         {HDR_MAX_MICRO})::BIGINT, 0) AS v
   FROM events
+  -- mirror of hdr_buckets' domain filter: NaN and NULL measurements
+  -- are excluded identically in both engines (ADVICE r11)
+  WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
 ),
 bk AS (
   SELECT event_type,

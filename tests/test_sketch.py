@@ -529,3 +529,63 @@ def test_hdr_small_values_exact(spark):
         F.lit("g").alias("g"), (F.col("id") / 1_000_000.0).alias("v"))
     rows = hdr_buckets(df, ["g"], "v").collect()
     assert sorted(r["hdr_b"] for r in rows) == list(range(1, 64))
+
+
+def test_bloom_auto_m_empty_frame_returns_default(spark):
+    """ADVICE r11: a global HLL aggregate over ZERO rows still yields
+    one row with a NULL estimate — the auto-sizer must treat that as
+    0 distinct values (default size), not crash on int(None)."""
+    from graphview_spark.operators.sketch import BLOOM_BITS, bloom_auto_m
+
+    empty = _vals(spark, 0, 1_000).filter("w IS NULL")
+    assert bloom_auto_m(empty, "w") == BLOOM_BITS
+
+
+def test_hdr_nan_filtered_identically_to_oracle(spark):
+    """ADVICE r11: unfiltered NaN diverged silently — Spark's
+    floor(NaN) is bucket 0 while DuckDB's least(floor(NaN), 2^62) is
+    the top clamp bucket. Worse, least/greatest SKIP NULL args in
+    both engines, so the r10 clamp counted every NULL as a max-value
+    observation. Both engines now drop NaN AND NULL before scaling,
+    so the bucket tables stay bit-identical with no phantom
+    zero/clamp rows."""
+    import duckdb
+
+    from graphview_spark.operators.sketch import (
+        HDR_MAX_MICRO,
+        HDR_SUB_BITS,
+        _HDR_SUB,
+        hdr_buckets,
+    )
+
+    vals = [5.0, float("nan"), 0.25, float("nan"), None, 1e30]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v double")
+    got = sorted(
+        ((r["hdr_b"], r["cnt"]) for r in hdr_buckets(df, ["g"], "v").collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    s = HDR_SUB_BITS + 1
+    rows = ", ".join(
+        "(NULL)" if v is None
+        else "('nan'::DOUBLE)" if v != v
+        else f"({v!r}::DOUBLE)"
+        for v in vals)
+    want = sorted(
+        (tuple(r) for r in duckdb.sql(f"""
+WITH raw(v) AS (VALUES {rows}),
+vm AS (SELECT greatest(least(floor(v::DOUBLE * 1000000),
+                             {HDR_MAX_MICRO})::BIGINT, 0) AS v
+       FROM raw WHERE v IS NOT NULL AND NOT isnan(v::DOUBLE)),
+bk AS (SELECT greatest(length(printf('%b', v)) - {s}, 0)::BIGINT * {_HDR_SUB}
+              + (v >> greatest(length(printf('%b', v)) - {s}, 0)) AS hdr_b
+       FROM vm)
+SELECT hdr_b, count(*) AS cnt FROM bk GROUP BY 1
+""").fetchall()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got == want
+    buckets = {b for b, _ in got}
+    assert 0 not in buckets  # NaN did not land in bucket 0 (old Spark path)
+    clamp_bucket = 56 * _HDR_SUB + (HDR_MAX_MICRO >> 56)
+    assert dict((b, c) for b, c in got).get(clamp_bucket) == 1  # only 1e30
