@@ -664,6 +664,7 @@ def embed_cosine_pairs(
     label_threshold: int | None = EMBED_LSH_LABEL_ROWS,
     dim: int = 64,
     stats: tuple[int, int] | None = None,
+    shape: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Within-label embedding near-dup pairs (cosine ≥ ``cosine_t``)
     with the hyperplane-LSH bucketing as the DEFAULT scale path: labels
@@ -697,7 +698,17 @@ def embed_cosine_pairs(
     aggregate probes both. When every label fits under
     ``label_threshold`` the _lbl_n bookkeeping join is skipped entirely
     — the all-small case (the common one at gate scale) runs the exact
-    leg straight over ``emb``."""
+    leg straight over ``emb``.
+
+    ``shape`` pins the LSH leg's (bits, tables) instead of deriving it
+    from the stats — the hook that lets a GATE-SCALE corpus drive the
+    high-density shapes the adaptive sizing reserves for huge labels
+    (VERDICT r11 "Next #2": the sf10 (15, 9) leg deserved an oracle
+    row at its own shape, not just rows-identity evidence). Forcing a
+    bigger shape never changes WHICH pairs identical vectors produce —
+    sign(w·v) is deterministic, so clone recall is exactly 1 at any
+    (bits, tables) — it only re-sizes the bucket space the candidates
+    route through."""
     from graphview_spark.plans import lazy as _lazy
 
     emb = emb.withColumn("nv", norm_col(F.col("v")))
@@ -770,7 +781,7 @@ def embed_cosine_pairs(
     # LSH leg: ids-only candidate generation, then one exact verify.
     # Shape is density-adaptive: bits sized so expected bucket occupancy
     # stays O(1) as labels grow (mx=None under lazy audit → default).
-    bits, tables = _lsh_shape(mx)
+    bits, tables = shape if shape is not None else _lsh_shape(mx)
     planes = _embed_lsh_planes(dim, bits, tables)
     keyed = big.select(
         "vec_id", "label", _table_buckets_col(F.col("v"), planes).alias("_bk")
@@ -927,6 +938,40 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = (2 * st[0], st[1]) if st is not None else None
     return embed_cosine_pairs(
         doubled, EMBED_LSH_GATE_T, label_threshold=16, stats=stats)
+
+
+# the sf10 rung's measured max-label density: _lsh_shape of a ~40k-row
+# label is (15, 9) — the adaptive shape the r11 sweep could only
+# evidence with byte-identical output rows. q_dedup_embed_lsh_hi pins
+# that exact shape over the gate-scale clone corpus so the >13-bit leg
+# carries a DuckDB hash row at sf0.01 cost (VERDICT r11 "Next #2").
+EMBED_LSH_HI_LABEL_ROWS = 40_000
+
+
+def q_dedup_embed_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME clone-union equivalence gate as q_dedup_embed_lsh, but
+    with the LSH leg FORCED to the high-density shape the adaptive
+    sizing picks for the sf10 rung's ~40k-row labels —
+    _lsh_shape(40000) = (15 bits, 9 tables), asserted by
+    tests/test_property_dedup.py so this row tracks the production
+    formula instead of a hardcoded pair. Identical vectors agree on
+    every hyperplane sign at ANY shape (sign(w·v) is deterministic),
+    so recall on the clone pairs is exactly 1 and the result must
+    hash-match the same brute-force oracle: a true equivalence gate on
+    the bits>13 bucket space, the 9-table OR-amplified candidate join,
+    and the verify plumbing at small-corpus cost."""
+    emb = _read_embeddings(spark, sf_dir)
+    doubled = emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + F.lit(_EMB_LSH_ID_OFFSET)).alias("vec_id"),
+            "v", "label",
+        )
+    )
+    st = _embed_stats(spark, sf_dir, emb)
+    stats = (2 * st[0], st[1]) if st is not None else None
+    return embed_cosine_pairs(
+        doubled, EMBED_LSH_GATE_T, label_threshold=16, stats=stats,
+        shape=_lsh_shape(EMBED_LSH_HI_LABEL_ROWS))
 
 
 ORACLE_DEDUP_EMBED_LSH = f"""
@@ -1140,8 +1185,12 @@ ORACLES = {
 EXTRA_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embed_lsh": q_dedup_embed_lsh,
+    "dedup_embed_lsh_hi": q_dedup_embed_lsh_hi,
 }
 EXTRA_ORACLES = {
     "dedup_simhash": _oracle_simhash(),
     "dedup_embed_lsh": ORACLE_DEDUP_EMBED_LSH,
+    # same exact oracle: the forced (15, 9) shape must be result-
+    # invariant — that equality IS the row's claim
+    "dedup_embed_lsh_hi": ORACLE_DEDUP_EMBED_LSH,
 }
