@@ -1035,6 +1035,61 @@ def q_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_union_report(
+    sk_a: DataFrame, sk_b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Per-group overlap report from TWO KMV sketch stores (the
+    grouped form of q_sketch_kmv_intersect's global computation): the
+    union sketch is the k smallest of the two stores' hash union per
+    group (a window over ≤ 2·KMV_K rows/group, never data), matches =
+    union hashes present in BOTH stores, est_intersection =
+    matches/n_kept · est(|A ∪ B|), jaccard_milli integer. This is the
+    day-level rollup the streaming stores promise: two snapshots'
+    overlap without re-reading either snapshot — the inputs are
+    ≤ KMV_K-row stores, so the whole report is sketch-sized work."""
+    from pyspark.sql import Window as W
+
+    a = sk_a.select(*group_cols, "h")
+    b = sk_b.select(*group_cols, "h")
+    union_sk = (
+        a.unionByName(b).distinct()
+        .withColumn(
+            "_r", F.row_number().over(
+                W.partitionBy(*group_cols).orderBy("h")))
+        .filter(F.col("_r") <= KMV_K)
+        .drop("_r")
+    )
+    flagged = (
+        union_sk
+        .join(a.withColumn("_ina", F.lit(1)), [*group_cols, "h"], "left")
+        .join(b.withColumn("_inb", F.lit(1)), [*group_cols, "h"], "left")
+    )
+    agg = flagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("_hk"),
+        F.sum(
+            F.when(F.col("_ina").isNotNull() & F.col("_inb").isNotNull(),
+                   F.lit(1)).otherwise(F.lit(0))
+        ).alias("matches"),
+    )
+    est_union = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float((KMV_K - 1) * _KMV_DOMAIN)) / F.col("_hk").cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        "n_kept",
+        "matches",
+        F.round(est_union, 0).cast("long").alias("est_union"),
+        F.round(
+            F.col("matches").cast("double") / F.col("n_kept") * est_union, 0
+        ).cast("long").alias("est_intersection"),
+        F.expr("CAST(matches * 1000 AS BIGINT) div n_kept")
+        .alias("jaccard_milli"),
+    )
+
+
 def _sql_kmv_hash(var: str) -> str:
     """DuckDB mirror of _hash60 (the dedup module's digit-fold idiom
     applied to md5({var}))."""
@@ -1087,6 +1142,53 @@ agg AS (SELECT count(*) AS n_kept, max(h) AS hk,
                  AS matches
         FROM fl)
 SELECT n_kept, matches,
+       round(CASE WHEN n_kept < {k} THEN n_kept::DOUBLE
+                  ELSE {numer!r}::DOUBLE / hk::DOUBLE END, 0)::BIGINT
+         AS est_union,
+       round(matches::DOUBLE / n_kept
+             * CASE WHEN n_kept < {k} THEN n_kept::DOUBLE
+                    ELSE {numer!r}::DOUBLE / hk::DOUBLE END, 0)::BIGINT
+         AS est_intersection,
+       (matches * 1000 // n_kept)::BIGINT AS jaccard_milli
+FROM agg
+"""
+
+
+def _sql_kmv_rollup() -> str:
+    """DuckDB mirror of the two-store day rollup (kmv_union_report
+    over per-day stores, day = doc_id % 2, grouped by lang): each
+    day's sketch is computed DIRECTLY from the whole corpus — equality
+    with the Spark side (whose sketches arrive through two streaming
+    min-merge stores) proves both the per-store merge AND the
+    cross-store union rollup lose nothing."""
+    k = KMV_K
+    numer = float((KMV_K - 1) * _KMV_DOMAIN)
+    return f"""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+tk AS (SELECT * FROM tok WHERE w <> ''),
+hh AS (SELECT DISTINCT lang, (doc_id % 2)::INT AS day,
+              {_sql_kmv_hash('w')} AS h
+       FROM tk),
+r AS (SELECT lang, day, h,
+             row_number() OVER (PARTITION BY lang, day ORDER BY h) AS rn
+      FROM hh),
+sk AS (SELECT lang, day, h FROM r WHERE rn <= {k}),
+u AS (SELECT DISTINCT lang, h FROM sk),
+ur AS (SELECT lang, h,
+              row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+       FROM u),
+usk AS (SELECT lang, h FROM ur WHERE rn <= {k}),
+fl AS (SELECT u.lang, u.h,
+              max(CASE WHEN s.day = 0 THEN 1 ELSE 0 END) AS ina,
+              max(CASE WHEN s.day = 1 THEN 1 ELSE 0 END) AS inb
+       FROM usk u JOIN sk s ON s.lang = u.lang AND s.h = u.h
+       GROUP BY u.lang, u.h),
+agg AS (SELECT lang, count(*) AS n_kept, max(h) AS hk,
+               sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS matches
+        FROM fl GROUP BY lang)
+SELECT lang, n_kept, matches,
        round(CASE WHEN n_kept < {k} THEN n_kept::DOUBLE
                   ELSE {numer!r}::DOUBLE / hk::DOUBLE END, 0)::BIGINT
          AS est_union,
