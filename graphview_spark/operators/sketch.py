@@ -455,6 +455,28 @@ def bloom_predicted_fpr(n_distinct: int, m_bits: int) -> float:
     return (1.0 - math.exp(-BLOOM_K * n_distinct / m_bits)) ** BLOOM_K
 
 
+def bloom_m_table(target_fpr: float = BLOOM_TARGET_FPR) -> list[tuple[int, int]]:
+    """[(m_bits, n_max)] for each power-of-two m from BLOOM_BITS to
+    BLOOM_MAX_BITS: n_max = ⌊−m·ln(1 − t^(1/k)) / k⌋ is the LARGEST
+    estimated distinct count whose predicted FPR meets the target at
+    m — the FPR-model inequality inverted once, driver-side, into
+    INTEGER thresholds. Sizing then needs no libm at decision time in
+    either engine (the thresholds embed as literals in the
+    sketch_bloom_autom oracle), and bloom_auto_m picks the identical m
+    the cross-engine row reports: n ≤ n_max(m) ⟺
+    bloom_predicted_fpr(n, m) ≤ t (boundary equivalence pinned by
+    tests/test_sketch.py)."""
+    import math
+
+    per_hash = math.log(1.0 - target_fpr ** (1.0 / BLOOM_K))
+    out = []
+    m = BLOOM_BITS
+    while m <= BLOOM_MAX_BITS:
+        out.append((m, math.floor(-m * per_hash / BLOOM_K)))
+        m <<= 1
+    return out
+
+
 def bloom_auto_m(
     df: DataFrame,
     value_col: str,
@@ -481,9 +503,14 @@ def bloom_auto_m(
     # empty-frame case the `is not None` guard can never reach
     # (ADVICE r11)
     n = int(est_row["est_distinct"] or 0) if est_row is not None else 0
-    m = BLOOM_BITS
-    while m < BLOOM_MAX_BITS and bloom_predicted_fpr(n, m) > target_fpr:
-        m <<= 1
+    # integer threshold scan — the same decision the sketch_bloom_autom
+    # oracle row makes from SQL-embedded literals
+    table = bloom_m_table(target_fpr)
+    m = table[-1][0]
+    for cand_m, n_max in table:
+        if n <= n_max:
+            m = cand_m
+            break
     fpr = bloom_predicted_fpr(n, m)
     if fpr > target_fpr:
         warnings.warn(
@@ -640,6 +667,90 @@ def q_sketch_bloom_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves = bloom_words(bench_grams, ["half"], "g")
     words = halves.groupBy("word").agg(F.bit_or("bits").alias("bits"))
     return _bloom_scrub(docs, words)
+
+
+def q_sketch_bloom_autom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine exposure of the Bloom AUTO-SIZING path itself
+    (VERDICT r11 "Next #5": bloom_auto_m was production-only; the gate
+    rows pin m as an oracle literal by design). The value stream is
+    position-keyed (doc_id:pos — every token position distinct, so the
+    cardinality GROWS with the corpus: ~27k at sf0.01 keeps the 2^20
+    default, ~270k at sf0.1 sizes to 2^22, sf1 to 2^25), the HLL
+    estimates it, and the m decision is the bloom_m_table integer
+    threshold scan expressed as a CASE — the SAME table bloom_auto_m
+    consults, pinned equal by pytest. The oracle recomputes estimate
+    AND decision from embedded literals, so the sizing path is gated
+    at every sweep rung, each exercising a different chosen m."""
+    docs = read_table(spark, sf_dir, "documents")
+    keys = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+        .select(F.concat_ws(":", "doc_id", "pos").alias("k"))
+    )
+    est = hll_estimate(hll_registers(keys, [], "k"), [])
+    table = bloom_m_table()
+    m_expr = F.lit(table[-1][0])
+    for cand_m, n_max in reversed(table):
+        m_expr = F.when(
+            F.col("est_distinct") <= n_max, F.lit(cand_m)
+        ).otherwise(m_expr)
+    return est.select(
+        "est_distinct",
+        m_expr.cast("long").alias("m_bits"),
+        (F.col("est_distinct") > table[-1][1]).alias("saturated"),
+    )
+
+
+def _sql_bloom_autom() -> str:
+    """DuckDB mirror of q_sketch_bloom_autom: the HLL estimator over
+    the same position keys (global, no group), then the identical
+    integer-threshold CASE."""
+    from graphview_spark.operators.dedup import _sql_hex15_to_int
+
+    m = HLL_M
+    table = bloom_m_table()
+    case = "CASE " + " ".join(
+        f"WHEN est_distinct <= {n_max} THEN {cand_m}::BIGINT"
+        for cand_m, n_max in table
+    ) + f" ELSE {table[-1][0]}::BIGINT END"
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+keys AS (
+  SELECT doc_id::VARCHAR || ':' || pos::VARCHAR AS k
+  FROM tok WHERE w <> ''
+),
+h0 AS (SELECT {_sql_hex15_to_int('k')} AS h FROM keys),
+r AS (SELECT h % {m} AS bucket,
+             max(CASE WHEN h // {m} = 0 THEN {HLL_REST_BITS + 1}
+                 ELSE {HLL_REST_BITS + 1} - length(printf('%b', h // {m}))
+                 END) AS m
+      FROM h0 GROUP BY bucket),
+agg AS (SELECT count(*) AS n_registers,
+               sum((1::BIGINT << ({_HLL_SHIFT} - m)))::BIGINT AS si
+        FROM r),
+est0 AS (SELECT n_registers,
+                {_HLL_NUMER!r}::DOUBLE
+                  / (si + ({m} - n_registers)
+                     * {1 << _HLL_SHIFT})::DOUBLE AS e_raw,
+                {m} - n_registers AS v
+         FROM agg),
+est AS (SELECT round(CASE WHEN e_raw <= {2.5 * m} AND v > 0
+                     THEN {float(m)!r} * ln({float(m)!r} / v)
+                     ELSE e_raw END)::BIGINT AS est_distinct
+        FROM est0)
+SELECT est_distinct,
+       {case} AS m_bits,
+       est_distinct > {table[-1][1]} AS saturated
+FROM est
+"""
 
 
 def _sql_bloom() -> str:
@@ -1210,6 +1321,7 @@ EXTRA_QUERIES = {
     "sketch_cms_union": q_sketch_cms_union,
     "sketch_bloom_decontam": q_sketch_bloom_decontam,
     "sketch_bloom_union": q_sketch_bloom_union,
+    "sketch_bloom_autom": q_sketch_bloom_autom,
     "sketch_hdr_quantile": q_sketch_hdr_quantile,
     "sketch_hdr_union": q_sketch_hdr_union,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
@@ -1224,6 +1336,7 @@ EXTRA_ORACLES = {
     "sketch_cms_counts": _sql_cms(),
     "sketch_cms_union": _sql_cms(),
     "sketch_bloom_decontam": _sql_bloom(),
+    "sketch_bloom_autom": _sql_bloom_autom(),
     # direct whole-benchmark bitmap — equality proves the bit_or merge
     "sketch_bloom_union": _sql_bloom(),
     "sketch_hdr_quantile": _sql_hdr(),

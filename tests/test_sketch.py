@@ -589,3 +589,40 @@ SELECT hdr_b, count(*) AS cnt FROM bk GROUP BY 1
     assert 0 not in buckets  # NaN did not land in bucket 0 (old Spark path)
     clamp_bucket = 56 * _HDR_SUB + (HDR_MAX_MICRO >> 56)
     assert dict((b, c) for b, c in got).get(clamp_bucket) == 1  # only 1e30
+
+
+def test_bloom_m_table_equals_fpr_model_and_query_matches_auto_m(spark):
+    """VERDICT r11 "Next #5": the sizing path is cross-engine now —
+    (a) the integer threshold table is EXACTLY the FPR-model loop's
+    decision boundary at every m (n_max passes, n_max+1 sizes up),
+    (b) the oracle row's reported m_bits equals what the production
+    bloom_auto_m picks on the same position-keyed stream, and the
+    saturation flag mirrors the warning condition."""
+    from graphview_spark.operators.sketch import (
+        BLOOM_BITS,
+        BLOOM_MAX_BITS,
+        BLOOM_TARGET_FPR,
+        bloom_auto_m,
+        bloom_m_table,
+        bloom_predicted_fpr,
+        q_sketch_bloom_autom,
+    )
+
+    table = bloom_m_table()
+    assert table[0][0] == BLOOM_BITS and table[-1][0] == BLOOM_MAX_BITS
+    for m, n_max in table:
+        assert bloom_predicted_fpr(n_max, m) <= BLOOM_TARGET_FPR
+        assert bloom_predicted_fpr(n_max + 1, m) > BLOOM_TARGET_FPR
+
+    sf = "/root/testdata/sf0.001"
+    row = q_sketch_bloom_autom(spark, sf).first()
+    from graphview_spark.session import read_table
+
+    keys = (
+        read_table(spark, sf, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+        .filter(F.col("w") != "")
+        .select(F.concat_ws(":", "doc_id", "pos").alias("k"))
+    )
+    assert bloom_auto_m(keys, "k") == row["m_bits"]
+    assert row["saturated"] == (row["est_distinct"] > table[-1][1])
