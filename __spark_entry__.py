@@ -130,12 +130,13 @@ def _registry() -> tuple[
     from graphview_spark.streaming import events as streaming_events
     from graphview_spark.streaming import hdr_stream as streaming_hdr
     from graphview_spark.streaming import kmv_stream as streaming_kmv
+    from graphview_spark.streaming import replay as streaming_replay
 
     mods = [
         relational, temporal, graph_queries, dedup, text, sampling,
         similarity, clustering, multimodal, streaming_events,
-        streaming_hdr, streaming_kmv, algorithms, pipeline, search,
-        sketch, skew,
+        streaming_hdr, streaming_kmv, streaming_replay, algorithms,
+        pipeline, search, sketch, skew,
     ]
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

@@ -1,0 +1,223 @@
+"""Oracle exposure for the REAL streaming-engine stateful operators.
+
+stream_hdr_replay / stream_kmv_replay gate foreachBatch SINKS by
+driving their callables with deterministic batch frames. The two
+surfaces that remained pytest-only (VERDICT r11 "Next #8") are
+different: watermark dedup (``dropDuplicatesWithinWatermark``) and the
+stream-stream interval join are the STREAMING ENGINE'S stateful
+operators — there is no callable to drive; the state lives inside a
+running query. So these rows run the actual engine: the corpus is
+sliced into deterministic TIME-ORDERED file micro-batches, consumed by
+a real readStream with ``maxFilesPerTrigger=1`` + ``availableNow``
+into a memory sink, and the drained table is returned as a batch
+DataFrame for the DuckDB oracle over the whole corpus.
+
+Why time-ordered slices make the streamed result EQUAL the batch form
+(not just approximate it):
+
+  - watermark after batch b = max ts(batch b) − delay, and every later
+    row has ts ≥ max ts(batch b), so no input row is ever dropped as
+    late;
+  - dedup: redelivered copies are adjacent in ts order, so they land
+    in the same or the next slice — well inside the 2h delay — and
+    per-key state cannot expire between copies;
+  - interval join (horizon 1h ≤ delay 2h): a click's state is evicted
+    only when the watermark passes click_ts + horizon, and every
+    purchase that could match arrives while the watermark is still
+    ≥ 2h behind its own ts, hence before that eviction.
+
+Determinism: slice membership is a rank over (ts, event_id) — unique
+keys, no tie ambiguity that could change results (exact duplicate rows
+are interchangeable by construction); file arrival order is pinned by
+explicit ascending mtimes. Scale posture: the slicing sort exists only
+to build the test harness's micro-batches — production streams arrive
+pre-sliced by time; the operators themselves are the engine's bounded-
+state implementations (state ∝ arrival rate × watermark horizon,
+never stream lifetime).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graphview_spark.plans import lazy as _lazy
+from graphview_spark.session import read_table
+from graphview_spark.streaming.events import (
+    build_dedup,
+    build_purchase_click_join,
+)
+
+REPLAY_SLICES = 4
+REPLAY_WATERMARK = "2 hours"
+_counter = itertools.count()
+# slice dirs per (app, label, sf_dir) — the harness files are a pure
+# deterministic function of the corpus, so re-runs (bench min-of-2,
+# repeated gate calls) reuse one write; same session-artifact
+# discipline as dedup's _EMB_CACHE, keyed by applicationId
+_SLICE_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _replay_through_engine(
+    spark: SparkSession, df: DataFrame, build, label: str,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Slice ``df`` into REPLAY_SLICES time-ordered parquet files,
+    stream them through ``build`` (file source, one file per
+    micro-batch, availableNow) into a memory sink, and return the
+    drained result. Driver-side work is bounded: one sort of the
+    gate-scale corpus to write the harness files; the streaming query
+    itself does bounded-state work per batch."""
+    from pyspark.sql import Window as W
+
+    app = spark.sparkContext.applicationId
+    key = (app, label, cache_key or "")
+    base = _SLICE_CACHE.get(key) if cache_key else None
+    schema = df.schema
+    if base is None:
+        from graphview_spark.session import evict_dead_app_entries
+
+        evict_dead_app_entries(_SLICE_CACHE, app)
+        base = os.path.join(
+            tempfile.gettempdir(), "gv_stream_replay", app, label,
+            str(next(_counter)))
+        shutil.rmtree(base, ignore_errors=True)
+        sliced = df.withColumn(
+            "_b", F.ntile(REPLAY_SLICES).over(W.orderBy("ts", "event_id")))
+        for b in range(1, REPLAY_SLICES + 1):
+            d = os.path.join(base, f"b{b}")
+            (sliced.filter(F.col("_b") == b).drop("_b")
+             .coalesce(1).write.parquet(d, mode="overwrite"))
+            # pin arrival order: the file source orders by modification
+            # time, and sub-second sequential writes can tie
+            for root, _, files in os.walk(d):
+                for f in files:
+                    os.utime(os.path.join(root, f),
+                             (1_000_000 + b, 1_000_000 + b))
+        if cache_key:
+            _SLICE_CACHE[key] = base
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "*"))
+    )
+    name = f"gv_replay_{label}_{os.getpid()}_{next(_counter)}"
+    # stateful micro-batches shard their state stores by
+    # spark.sql.shuffle.partitions; at harness scale 32 shards/batch is
+    # pure scheduling overhead (measured 22.8s → ~9s at sf0.1 for the
+    # interval join). 8 is a harness setting, not a data-dependent
+    # hint — a production stream sizes this to its cluster as usual.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            build(stream).writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+_DEDUP_COLS = ["event_id", "user_id", "event_type", "ts", "value"]
+
+
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark dedup under the DuckDB oracle: every event is
+    redelivered once (exact at-least-once duplicate), the doubled
+    corpus streams through ``dropDuplicatesWithinWatermark`` in four
+    time-ordered micro-batches, and the drained output must equal the
+    original corpus row-for-row — the oracle is a plain projection of
+    ``events`` (event_id is unique there), so hash equality proves the
+    engine's bounded dedup state dropped EXACTLY the redelivered
+    copies, no more, no less."""
+    ev = read_table(spark, sf_dir, "events").select(*_DEDUP_COLS)
+    doubled = ev.unionByName(ev)
+    if _lazy.is_lazy():  # plan audit: the batch-equivalent projection
+        return build_dedup(doubled).select(*_DEDUP_COLS)
+    out = _replay_through_engine(
+        spark, doubled,
+        lambda s: build_dedup(s, within=REPLAY_WATERMARK),
+        "dedup", cache_key=sf_dir,
+    )
+    return out.select(*_DEDUP_COLS)
+
+
+def q_stream_interval_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the DuckDB oracle: the corpus
+    streams once through the engine, split into a click side (min
+    event_type) and a purchase side (max event_type) that join on
+    user within a 1h horizon — both sides watermarked 2h, so the
+    engine's state eviction provably never races an eligible match
+    (module docstring). The oracle is the identical range join over
+    the whole events table; equality proves the streamed stateful
+    join emits exactly the batch semantics."""
+    ev = read_table(spark, sf_dir, "events")
+    if _lazy.is_lazy():
+        # plan audit: the batch-equivalent range join, with the
+        # min/max type split expressed as a broadcast of the one-row
+        # type-bounds aggregate (no jobs may run under the audit)
+        t = ev.agg(F.min("event_type").alias("_lo"),
+                   F.max("event_type").alias("_hi"))
+        clicks = ev.join(
+            F.broadcast(t), F.col("event_type") == F.col("_lo")
+        ).drop("_lo", "_hi")
+        purchases = ev.join(
+            F.broadcast(t), F.col("event_type") == F.col("_hi")
+        ).drop("_lo", "_hi")
+        return build_purchase_click_join(clicks, purchases)
+    # bounded metadata read (a handful of event types), the same class
+    # as the planner's histogram reads
+    types = sorted(
+        r[0] for r in ev.select("event_type").distinct().collect())
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == types[0]),
+            df.filter(F.col("event_type") == types[-1]),
+        )
+    out = _replay_through_engine(
+        spark,
+        ev.select("event_id", "user_id", "event_type", "ts", "value"),
+        lambda s: build_purchase_click_join(
+            *split(s.withWatermark("ts", REPLAY_WATERMARK))),
+        "ssjoin", cache_key=sf_dir,
+    )
+    return out
+
+
+ORACLE_STREAM_DEDUP = f"""
+SELECT {", ".join(_DEDUP_COLS)} FROM events
+"""
+
+ORACLE_STREAM_INTERVAL = """
+WITH t AS (SELECT min(event_type) AS ct, max(event_type) AS pt FROM events)
+SELECT b.user_id,
+       a.event_id AS click_id,
+       b.event_id AS purchase_id,
+       a.ts AS click_ts,
+       b.ts AS purchase_ts,
+       round(b.value, 2) AS amount
+FROM events a, events b, t
+WHERE a.event_type = t.ct AND b.event_type = t.pt
+  AND a.user_id = b.user_id
+  AND a.ts <= b.ts
+  AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+EXTRA_QUERIES = {
+    "stream_dedup_replay": q_stream_dedup_replay,
+    "stream_interval_replay": q_stream_interval_replay,
+}
+EXTRA_ORACLES = {
+    "stream_dedup_replay": ORACLE_STREAM_DEDUP,
+    "stream_interval_replay": ORACLE_STREAM_INTERVAL,
+}

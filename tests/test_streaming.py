@@ -389,3 +389,41 @@ def test_streaming_kmv_two_store_rollup_equals_direct(spark, tmp_path):
         assert 0 < matches < n_kept <= KMV_K
         assert 0 < est_i < est_u
         assert 0 < jm < 1000
+
+
+def test_replay_rows_equal_batch_forms(spark):
+    """The r12 oracle-exposure harness (streaming/replay.py): the
+    real-engine replay of watermark dedup and the interval join must
+    equal their batch forms at sf0.001 — the same equality the DuckDB
+    gate asserts cross-engine, checked here Spark-vs-Spark so a
+    harness regression (slice order, watermark choice, state expiry)
+    fails fast in pytest."""
+    from graphview_spark.session import read_table
+    from graphview_spark.streaming.events import (
+        build_dedup,
+        build_purchase_click_join,
+    )
+    from graphview_spark.streaming.replay import (
+        q_stream_dedup_replay,
+        q_stream_interval_replay,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_table(spark, sf, "events")
+
+    got = sorted(map(tuple, q_stream_dedup_replay(spark, sf).collect()))
+    want = sorted(map(tuple, build_dedup(
+        ev.select("event_id", "user_id", "event_type", "ts", "value")
+        .unionByName(ev.select("event_id", "user_id", "event_type",
+                               "ts", "value"))
+    ).collect()))
+    assert got == want and len(got) == ev.count()
+
+    types = sorted(r[0] for r in
+                   ev.select("event_type").distinct().collect())
+    got_j = sorted(map(tuple, q_stream_interval_replay(spark, sf).collect()))
+    want_j = sorted(map(tuple, build_purchase_click_join(
+        ev.filter(F.col("event_type") == types[0]),
+        ev.filter(F.col("event_type") == types[-1]),
+    ).collect()))
+    assert got_j == want_j and len(got_j) > 0
