@@ -1600,9 +1600,20 @@ def _closure_mass_doomed(e: DataFrame, budget: int) -> bool:
     the densest tested rung (sf3: n=60k, E≈60k → n² = 3.6e9 vs margin
     9.7e9) and farther at every smaller one. Past that scale the
     verdict may under-read, and the protection reverts to the in-loop
-    budget + next-mass probes, which bound a wrong attempt's cost by
-    construction (the measured 385 s sf3 class): the verdict is a
-    cost optimization, never the only guard."""
+    guards, which bound a wrong attempt's cost by construction: the
+    verdict is a cost optimization, never the only guard.
+
+    Round 12 — that residual claim is now MEASURED, not arithmetic
+    (VERDICT r11 "Next #7", tools/calibrate_mass.py ``hubflip``: hubs
+    placed adversarially on hash-unsampled ids, realizing the
+    |S_f|·|S_r| worst case past the bound). Both wrong-attempt regimes
+    flip the verdict (max reads 0.03× while true mass is 7.6× / 228×
+    budget) and both are bounded: at 278k edges (pred guard disengaged
+    below _PREDICT_MIN_ROWS) the attempt pays exactly ONE over-budget
+    compose — 129 s, same class as the measured sf3 385 s — before the
+    materialized budget trips; at 2.36M edges the compose-size
+    prediction bails BEFORE paying the 17-billion-pair compose, 8.4 s
+    total. Numbers in SCALECHECK.md round-12."""
     thresh = _MASS_SKIP_FRACTION * budget
     if _closure_mass_estimate(e, budget) > thresh:
         return True

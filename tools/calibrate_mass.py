@@ -80,6 +80,54 @@ def build_hubbridge(spark, pad: int, hubs: int, bridge: int):
     return bulk.unionByName(src_hub).unionByName(chain).unionByName(sink_hub)
 
 
+def build_hubflip(spark, pad: int, hubs: int):
+    """The verdict-FLIPPING regime (round 12, VERDICT r11 "Next #7"):
+    the r11 bound says max(fwd, rev) can under-read past n_src² ≳
+    1.6e5·|E| because doubly-hidden mass ≤ |S_f|·|S_r|; this family
+    REALIZES that worst case — S = T = ``hubs`` source/sink hubs
+    around one mid node (src hubs → mid → sink hubs, so hub closure
+    mass ≈ S·T), with every hub id (and the mid) placed ADVERSARIALLY
+    on hash-UNSAMPLED ids in the relevant direction, plus ``pad``
+    reach-1 bulk pairs. Every sampled seed is then a bulk node in both
+    passes, the estimates read ~0.03× budget, the verdict says
+    "attempt", and the true mass (exact by construction: pad +
+    S·(T+1) + T — no BFS needed, diameter is 2) exceeds the budget
+    manyfold. The point is NOT that the verdict fails (the bound
+    documents it can, and random placement needs the ~5%² tail this
+    placement forces); it is to MEASURE that the in-loop guards bound
+    the wrong attempt's cost — see --attempt. Returns (edges,
+    true_mass, n_src)."""
+    n_src = pad + hubs + 1        # bulk a + src hubs + mid
+    n_rev = pad + hubs + 1        # bulk b + sink hubs + mid
+    k_fwd = max(1, n_src // 256)
+    k_rev = max(1, n_rev // 256)
+
+    def pick(start: int, count: int, ks: list[int]) -> list[int]:
+        cand = spark.range(start, start + 20 * count + 20)
+        cond = F.lit(True)
+        for k in ks:
+            cond = cond & (F.pmod(F.xxhash64(F.col("id")), F.lit(k)) != 0)
+        ids = [r[0] for r in
+               cand.filter(cond).orderBy("id").limit(count).collect()]
+        assert len(ids) == count, "candidate range too small"
+        return ids
+
+    base = 3 * pad
+    mid = pick(base, 1, [k_fwd, k_rev])[0]
+    src_ids = pick(base + pad, hubs, [k_fwd])
+    sink_ids = pick(base + 2 * pad, hubs, [k_rev])
+    bulk = spark.range(pad).select(
+        (F.col("id") + 1).alias("src"),
+        (F.col("id") + pad + 1).alias("sink"))
+    src_hub = spark.createDataFrame(
+        [(i, mid) for i in src_ids], "src long, sink long")
+    sink_hub = spark.createDataFrame(
+        [(mid, i) for i in sink_ids], "src long, sink long")
+    e = bulk.unionByName(src_hub).unionByName(sink_hub)
+    t = pad + hubs * (hubs + 1) + hubs
+    return e, t, n_src
+
+
 def true_mass(e, max_depth: int = 64) -> int:
     """Exact closure pair count (cycle self-pairs included) via
     multi-source BFS — every node is its own seed; O(mass) rows.
@@ -133,11 +181,17 @@ def main() -> None:
     from graphview_spark.session import get_spark
 
     spark = get_spark("calibrate")
+    flip_true = flip_nsrc = None
     if variant == "hubbridge":
         pad = _opt("--pad", 262_144)
         hubs = _opt("--hubs", 512)
         bridge = _opt("--bridge", 64)
         e = build_hubbridge(spark, pad, hubs, bridge).distinct()
+    elif variant == "hubflip":
+        pad = _opt("--pad", 262_144)
+        hubs = _opt("--hubs", 8_192)
+        e, flip_true, flip_nsrc = build_hubflip(spark, pad, hubs)
+        e = e.distinct()
     else:
         e = build_graph(spark, sf_dir, variant).distinct()
     e = e.localCheckpoint(eager=True)
@@ -160,6 +214,7 @@ def main() -> None:
         "sf_dir": sf_dir, "variant": variant, "edges": n_e,
         **({"pad": pad, "hubs": hubs, "bridge": bridge}
            if variant == "hubbridge" else {}),
+        **({"pad": pad, "hubs": hubs} if variant == "hubflip" else {}),
         "budget": budget, "out_degree": deg_stats,
         "fwd_x_budget": round(fwd / budget, 3),
         "rev_x_budget": round(rev / budget, 3),
@@ -169,10 +224,28 @@ def main() -> None:
         else "attempt",
         **provenance(),
     }
-    if want_true:
+    if variant == "hubflip":
+        # exact by construction (diameter 2): pad + S·(T+1) + T
+        out["true_mass"] = flip_true
+        out["true_x_budget"] = round(flip_true / budget, 3)
+        out["n_src"] = flip_nsrc
+        out["bound_ratio"] = round(flip_nsrc**2 / (1.6e5 * n_e), 2)
+    elif want_true:
         t = true_mass(e)
         out["true_mass"] = t
         out["true_x_budget"] = round(t / budget, 3)
+    if "--attempt" in sys.argv:
+        # the r11 claim under measurement: when the verdict wrongly
+        # attempts, the in-loop guards (materialized budget; compose-
+        # size prediction once the frame tops _PREDICT_MIN_ROWS) bound
+        # the cost. Wall-clock the real _shortcut_closure.
+        import time
+
+        t0 = time.time()
+        _, complete = A._shortcut_closure(e)
+        out["attempt_sec"] = round(time.time() - t0, 2)
+        out["attempt_complete"] = complete
+        out["predict_guard_engaged"] = n_e >= A._PREDICT_MIN_ROWS
     print(json.dumps(out))
 
 
