@@ -62,44 +62,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # one still swept per-SF by tools/check.py. Next-oldest after this
 # round: the r2 singles (rel_scalar_subquery / rel_window_rank /
 # text_stats / sim_topk_bruteforce class, last driver rows r2).
+# Round-12 rotation (VERDICT r11 "Next #4"), 14 swaps:
+# IN — the five most-parked stalwarts the judge named (match_cte ×7,
+# graph_hits ×6, graph_weighted_paths ×6, pipeline_chunk_dedup ×6,
+# stream_trending ×7, none with a driver row since r9/r10), the four
+# oldest r2 singles (rel_scalar_subquery, rel_window_rank,
+# text_stats_quality, sim_topk — last driver rows r2), and first
+# driver rows for the five NEW r12 operators the round they shipped
+# (dedup_embed_lsh_hi — forced (15,9) LSH shape; sketch_bloom_autom —
+# the auto-sizing path; stream_kmv_rollup — two-store day rollup;
+# stream_dedup_replay / stream_interval_replay — the real-engine
+# watermark-dedup and interval-join replays).
+# OUT — every r11 rotation-in that now carries a fresh row
+# (dedup_exact/minhash_lsh/simhash/ngram_jaccard, dedup_embed_lsh —
+# the embed slot passes to lsh_hi — rel_local_supplier_volume,
+# rel_events_daily, sketch_kmv_distinct, sketch_kmv_intersect,
+# stream_hdr_replay) and the r10 rotation-ins with r10+r11 rows
+# (rel_pricing_summary, rel_shipping_priority,
+# match_customers_per_region — still smoke-run every round as
+# entry() — and match_refer_path; MATCH keeps a gate row via
+# match_cte). All 14 stay oracle-swept per-SF by tools/check.py.
 GATE_ROSTER = [
-    # relational dialect
-    "rel_local_supplier_volume", "rel_grouping_sets", "rel_lateral",
-    "rel_window_dist", "rel_distinct_agg",
+    # relational dialect (r2 singles back in)
+    "rel_scalar_subquery", "rel_window_rank", "rel_grouping_sets",
+    "rel_lateral", "rel_window_dist", "rel_distinct_agg",
     "rel_exists_semi", "rel_in_subquery", "rel_not_exists_anti",
-    "rel_pricing_summary", "rel_shipping_priority",
     # temporal / events
-    "rel_events_daily", "events_anomaly", "events_json",
-    "events_sessionize",
-    # MATCH surface
-    "match_customers_per_region", "match_refer_path",
+    "events_anomaly", "events_json", "events_sessionize",
+    # MATCH surface (stalwart back in; customers_per_region stays the
+    # per-round entry() smoke)
+    "match_cte",
     # planner statistics (sampling tables)
     "stats_sampled_degree",
-    # dedup family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embed_lsh",
-    # text analysis
-    "text_gopher", "text_dup_spans",
+    # dedup family (the NEW forced-shape LSH row takes the embed slot)
+    "dedup_embed_lsh_hi",
+    # text analysis (r2 single back in)
+    "text_stats_quality", "text_gopher", "text_dup_spans",
     # sampling
     "sample_cluster_split", "sample_weighted",
-    # similarity / ML
-    "ml_knn", "ml_rproject",
-    # sketches (KMV set-operation sketch NEW this round — first driver
-    # row the round it shipped, the r10 precedent; displaces
-    # graph_kcore ×6 and graph_node_sim ×6, both judge-swept and
-    # family-covered by graph_ktruss / the remaining 7 graph rows)
+    # similarity / ML (r2 single back in)
+    "sim_topk", "ml_knn", "ml_rproject",
+    # sketches (NEW r12: the Bloom auto-sizing path's cross-engine row)
     "sketch_distinct_hll", "sketch_hll_union", "sketch_cms_counts",
-    "sketch_cms_union", "sketch_bloom_decontam", "sketch_hdr_quantile",
-    "sketch_kmv_distinct", "sketch_kmv_intersect",
-    # streaming (oracle row for the replayed HDR rollup, new r11)
-    "stream_hdr_replay",
-    # graph algorithms
-    "graph_ppr", "graph_closeness",
+    "sketch_cms_union", "sketch_bloom_decontam", "sketch_bloom_autom",
+    "sketch_hdr_quantile",
+    # streaming (three NEW r12 rows: two-store KMV day rollup; the
+    # real-engine watermark-dedup and interval-join replays; plus the
+    # parked stalwart stream_trending back in)
+    "stream_kmv_rollup", "stream_dedup_replay", "stream_interval_replay",
+    "stream_trending",
+    # graph algorithms (parked stalwarts hits/weighted_paths back in)
+    "graph_hits", "graph_weighted_paths", "graph_ppr", "graph_closeness",
     "graph_ktruss", "graph_scc", "graph_scc_peel", "graph_betweenness",
     "graph_betweenness_bfs",
-    # pipeline
-    "pipeline_temperature_mix", "pipeline_perplexity",
-    "pipeline_perplexity_bigram",
+    # pipeline (parked stalwart chunk_dedup back in)
+    "pipeline_chunk_dedup", "pipeline_temperature_mix",
+    "pipeline_perplexity", "pipeline_perplexity_bigram",
     # search / retrieval
     "search_chunks", "search_hybrid",
     # skew handling
