@@ -106,6 +106,7 @@ def _replay_through_engine(
         .parquet(os.path.join(base, "*"))
     )
     name = f"gv_replay_{label}_{os.getpid()}_{next(_counter)}"
+    output_mode = getattr(build, "output_mode", "append")
     # stateful micro-batches shard their state stores by
     # spark.sql.shuffle.partitions; at harness scale 32 shards/batch is
     # pure scheduling overhead (measured 22.8s → ~9s at sf0.1 for the
@@ -117,7 +118,7 @@ def _replay_through_engine(
         q = (
             build(stream).writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -194,6 +195,58 @@ def q_stream_interval_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState running
+    totals) under the DuckDB oracle — the remaining streaming surface
+    class after r11/r12 closed the sketch rollups and the engine's
+    built-in stateful ops. In update mode the kernel emits, per
+    micro-batch, one row per user PRESENT in that batch carrying the
+    running (total, count) AFTER the batch — so the drained memory
+    table is a deterministic function of the slice assignment, which
+    the oracle replicates exactly: slice = ntile(4) over (ts,
+    event_id) in BOTH engines, then per-(user, present-slice)
+    cumulative sums. Equality proves the Arrow-batched state kernel
+    (state carry, per-batch accumulation, emit discipline) against
+    plain SQL, row for row."""
+    from graphview_spark.streaming.events import build_running_totals
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    if _lazy.is_lazy():
+        # plan audit: the batch-equivalent aggregate of the final state
+        return (
+            ev.groupBy("user_id")
+            .agg(F.round(F.sum("value"), 2).alias("running_total"),
+                 F.count(F.lit(1)).alias("n_events"))
+        )
+
+    def build(s):
+        return build_running_totals(s)
+
+    build.output_mode = "update"
+    out = _replay_through_engine(spark, ev, build, "state", cache_key=sf_dir)
+    return out.select("user_id", "running_total", "n_events")
+
+
+ORACLE_STREAM_STATE = f"""
+WITH sliced AS (
+  SELECT user_id, value,
+         ntile({REPLAY_SLICES}) OVER (ORDER BY ts, event_id) AS b
+  FROM events
+),
+g AS (
+  SELECT user_id, b, sum(value) AS sv, count(*) AS c
+  FROM sliced GROUP BY user_id, b
+)
+SELECT user_id,
+       round(sum(sv) OVER (PARTITION BY user_id ORDER BY b
+                           ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       (sum(c) OVER (PARTITION BY user_id ORDER BY b
+                     ROWS UNBOUNDED PRECEDING))::BIGINT AS n_events
+FROM g
+"""
+
+
 ORACLE_STREAM_DEDUP = f"""
 SELECT {", ".join(_DEDUP_COLS)} FROM events
 """
@@ -216,8 +269,10 @@ WHERE a.event_type = t.ct AND b.event_type = t.pt
 EXTRA_QUERIES = {
     "stream_dedup_replay": q_stream_dedup_replay,
     "stream_interval_replay": q_stream_interval_replay,
+    "stream_state_replay": q_stream_state_replay,
 }
 EXTRA_ORACLES = {
     "stream_dedup_replay": ORACLE_STREAM_DEDUP,
     "stream_interval_replay": ORACLE_STREAM_INTERVAL,
+    "stream_state_replay": ORACLE_STREAM_STATE,
 }

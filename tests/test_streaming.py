@@ -427,3 +427,38 @@ def test_replay_rows_equal_batch_forms(spark):
         ev.filter(F.col("event_type") == types[-1]),
     ).collect()))
     assert got_j == want_j and len(got_j) > 0
+
+
+def test_state_replay_matches_sliced_batch_form(spark):
+    """stream_state_replay's emit-set contract, Spark-vs-Spark: the
+    update-mode kernel emits one row per (user, present-batch) with
+    the running totals AFTER that batch — recomputable as cumulative
+    per-(user, slice) aggregates over the same ntile slice assignment
+    the harness writes."""
+    from pyspark.sql import Window as W
+
+    from graphview_spark.session import read_table
+    from graphview_spark.streaming.replay import (
+        REPLAY_SLICES,
+        q_stream_state_replay,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, q_stream_state_replay(spark, sf).collect()))
+    ev = read_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "value")
+    sliced = ev.withColumn(
+        "_b", F.ntile(REPLAY_SLICES).over(W.orderBy("ts", "event_id")))
+    g = sliced.groupBy("user_id", "_b").agg(
+        F.sum("value").alias("sv"), F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("user_id").orderBy("_b").rowsBetween(
+        W.unboundedPreceding, W.currentRow)
+    want = sorted(map(tuple, g.select(
+        "user_id",
+        F.round(F.sum("sv").over(w), 2).alias("running_total"),
+        F.sum("c").over(w).alias("n_events"),
+    ).collect()))
+    assert got == want and len(got) > 0
+    # more emits than users (multi-batch presence) — the state carried
+    users = len({r[0] for r in got})
+    assert len(got) > users
