@@ -1201,6 +1201,151 @@ def kmv_union_report(
     )
 
 
+def q_sketch_kmv_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set DIFFERENCE estimates from the same two half-corpus sketches
+    as q_sketch_kmv_intersect — the theta-sketch A-not-B operation:
+    "how many tokens are NEW in this snapshot, how many were DROPPED?"
+    is the question an incremental ingest asks between days, and KMV
+    answers it from two ≤ KMV_K-row sketches without an exact anti
+    join. only_a = union-sketch hashes present in A's sketch but not
+    B's (and symmetrically); est_only_a = only_a/n_kept · est(|A ∪ B|)
+    — same single-division estimator discipline as the intersection,
+    so DuckDB replicates every value bit-for-bit. Exact when the union
+    fits the sketch. Identity matches + only_a + only_b = n_kept holds
+    by construction (each union hash is in at least one side's sketch).
+    """
+    from pyspark.sql import Window as W
+
+    tok = _tokens(spark, sf_dir).withColumn(
+        "half", (F.col("doc_id") % 2).cast("int"))
+    sk = kmv_sketch(tok, ["half"], "w")
+    a = sk.filter(F.col("half") == 0).select("h")
+    b = sk.filter(F.col("half") == 1).select("h")
+    union_sk = (
+        a.unionByName(b).distinct()
+        .withColumn("_r", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("_r") <= KMV_K)
+        .select(F.col("h").alias("hu"))
+    )
+    flagged = (
+        union_sk
+        .join(a.select(F.col("h").alias("hu"), F.lit(1).alias("_ina")),
+              "hu", "left")
+        .join(b.select(F.col("h").alias("hu"), F.lit(1).alias("_inb")),
+              "hu", "left")
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("hu").alias("_hk"),
+        F.sum(
+            F.when(F.col("_ina").isNotNull() & F.col("_inb").isNull(),
+                   F.lit(1)).otherwise(F.lit(0))
+        ).alias("only_a"),
+        F.sum(
+            F.when(F.col("_inb").isNotNull() & F.col("_ina").isNull(),
+                   F.lit(1)).otherwise(F.lit(0))
+        ).alias("only_b"),
+    )
+    est_union = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float((KMV_K - 1) * _KMV_DOMAIN)) / F.col("_hk").cast("double")
+    )
+    return agg.select(
+        "n_kept",
+        "only_a",
+        "only_b",
+        F.round(est_union, 0).cast("long").alias("est_union"),
+        F.round(
+            F.col("only_a").cast("double") / F.col("n_kept") * est_union, 0
+        ).cast("long").alias("est_only_a"),
+        F.round(
+            F.col("only_b").cast("double") / F.col("n_kept") * est_union, 0
+        ).cast("long").alias("est_only_b"),
+    )
+
+
+def kmv_pairwise_report(sk: DataFrame, group_col: str) -> DataFrame:
+    """All-pairs overlap matrix from ONE per-group KMV sketch store:
+    for every unordered group pair (s1 < s2), the union-sketch
+    estimates of |A ∪ B|, |A ∩ B| and Jaccard — the cross-SOURCE
+    overlap report a data card wants ("which crawls duplicate each
+    other?") computed entirely in sketch space. The input store is
+    ≤ KMV_K rows per group; the pair expansion carries each sketch
+    into its S−1 pairs, so the whole report is O(S² · k) sketch rows —
+    quadratic in the number of GROUPS, never touching the corpus
+    (for very large S, pre-filter the pair table to candidates). Same
+    estimator discipline as kmv_union_report, so the DuckDB oracle
+    matches bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    g = F.col(group_col)
+    srcs = sk.select(g.alias("s")).distinct()
+    pairs = (
+        srcs.select(F.col("s").alias("s1"))
+        .join(srcs.select(F.col("s").alias("s2")), F.col("s1") < F.col("s2"))
+    )
+    a = sk.select(g.alias("s1"), "h")
+    b = sk.select(g.alias("s2"), "h")
+    sides = (
+        pairs.join(a, "s1")
+        .select("s1", "s2", "h", F.lit(1).alias("ina"), F.lit(0).alias("inb"))
+        .unionByName(
+            pairs.join(b, "s2")
+            .select("s1", "s2", "h",
+                    F.lit(0).alias("ina"), F.lit(1).alias("inb"))
+        )
+    )
+    memb = sides.groupBy("s1", "s2", "h").agg(
+        F.max("ina").alias("ina"), F.max("inb").alias("inb")
+    )
+    union_sk = (
+        memb.withColumn(
+            "_r",
+            F.row_number().over(W.partitionBy("s1", "s2").orderBy("h")),
+        )
+        .filter(F.col("_r") <= KMV_K)
+    )
+    agg = union_sk.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("_hk"),
+        F.sum(
+            F.when((F.col("ina") == 1) & (F.col("inb") == 1), F.lit(1))
+            .otherwise(F.lit(0))
+        ).alias("matches"),
+    )
+    est_union = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float((KMV_K - 1) * _KMV_DOMAIN)) / F.col("_hk").cast("double")
+    )
+    return agg.select(
+        "s1",
+        "s2",
+        "n_kept",
+        "matches",
+        F.round(est_union, 0).cast("long").alias("est_union"),
+        F.round(
+            F.col("matches").cast("double") / F.col("n_kept") * est_union, 0
+        ).cast("long").alias("est_intersection"),
+        F.expr("CAST(matches * 1000 AS BIGINT) div n_kept")
+        .alias("jaccard_milli"),
+    )
+
+
+def q_sketch_kmv_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the source×source token-overlap matrix (all 190
+    unordered pairs of the 20 synthetic sources at gate scale) from
+    one per-source KMV sketch pass over the corpus. The corpus is
+    read ONCE (explode + hash + the WindowGroupLimit top-k per
+    source); everything after is sketch-sized."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return kmv_pairwise_report(kmv_sketch(tok, ["source"], "w"), "source")
+
+
 def _sql_kmv_hash(var: str) -> str:
     """DuckDB mirror of _hash60 (the dedup module's digit-fold idiom
     applied to md5({var}))."""
@@ -1253,6 +1398,97 @@ agg AS (SELECT count(*) AS n_kept, max(h) AS hk,
                  AS matches
         FROM fl)
 SELECT n_kept, matches,
+       round(CASE WHEN n_kept < {k} THEN n_kept::DOUBLE
+                  ELSE {numer!r}::DOUBLE / hk::DOUBLE END, 0)::BIGINT
+         AS est_union,
+       round(matches::DOUBLE / n_kept
+             * CASE WHEN n_kept < {k} THEN n_kept::DOUBLE
+                    ELSE {numer!r}::DOUBLE / hk::DOUBLE END, 0)::BIGINT
+         AS est_intersection,
+       (matches * 1000 // n_kept)::BIGINT AS jaccard_milli
+FROM agg
+"""
+
+
+def _sql_kmv_diff() -> str:
+    """DuckDB mirror of q_sketch_kmv_diff: the intersect oracle's CTE
+    chain with an A-not-B / B-not-A final aggregate."""
+    k = KMV_K
+    numer = float((KMV_K - 1) * _KMV_DOMAIN)
+    return f"""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+tk AS (SELECT * FROM tok WHERE w <> ''),
+hh AS (SELECT DISTINCT (doc_id % 2)::INT AS half, {_sql_kmv_hash('w')} AS h
+       FROM tk),
+r AS (SELECT half, h,
+             row_number() OVER (PARTITION BY half ORDER BY h) AS rn
+      FROM hh),
+sk AS (SELECT half, h FROM r WHERE rn <= {k}),
+u AS (SELECT DISTINCT h FROM sk),
+ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u),
+usk AS (SELECT h FROM ur WHERE rn <= {k}),
+fl AS (
+  SELECT usk.h,
+         (SELECT count(*) FROM sk WHERE sk.half = 0 AND sk.h = usk.h) AS ina,
+         (SELECT count(*) FROM sk WHERE sk.half = 1 AND sk.h = usk.h) AS inb
+  FROM usk
+),
+agg AS (SELECT count(*) AS n_kept, max(h) AS hk,
+               sum(CASE WHEN ina > 0 AND inb = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS only_a,
+               sum(CASE WHEN inb > 0 AND ina = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS only_b
+        FROM fl)
+SELECT n_kept, only_a, only_b,
+       round(CASE WHEN n_kept < {k} THEN n_kept::DOUBLE
+                  ELSE {numer!r}::DOUBLE / hk::DOUBLE END, 0)::BIGINT
+         AS est_union,
+       round(only_a::DOUBLE / n_kept
+             * CASE WHEN n_kept < {k} THEN n_kept::DOUBLE
+                    ELSE {numer!r}::DOUBLE / hk::DOUBLE END, 0)::BIGINT
+         AS est_only_a,
+       round(only_b::DOUBLE / n_kept
+             * CASE WHEN n_kept < {k} THEN n_kept::DOUBLE
+                    ELSE {numer!r}::DOUBLE / hk::DOUBLE END, 0)::BIGINT
+         AS est_only_b
+FROM agg
+"""
+
+
+def _sql_kmv_pairwise() -> str:
+    """DuckDB mirror of q_sketch_kmv_pairwise: per-source sketches,
+    unordered pair table, per-pair union sketch + membership flags."""
+    k = KMV_K
+    numer = float((KMV_K - 1) * _KMV_DOMAIN)
+    return f"""
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+tk AS (SELECT * FROM tok WHERE w <> ''),
+hh AS (SELECT DISTINCT source, {_sql_kmv_hash('w')} AS h FROM tk),
+r AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM hh),
+sk AS (SELECT source, h FROM r WHERE rn <= {k}),
+pairs AS (SELECT a.s AS s1, b.s AS s2
+          FROM (SELECT DISTINCT source AS s FROM sk) a
+          JOIN (SELECT DISTINCT source AS s FROM sk) b ON a.s < b.s),
+memb AS (SELECT p.s1, p.s2, s.h,
+                max(CASE WHEN s.source = p.s1 THEN 1 ELSE 0 END) AS ina,
+                max(CASE WHEN s.source = p.s2 THEN 1 ELSE 0 END) AS inb
+         FROM pairs p
+         JOIN sk s ON s.source = p.s1 OR s.source = p.s2
+         GROUP BY p.s1, p.s2, s.h),
+usk AS (SELECT * FROM (
+          SELECT s1, s2, h, ina, inb,
+                 row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+          FROM memb)
+        WHERE rn <= {k}),
+agg AS (SELECT s1, s2, count(*) AS n_kept, max(h) AS hk,
+               sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS matches
+        FROM usk GROUP BY s1, s2)
+SELECT s1, s2, n_kept, matches,
        round(CASE WHEN n_kept < {k} THEN n_kept::DOUBLE
                   ELSE {numer!r}::DOUBLE / hk::DOUBLE END, 0)::BIGINT
          AS est_union,
@@ -1326,6 +1562,8 @@ EXTRA_QUERIES = {
     "sketch_hdr_union": q_sketch_hdr_union,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
     "sketch_kmv_intersect": q_sketch_kmv_intersect,
+    "sketch_kmv_diff": q_sketch_kmv_diff,
+    "sketch_kmv_pairwise": q_sketch_kmv_pairwise,
 }
 EXTRA_ORACLES = {
     "sketch_distinct_hll": _sql_hll(group_by_half=False),
@@ -1344,4 +1582,6 @@ EXTRA_ORACLES = {
     "sketch_hdr_union": _sql_hdr(),
     "sketch_kmv_distinct": _sql_kmv(),
     "sketch_kmv_intersect": _sql_kmv(intersect=True),
+    "sketch_kmv_diff": _sql_kmv_diff(),
+    "sketch_kmv_pairwise": _sql_kmv_pairwise(),
 }

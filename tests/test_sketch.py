@@ -626,3 +626,76 @@ def test_bloom_m_table_equals_fpr_model_and_query_matches_auto_m(spark):
     )
     assert bloom_auto_m(keys, "k") == row["m_bits"]
     assert row["saturated"] == (row["est_distinct"] > table[-1][1])
+
+
+def test_kmv_diff_partitions_the_union_and_tracks_truth(spark, sf_dir):
+    """A-not-B: every union-sketch hash is in at least one side's
+    sketch, so matches + only_a + only_b == n_kept exactly; and the
+    difference estimates must track the TRUE per-side exclusive token
+    counts within the sketch error band."""
+    from graphview_spark.operators.sketch import (
+        KMV_K,
+        _tokens,
+        q_sketch_kmv_diff,
+        q_sketch_kmv_intersect,
+    )
+
+    got = q_sketch_kmv_diff(spark, sf_dir).first()
+    inter = q_sketch_kmv_intersect(spark, sf_dir).first()
+    assert got["n_kept"] == inter["n_kept"]
+    assert inter["matches"] + got["only_a"] + got["only_b"] == got["n_kept"]
+    assert got["est_union"] == inter["est_union"]
+
+    tok = _tokens(spark, sf_dir).withColumn(
+        "half", (F.col("doc_id") % 2).cast("int"))
+    a = tok.filter("half = 0").select("w").distinct()
+    b = tok.filter("half = 1").select("w").distinct()
+    only_a = a.exceptAll(a.intersect(b)).count()
+    only_b = b.exceptAll(a.intersect(b)).count()
+    union = a.unionByName(b).distinct().count()
+    tol = 4.0 / (KMV_K - 2) ** 0.5
+    assert abs(got["est_only_a"] - only_a) <= max(union * tol, 50), (
+        got["est_only_a"], only_a)
+    assert abs(got["est_only_b"] - only_b) <= max(union * tol, 50), (
+        got["est_only_b"], only_b)
+
+
+def test_kmv_pairwise_exact_below_k_and_consistent_with_union_report(spark):
+    """Three small token sets (each far below KMV_K) with constructed
+    overlaps: the pairwise matrix must be EXACT (sketches hold the
+    whole sets) and must agree pair-for-pair with kmv_union_report
+    run on the split stores."""
+    from graphview_spark.operators.sketch import (
+        kmv_pairwise_report,
+        kmv_sketch,
+        kmv_union_report,
+    )
+
+    # s0 = 0..99, s1 = 50..149 (|∩|=50), s2 = 200..219 (disjoint)
+    rows = (
+        [("s0", str(i)) for i in range(100)]
+        + [("s1", str(i)) for i in range(50, 150)]
+        + [("s2", str(i)) for i in range(200, 220)]
+    )
+    df = spark.createDataFrame(rows, ["g", "w"])
+    sk = kmv_sketch(df, ["g"], "w")
+    out = {
+        (r["s1"], r["s2"]): r
+        for r in kmv_pairwise_report(sk, "g").collect()
+    }
+    assert set(out) == {("s0", "s1"), ("s0", "s2"), ("s1", "s2")}
+    r01 = out[("s0", "s1")]
+    assert (r01["est_union"], r01["est_intersection"]) == (150, 50)
+    assert r01["jaccard_milli"] == 50 * 1000 // 150
+    assert out[("s0", "s2")]["est_intersection"] == 0
+    assert out[("s1", "s2")]["est_intersection"] == 0
+    assert out[("s0", "s2")]["est_union"] == 120
+
+    for (g1, g2), r in out.items():
+        ref = kmv_union_report(
+            sk.filter(F.col("g") == g1), sk.filter(F.col("g") == g2), []
+        ).first()
+        assert (r["n_kept"], r["matches"], r["est_union"],
+                r["est_intersection"], r["jaccard_milli"]) == (
+            ref["n_kept"], ref["matches"], ref["est_union"],
+            ref["est_intersection"], ref["jaccard_milli"])
