@@ -95,11 +95,13 @@ def main() -> None:
     # tools/check.py) to keep wall-clock inside the driver's budget and
     # totals comparable round-over-round — none were in the r2/r3
     # headline set: multimodal is the sanctioned Arrow/Python path,
-    # sample_split is a trivial map-only bucketing, ml_kmeans and the
-    # four base graph algorithms are multi-iteration driver loops whose
-    # plans are audited in PLANS.md.
+    # sample_split is a trivial map-only bucketing, ml_kmeans (and
+    # ml_pq_topk, which embeds the same fused Lloyd loop to train its
+    # codebooks) and the four base graph algorithms are multi-iteration
+    # driver loops whose plans are audited in PLANS.md.
     exclude = (
-        "mm_", "sample_split", "ml_kmeans", "graph_pagerank",
+        "mm_", "sample_split", "ml_kmeans", "ml_pq_topk",
+        "graph_pagerank",
         "graph_components", "graph_shortest_paths", "graph_triangles",
     )
     qs = dict(entry.queries())

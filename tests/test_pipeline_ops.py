@@ -449,3 +449,83 @@ def test_weighted_sample_plan_uses_window_group_limit(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"))
     assert "WindowGroupLimit" in plan
+
+
+def test_pq_fused_loop_equals_per_subspace_kmeans(spark):
+    """The extra=("m",) fused Lloyd loop must produce exactly the
+    codes an independent per-slice kmeans run produces — the
+    regression guard for the one-pass-per-iteration PQ trainer."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graphview_spark.operators.clustering import (
+        PQ_M,
+        PQ_SUBDIM,
+        kmeans,
+        pq_train_encode,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(64)], i % 3)
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, label int")
+    codes, book = pq_train_encode(emb)
+    got = {r["vec_id"]: [r[f"c{m}"] for m in range(PQ_M)]
+           for r in codes.collect()}
+    for m in range(PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v"),
+            "label",
+        )
+        assigned, cent = kmeans(sub)
+        for r in assigned.collect():
+            assert got[r["vec_id"]][m] == r["cluster"], (m, r["vec_id"])
+        want = {(r["cluster"], tuple(r["c"])) for r in cent.collect()}
+        have = {
+            (r["cluster"], tuple(r["c"]))
+            for r in book.filter(F.col("m") == m).collect()
+        }
+        assert want == have, m
+
+
+def test_pq_adc_exact_when_vectors_sit_on_centroids(spark):
+    """When every vector IS one of two prototypes, the codebooks
+    converge onto the prototypes and the ADC distance equals the TRUE
+    squared distance — the sharp case that pins the LUT lookup + sum
+    against plain vector math."""
+    from graphview_spark.operators.clustering import _sq_dist
+    import graphview_spark.operators.clustering as C
+    from pyspark.sql import functions as F
+
+    proto_a = [float(i % 5) for i in range(64)]
+    proto_b = [float((i % 5) + 10) for i in range(64)]
+    rows = [
+        (i, proto_a if i % 2 == 0 else proto_b, i % 2) for i in range(12)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, label int")
+    codes, book = C.pq_train_encode(emb)
+    qdf = emb.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    # true squared distance between the two prototypes
+    true_d2 = sum((a - b) ** 2 for a, b in zip(proto_a, proto_b))
+    lut = (
+        qdf.select("q_id", C._subspace_rows(F.col("qv")).alias("s"))
+        .select("q_id", F.col("s.m").alias("m"), F.col("s.v").alias("qs"))
+        .join(F.broadcast(book), "m")
+        .select("q_id", "m", "cluster",
+                _sq_dist(F.col("qs"), F.col("c")).alias("d"))
+    )
+    # each query (a prototype) hits d=0 LUTs for its own codeword and
+    # true_d2 summed across subspaces for the other
+    sums = (
+        lut.groupBy("q_id", "cluster")
+        .agg(F.sum("d").alias("dsum")).collect()
+    )
+    ds = sorted({round(r["dsum"], 6) for r in sums})
+    assert ds == [0.0, round(true_d2, 6)], ds
