@@ -1162,6 +1162,125 @@ GROUP BY doc_id, source
 """
 
 
+# --------------------------------------------------------------------------
+# incremental near-dup ingest — the production shape of MinHash dedup:
+# a NEW batch of documents is checked against the PERSISTED signature
+# index of everything already accepted, and each new doc gets an
+# accept/reject verdict (plus its best index match). The streaming
+# ingest-rejection operator (tests/test_dedup_stream.py) runs exactly
+# this body per micro-batch; this batch row gives that mechanism its
+# cross-engine oracle. Fixture split: even doc_ids = the index, odd
+# doc_ids = the arriving batch.
+#
+# Scale shape: the index side is signatures ONLY (never text) — at
+# 100 TB it is a bucketed parquet artifact keyed by band key, so the
+# candidate join shuffles just the batch's short (doc_id, band, bkey)
+# rows against co-located index bands; the exact-Jaccard verify then
+# touches only colliding pairs. Nothing here is corpus × corpus.
+# --------------------------------------------------------------------------
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-new-doc verdict: (doc_id, is_dup, matched_id, jaccard) for
+    every odd-doc_id document, where matched_id is the best (highest
+    rounded Jaccard, lowest id) even-doc_id match at T=0.7 via the
+    4×4 band shape — NULL when the doc clears the index."""
+    from pyspark.sql import Window as W
+
+    sigs = cached_signatures(spark, sf_dir)
+    rows = N_PERM // N_BANDS
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_keys_col(N_BANDS, rows))
+    ).select("doc_id", F.col("pos").alias("band"), F.col("col").alias("bkey"))
+    idx_b = bands.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("doc_idx"), "band", "bkey")
+    new_b = bands.filter(F.col("doc_id") % 2 == 1)
+    cands = (
+        new_b.join(idx_b, ["band", "bkey"])
+        .select("doc_id", "doc_idx")
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "hs")
+    verified = (
+        cands
+        .join(sh.select(F.col("doc_id"), F.col("hs").alias("sh_n")),
+              "doc_id")
+        .join(sh.select(F.col("doc_id").alias("doc_idx"),
+                        F.col("hs").alias("sh_i")),
+              "doc_idx")
+        .withColumn("jaccard",
+                    F.round(_jaccard(F.col("sh_n"), F.col("sh_i")), 3))
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("doc_idx").asc())
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("doc_idx").alias("matched_id"), "jaccard")
+    )
+    newdocs = (
+        read_spread(spark, sf_dir, "documents", "doc_id")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+    )
+    return (
+        newdocs.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("matched_id").isNotNull().alias("is_dup"),
+            "matched_id",
+            "jaccard",
+        )
+    )
+
+
+def _oracle_incremental() -> str:
+    rows = N_PERM // N_BANDS
+    sig_exprs = ",\n  ".join(
+        f"list_min(list_transform(hs, h -> ({a} * (h % {_MINHASH_MASK}) + {b}) "
+        f"% {MINHASH_P})) AS sig_{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"sig_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(N_BANDS)
+    )
+    jac = _SQL_JACCARD.format(a="x.hs", b="y.hs")
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, {_sql_shingles()} AS shw FROM docs),
+shn AS (SELECT doc_id,
+        list_distinct(list_transform(shw, s -> {_sql_hex15_to_int()})) AS hs
+        FROM sh WHERE len(shw) > 0),
+sigs AS (SELECT doc_id, hs, {sig_exprs} FROM shn),
+bands AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS doc_idx
+  FROM bands n JOIN bands i ON n.band = i.band AND n.bkey = i.bkey
+  WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0),
+ver AS (
+  SELECT c.doc_id, c.doc_idx, round({jac}, 3) AS jaccard
+  FROM cands c JOIN shn x ON x.doc_id = c.doc_id
+               JOIN shn y ON y.doc_id = c.doc_idx
+  WHERE round({jac}, 3) >= {MINHASH_JACCARD_T}),
+best AS (
+  SELECT doc_id, doc_idx, jaccard FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY jaccard DESC, doc_idx ASC) AS rn
+    FROM ver)
+  WHERE rn = 1)
+SELECT d.doc_id, b.doc_idx IS NOT NULL AS is_dup,
+       b.doc_idx AS matched_id, b.jaccard
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+WHERE d.doc_id % 2 = 1
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1186,6 +1305,7 @@ EXTRA_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embed_lsh": q_dedup_embed_lsh,
     "dedup_embed_lsh_hi": q_dedup_embed_lsh_hi,
+    "dedup_incremental": q_dedup_incremental,
 }
 EXTRA_ORACLES = {
     "dedup_simhash": _oracle_simhash(),
@@ -1193,4 +1313,5 @@ EXTRA_ORACLES = {
     # same exact oracle: the forced (15, 9) shape must be result-
     # invariant — that equality IS the row's claim
     "dedup_embed_lsh_hi": ORACLE_DEDUP_EMBED_LSH,
+    "dedup_incremental": _oracle_incremental(),
 }

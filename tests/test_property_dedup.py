@@ -254,3 +254,39 @@ def test_embed_forced_shape_is_result_invariant(spark):
             emb, 0.99, shape=(15, 9), **kw).collect())
     assert got_hi == got_default
     assert len(got_hi) >= 40  # every clone pair found at both shapes
+
+
+def test_incremental_verdicts_agree_with_pair_graph(spark, sf_dir):
+    """Every T=0.7 verified pair that straddles the index/batch split
+    must flag its odd (batch) doc as a duplicate, the reported best
+    match must itself be a verified pair at least as similar, and docs
+    with no straddling pair must come back clean — the incremental
+    ingest operator is exactly the cross-half slice of the symmetric
+    pair graph."""
+    from pyspark.sql import functions as F
+
+    from graphview_spark.operators.dedup import (
+        q_dedup_incremental,
+        q_dedup_minhash_lsh,
+    )
+
+    verdicts = {r["doc_id"]: r
+                for r in q_dedup_incremental(spark, sf_dir).collect()}
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).collect()
+    straddle: dict[int, list[tuple[int, float]]] = {}
+    for p in pairs:
+        a, b, j = p["doc_a"], p["doc_b"], p["jaccard"]
+        for new, idx in ((a, b), (b, a)):
+            if new % 2 == 1 and idx % 2 == 0:
+                straddle.setdefault(new, []).append((idx, j))
+    for new, matches in straddle.items():
+        v = verdicts[new]
+        assert v["is_dup"], new
+        best_j = max(j for _, j in matches)
+        assert v["jaccard"] >= best_j, (new, v["jaccard"], best_j)
+        assert (v["matched_id"], v["jaccard"]) in [
+            (i, j) for i, j in matches] or v["jaccard"] > best_j
+    for doc_id, v in verdicts.items():
+        if doc_id not in straddle:
+            assert not v["is_dup"], doc_id
+            assert v["matched_id"] is None and v["jaccard"] is None
