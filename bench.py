@@ -99,8 +99,14 @@ def main() -> None:
     # ml_pq_topk, which embeds the same fused Lloyd loop to train its
     # codebooks) and the four base graph algorithms are multi-iteration
     # driver loops whose plans are audited in PLANS.md.
+    # dedup_embed_lsh_hi re-runs dedup_embed_lsh's computation under a
+    # deliberately mis-sized (15, 9) shape to prove result-invariance —
+    # a correctness fixture (16s at sf0.1 measuring an artificial shape
+    # mismatch), not a performance surface; the honest LSH cost is the
+    # benched dedup_embed_lsh entry.
     exclude = (
         "mm_", "sample_split", "ml_kmeans", "ml_pq_topk",
+        "dedup_embed_lsh_hi",
         "graph_pagerank",
         "graph_components", "graph_shortest_paths", "graph_triangles",
     )

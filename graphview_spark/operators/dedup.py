@@ -1185,9 +1185,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     every odd-doc_id document, where matched_id is the best (highest
     rounded Jaccard, lowest id) even-doc_id match at T=0.7 via the
     4×4 band shape — NULL when the doc clears the index."""
+    sigs = cached_signatures(spark, sf_dir)
+    newdocs = (
+        read_spread(spark, sf_dir, "documents", "doc_id")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+    )
+    return incremental_verdicts(sigs, newdocs)
+
+
+def incremental_verdicts(sigs: DataFrame, newdocs: DataFrame) -> DataFrame:
+    """Core of :func:`q_dedup_incremental` over any signature store —
+    also what the plan audit builds from the un-checkpointed lineage."""
     from pyspark.sql import Window as W
 
-    sigs = cached_signatures(spark, sf_dir)
     rows = N_PERM // N_BANDS
     bands = sigs.select(
         "doc_id", F.posexplode(band_keys_col(N_BANDS, rows))
@@ -1218,11 +1229,6 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("doc_idx").alias("matched_id"), "jaccard")
-    )
-    newdocs = (
-        read_spread(spark, sf_dir, "documents", "doc_id")
-        .filter(F.col("doc_id") % 2 == 1)
-        .select("doc_id")
     )
     return (
         newdocs.join(best, "doc_id", "left")

@@ -679,6 +679,130 @@ FROM s GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Distribution-drift monitor (PSI — population stability index, the
+# standard "did this week's corpus shift?" alarm a continuously-fed
+# training pipeline runs between snapshots before retraining). The two
+# snapshots here are the even/odd doc_id halves (the repo's standard
+# day-0/day-1 fixture split); the monitored statistic is the per-lang
+# document-length distribution over fixed integer buckets
+# (min(n_chars div 256, 15) — pure integer math, no log-scale bucket
+# edges whose floor(log2) could flip cross-engine at exact powers).
+#
+# PSI = Σ (p_i − q_i)·ln(p_i/q_i) over buckets present in BOTH
+# snapshots; buckets that appear or vanish are reported as separate
+# integer milli-mass columns instead of being epsilon-smoothed into
+# the sum — no ε constant to disagree about, and "3% of day-1 mass
+# sits in buckets day-0 never had" is the actionable alarm anyway.
+# Determinism: every count/total is exact integer; each PSI term is
+# snapped to integer MICRO units after one ln of a ratio of
+# exactly-representable integer products (the perplexity exposure
+# class), so the per-lang sum is exact integer arithmetic.
+#
+# Scale: one map-only bucket projection + one map-side-combinable
+# (lang, bucket, half) count — the corpus is touched once, everything
+# after is ≤ langs × 16 rows.
+# --------------------------------------------------------------------------
+
+DRIFT_BUCKET_W = 256    # n_chars per bucket
+DRIFT_BUCKETS = 16      # buckets 0..15, top bucket open-ended
+
+
+def q_pipeline_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language drift report between the even (baseline) and odd
+    (candidate) corpus halves: (lang, n_common, psi_micro,
+    new_mass_milli, gone_mass_milli)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("doc_id") % 2).cast("int").alias("half"),
+        F.least(
+            F.lit(DRIFT_BUCKETS - 1),
+            F.expr(f"n_chars div {DRIFT_BUCKET_W}"),
+        ).cast("int").alias("bucket"),
+    )
+    cnt = (
+        docs.groupBy("lang", "bucket")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    tot = cnt.groupBy("lang").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    j = cnt.join(tot, "lang").filter((F.col("ta") > 0) & (F.col("tb") > 0))
+    p_a = F.col("ca").cast("double") / F.col("ta").cast("double")
+    p_b = F.col("cb").cast("double") / F.col("tb").cast("double")
+    ratio = (F.col("ca") * F.col("tb")).cast("double") / (
+        F.col("cb") * F.col("ta")).cast("double")
+    term = F.round((p_a - p_b) * F.log(ratio) * F.lit(1000000.0), 0).cast(
+        "long")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum(
+                F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0)
+            ).alias("n_common"),
+            F.sum(
+                F.when((F.col("ca") > 0) & (F.col("cb") > 0), term)
+                .otherwise(F.lit(0))
+            ).alias("psi_micro"),
+            F.sum(F.when(F.col("ca") == 0, F.col("cb")).otherwise(0))
+            .alias("_new"),
+            F.sum(F.when(F.col("cb") == 0, F.col("ca")).otherwise(0))
+            .alias("_gone"),
+            F.max("ta").alias("_ta"),
+            F.max("tb").alias("_tb"),
+        )
+        .select(
+            "lang",
+            "n_common",
+            "psi_micro",
+            F.expr("CAST(_new * 1000 AS BIGINT) div _tb")
+            .alias("new_mass_milli"),
+            F.expr("CAST(_gone * 1000 AS BIGINT) div _ta")
+            .alias("gone_mass_milli"),
+        )
+    )
+
+
+def _oracle_drift() -> str:
+    w, nb = DRIFT_BUCKET_W, DRIFT_BUCKETS
+    return f"""
+WITH d AS (
+  SELECT lang, (doc_id % 2)::INT AS half,
+         least({nb - 1}, n_chars // {w})::INT AS bucket
+  FROM documents
+),
+cnt AS (
+  SELECT lang, bucket,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+  FROM d GROUP BY lang, bucket
+),
+tot AS (SELECT lang, sum(ca) AS ta, sum(cb) AS tb FROM cnt GROUP BY lang),
+j AS (
+  SELECT c.lang, c.ca, c.cb, t.ta, t.tb,
+         CASE WHEN c.ca > 0 AND c.cb > 0 THEN
+           round((c.ca::DOUBLE / t.ta::DOUBLE - c.cb::DOUBLE / t.tb::DOUBLE)
+                 * ln((c.ca * t.tb)::DOUBLE / (c.cb * t.ta)::DOUBLE)
+                 * 1000000.0)::BIGINT
+         ELSE 0 END AS term
+  FROM cnt c JOIN tot t USING (lang)
+  WHERE t.ta > 0 AND t.tb > 0
+)
+SELECT lang,
+       sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_common,
+       sum(CASE WHEN ca > 0 AND cb > 0 THEN term ELSE 0 END)::BIGINT
+         AS psi_micro,
+       (sum(CASE WHEN ca = 0 THEN cb ELSE 0 END) * 1000 // max(tb))::BIGINT
+         AS new_mass_milli,
+       (sum(CASE WHEN cb = 0 THEN ca ELSE 0 END) * 1000 // max(ta))::BIGINT
+         AS gone_mass_milli
+FROM j GROUP BY lang
+"""
+
+
 QUERIES = {
     "pipeline_decontam": q_pipeline_decontam,
     "pipeline_pack": q_pipeline_pack,
@@ -702,9 +826,11 @@ EXTRA_QUERIES = {
     "pipeline_perplexity_bigram": q_pipeline_perplexity_bigram,
     "pipeline_temperature_mix": q_pipeline_temperature_mix,
     "pipeline_perplexity": q_pipeline_perplexity,
+    "pipeline_drift": q_pipeline_drift,
 }
 EXTRA_ORACLES = {
     "pipeline_perplexity_bigram": ORACLE_PIPELINE_PERPLEXITY_BIGRAM,
     "pipeline_temperature_mix": _oracle_temperature_mix(),
     "pipeline_perplexity": ORACLE_PIPELINE_PERPLEXITY,
+    "pipeline_drift": _oracle_drift(),
 }

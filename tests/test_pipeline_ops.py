@@ -529,3 +529,48 @@ def test_pq_adc_exact_when_vectors_sit_on_centroids(spark):
     )
     ds = sorted({round(r["dsum"], 6) for r in sums})
     assert ds == [0.0, round(true_d2, 6)], ds
+
+
+def test_pipeline_drift_matches_hand_computed_psi(spark):
+    """Constructed two-snapshot corpus with known bucket counts: the
+    PSI sum, the common-bucket count and the appeared/vanished milli
+    masses must equal the hand-computed values."""
+    import math
+
+    from graphview_spark.operators.pipeline import (
+        DRIFT_BUCKET_W,
+        q_pipeline_drift,
+    )
+
+    # lang 'xx': baseline (even ids) has buckets 0×4, 1×4, 2×2;
+    # candidate (odd ids) has buckets 0×2, 1×6, 3×2 — bucket 2 vanishes,
+    # bucket 3 appears, buckets 0/1 are common.
+    w = DRIFT_BUCKET_W
+    spec = [(0, 0), (0, 0), (0, 0), (0, 0), (0, 1), (0, 1),
+            (0, 2), (0, 2), (0, 2), (0, 2),
+            (1, 0), (1, 0), (1, 1), (1, 1), (1, 1),
+            (1, 1), (1, 1), (1, 1), (1, 3), (1, 3)]
+    rows = []
+    for i, (half, bucket) in enumerate(spec):
+        doc_id = 2 * i + half  # parity encodes the half
+        rows.append((doc_id, "xx", "s", bucket * w + 5, "t"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long, text string")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["lang"]: r for r in q_pipeline_drift(spark, d).collect()}["xx"]
+
+    # ca = {0:4, 1:2, 2:4}? — recount from spec: half0 buckets
+    ca = {0: 4, 1: 2, 2: 4}
+    cb = {0: 2, 1: 6, 3: 2}
+    ta, tb = 10, 10
+    psi = 0
+    for b in (0, 1):
+        pa, pb = ca[b] / ta, cb[b] / tb
+        psi += round((pa - pb) * math.log((ca[b] * tb) / (cb[b] * ta))
+                     * 1000000.0)
+    assert got["n_common"] == 2
+    assert got["psi_micro"] == psi, (got["psi_micro"], psi)
+    assert got["new_mass_milli"] == cb[3] * 1000 // tb
+    assert got["gone_mass_milli"] == ca[2] * 1000 // ta
