@@ -145,6 +145,7 @@ def _registry() -> tuple[
         temporal,
         text,
     )
+    from graphview_spark.streaming import drift_stream as streaming_drift
     from graphview_spark.streaming import events as streaming_events
     from graphview_spark.streaming import hdr_stream as streaming_hdr
     from graphview_spark.streaming import kmv_stream as streaming_kmv
@@ -153,8 +154,8 @@ def _registry() -> tuple[
     mods = [
         relational, temporal, graph_queries, dedup, text, sampling,
         similarity, clustering, multimodal, streaming_events,
-        streaming_hdr, streaming_kmv, streaming_replay, algorithms,
-        pipeline, search, sketch, skew,
+        streaming_hdr, streaming_kmv, streaming_drift, streaming_replay,
+        algorithms, pipeline, search, sketch, skew,
     ]
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

@@ -708,6 +708,16 @@ DRIFT_BUCKET_W = 256    # n_chars per bucket
 DRIFT_BUCKETS = 16      # buckets 0..15, top bucket open-ended
 
 
+def drift_bucket(n_chars: Column) -> Column:
+    """The monitored statistic's integer bucket id (composable Column
+    form of the query's `n_chars div 256`; exact because the width is
+    a power of two, so the double division is a pure exponent shift)."""
+    return F.least(
+        F.lit(DRIFT_BUCKETS - 1),
+        F.floor(n_chars.cast("long") / F.lit(DRIFT_BUCKET_W)),
+    ).cast("int")
+
+
 def q_pipeline_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language drift report between the even (baseline) and odd
     (candidate) corpus halves: (lang, n_common, psi_micro,
@@ -727,6 +737,13 @@ def q_pipeline_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
         )
     )
+    return drift_report(cnt)
+
+
+def drift_report(cnt: DataFrame) -> DataFrame:
+    """PSI report from a joined (lang, bucket, ca, cb) count table —
+    also what the streaming drift rollup feeds from its two bounded
+    bucket-count stores."""
     tot = cnt.groupBy("lang").agg(
         F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
     j = cnt.join(tot, "lang").filter((F.col("ta") > 0) & (F.col("tb") > 0))

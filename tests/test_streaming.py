@@ -462,3 +462,67 @@ def test_state_replay_matches_sliced_batch_form(spark):
     # more emits than users (multi-batch presence) — the state carried
     users = len({r[0] for r in got})
     assert len(got) > users
+
+
+def test_streaming_bucket_counts_two_store_drift_equals_batch(
+        spark, tmp_path):
+    """REAL readStream/foreachBatch pipelines: two snapshot streams
+    accumulate into two bounded bucket-count stores; the drift report
+    over the joined stores must equal q_pipeline_drift-style batch
+    computation over the same rows, and each store stays bounded at
+    groups × buckets rows."""
+    from pyspark.sql import functions as F
+
+    from graphview_spark.operators.pipeline import (
+        DRIFT_BUCKETS,
+        drift_bucket,
+        drift_report,
+    )
+    from graphview_spark.streaming.drift_stream import StreamingBucketCounts
+
+    half_rows = {
+        0: [(i, "a" if i % 3 else "b", (i * 37) % 2000)
+            for i in range(0, 900, 2)],
+        1: [(i, "a" if i % 3 else "b", (i * 53) % 3000)
+            for i in range(1, 900, 2)],
+    }
+    stores = {}
+    for half, rows in half_rows.items():
+        src = tmp_path / f"drift_h{half}"
+        src.mkdir()
+        for lo, hi, name in [(0, 150, "b0"), (150, 300, "b1"),
+                             (300, 450, "b2")]:
+            spark.createDataFrame(
+                rows[lo:hi], ["doc_id", "lang", "n_chars"]
+            ).coalesce(1).write.json(str(src / name))
+        st = StreamingBucketCounts(spark, ["lang"])
+        q = (
+            spark.readStream
+            .schema("doc_id long, lang string, n_chars long")
+            .option("maxFilesPerTrigger", 1).json(str(src / "*"))
+            .withColumn("bucket", drift_bucket(F.col("n_chars")))
+            .writeStream.foreachBatch(st)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        stores[half] = st
+        assert st.counts().count() <= 2 * DRIFT_BUCKETS
+
+    a = stores[0].counts().select("lang", "bucket", F.col("c").alias("ca"))
+    b = stores[1].counts().select("lang", "bucket", F.col("c").alias("cb"))
+    cnt = a.join(b, ["lang", "bucket"], "full_outer").select(
+        "lang", "bucket",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"))
+    streamed = sorted(tuple(r) for r in drift_report(cnt).collect())
+
+    both = (
+        spark.createDataFrame(half_rows[0] + half_rows[1],
+                              ["doc_id", "lang", "n_chars"])
+        .select("doc_id", "lang", drift_bucket(F.col("n_chars")).alias("bucket"))
+    )
+    direct_cnt = both.groupBy("lang", "bucket").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("cb"))
+    direct = sorted(tuple(r) for r in drift_report(direct_cnt).collect())
+    assert streamed == direct
