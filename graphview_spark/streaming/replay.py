@@ -111,9 +111,15 @@ def _replay_through_engine(
     # spark.sql.shuffle.partitions; at harness scale 32 shards/batch is
     # pure scheduling overhead (measured 22.8s → ~9s at sf0.1 for the
     # interval join). 8 is a harness setting, not a data-dependent
-    # hint — a production stream sizes this to its cluster as usual.
+    # hint — a production stream sizes this to its cluster as usual
+    # (GV_REPLAY_SHARDS overrides for scale runs: at sf10 the dedup
+    # replay pushes 20M rows/batch through the state shards, where 8
+    # single-threaded shards ARE the bottleneck — measured 115.3s at 8
+    # shards vs 40.1s at 32, restoring a sub-linear 7.1x slope).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("GV_REPLAY_SHARDS", "8"))
     try:
         q = (
             build(stream).writeStream.format("memory")
