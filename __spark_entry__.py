@@ -82,11 +82,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # match_customers_per_region — still smoke-run every round as
 # entry() — and match_refer_path; MATCH keeps a gate row via
 # match_cte). All 14 stay oracle-swept per-SF by tools/check.py.
+# Round-12 late addendum (same discipline, 6 swaps): the session's six
+# NEW operators take first driver rows the round they ship —
+# sketch_kmv_diff (theta A-not-B), sketch_kmv_pairwise (source-overlap
+# matrix), ml_pq_topk (product quantization + ADC), dedup_incremental
+# (batch-vs-index ingest), pipeline_drift (PSI monitor),
+# stream_drift_replay (two-store drift rollup) — displacing the six
+# rel_ dialect entries with the longest unbroken driver-row streaks
+# (rel_grouping_sets, rel_lateral, rel_window_dist, rel_distinct_agg,
+# rel_exists_semi, rel_in_subquery — consecutive r5-r11 rows; all six
+# stay oracle-swept per-SF by tools/check.py).
 GATE_ROSTER = [
     # relational dialect (r2 singles back in)
-    "rel_scalar_subquery", "rel_window_rank", "rel_grouping_sets",
-    "rel_lateral", "rel_window_dist", "rel_distinct_agg",
-    "rel_exists_semi", "rel_in_subquery", "rel_not_exists_anti",
+    "rel_scalar_subquery", "rel_window_rank",
+    "rel_not_exists_anti",
+    # round-12 new operators (first driver rows)
+    "sketch_kmv_diff", "sketch_kmv_pairwise", "ml_pq_topk",
+    "dedup_incremental", "pipeline_drift", "stream_drift_replay",
     # temporal / events
     "events_anomaly", "events_json", "events_sessionize",
     # MATCH surface (stalwart back in; customers_per_region stays the

@@ -182,6 +182,30 @@ def run_pipeline(spark, sf_dir: str) -> dict[str, DataFrame]:
 
     stages["length_report"] = hdr_quantiles(
         hdr_buckets(docs, ["lang"], "n_chars"), ["lang"])
+
+    # 8c. pipeline-exit drift check: PSI between the RAW corpus's and
+    #     the final train set's per-language length distributions —
+    #     "how much did cleaning + sampling shift what the model will
+    #     see?" (large psi_micro on a language = the pipeline reshaped
+    #     it, worth a look before training)
+    from graphview_spark.operators.pipeline import drift_bucket, drift_report
+
+    raw_cnt = (
+        stages["raw"]
+        .select("lang", drift_bucket(F.col("n_chars")).alias("bucket"))
+        .groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("ca"))
+    )
+    fin_cnt = (
+        docs.select("lang", drift_bucket(F.col("n_chars")).alias("bucket"))
+        .groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("cb"))
+    )
+    stages["drift_report"] = drift_report(
+        raw_cnt.join(fin_cnt, ["lang", "bucket"], "full_outer").select(
+            "lang", "bucket",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
     return stages
 
 

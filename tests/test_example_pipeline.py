@@ -89,3 +89,28 @@ def test_pipeline_e2e_round7_stages(spark):
     for r in lengths:
         assert 0 < r["p50_micro"] <= r["p90_micro"] <= r["p99_micro"]
         assert r["p99_micro"] <= max_chars[r["lang"]] * 1_000_000
+
+
+def test_pipeline_e2e_drift_report_stage(spark):
+    """The exit drift report covers every language that survived to
+    the train set, with sane shapes: PSI is non-negative-summable
+    integer micros (can be large — the token-budget cap reshapes
+    lengths on purpose), masses are in [0, 1000], and a language's
+    common-bucket count never exceeds the bucket space."""
+    from examples.pipeline_e2e import run_pipeline
+    from graphview_spark.operators.pipeline import DRIFT_BUCKETS
+
+    stages = run_pipeline(spark, "/root/testdata/sf0.001")
+    rows = stages["drift_report"].collect()
+    langs_final = {
+        r["lang"]
+        for r in stages["token_budget"].select("lang").distinct().collect()
+    }
+    assert langs_final <= {r["lang"] for r in rows}
+    for r in rows:
+        assert 0 <= r["n_common"] <= DRIFT_BUCKETS
+        assert 0 <= r["new_mass_milli"] <= 1000
+        assert 0 <= r["gone_mass_milli"] <= 1000
+        # every PSI term (p-q)·ln(p/q) is ≥ 0 (factors share sign), so
+        # the rounded-term sum is too
+        assert r["psi_micro"] >= 0
