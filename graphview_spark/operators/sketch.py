@@ -293,7 +293,16 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch for a probe set: min over the depth rows
     of each probe's cell (0 when the cell is empty — the group never
-    saw a colliding value). Returns (group..., token, est long)."""
+    saw a colliding value). Returns (group..., token, est long).
+
+    ``cells`` is pin()ned first: it is referenced twice (the group
+    scaffold's distinct and the probe join), and without the pin each
+    reference re-planned the full corpus explode+hash+aggregate (r12
+    plan audit: 4 FileScans at sketch_cms_counts). The pinned frame is
+    sketch state — ≤ depth·width rows per group — never the corpus."""
+    from graphview_spark.plans import lazy as _lazy
+
+    cells = _lazy.pin(cells)
     spark = cells.sparkSession
     pdf = spark.createDataFrame([(t,) for t in probes], "token string")
     coords = _cms_halved(pdf, ["token"], "token").select(
@@ -1097,29 +1106,32 @@ def q_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-sketch hashes present in BOTH sides; est_intersection =
     matches/k · est(|A ∪ B|), jaccard_milli = ⌊1000·matches/k⌋
     (integer — no float comparison surface). Exact when the union
-    fits the sketch."""
+    fits the sketch.
+
+    The union + membership flags are ONE aggregation over the sketch
+    (groupBy(h) with per-side max), not a distinct-union re-joined
+    against each side: the join form referenced the sketch lineage four
+    times and Catalyst planned four full corpus scans (r12 plan audit:
+    8 FileScans at this query), where one is sufficient."""
     from pyspark.sql import Window as W
 
     tok = _tokens(spark, sf_dir).withColumn(
         "half", (F.col("doc_id") % 2).cast("int"))
     sk = kmv_sketch(tok, ["half"], "w")
-    a = sk.filter(F.col("half") == 0).select("h")
-    b = sk.filter(F.col("half") == 1).select("h")
-    # union sketch = k smallest of the two sketches' hash union (the
-    # values are ALREADY hashes — selecting, not re-hashing). The
-    # global window runs over ≤ 2·KMV_K rows, never data.
-    union_sk = (
-        a.unionByName(b).distinct()
-        .withColumn("_r", F.row_number().over(W.orderBy("h")))
-        .filter(F.col("_r") <= KMV_K)
-        .select(F.col("h").alias("hu"))
+    # one pass over the ≤ 2·KMV_K sketch rows: each distinct hash with
+    # its per-side membership flags (NULL when the side never kept it —
+    # same null surface the old left joins produced)
+    memb = sk.groupBy("h").agg(
+        F.max(F.when(F.col("half") == 0, F.lit(1))).alias("_ina"),
+        F.max(F.when(F.col("half") == 1, F.lit(1))).alias("_inb"),
     )
+    # union sketch = k smallest of the merged hash set (the values are
+    # ALREADY hashes — selecting, not re-hashing). The global window
+    # runs over ≤ 2·KMV_K rows, never data.
     flagged = (
-        union_sk
-        .join(a.select(F.col("h").alias("hu"), F.lit(1).alias("_ina")),
-              "hu", "left")
-        .join(b.select(F.col("h").alias("hu"), F.lit(1).alias("_inb")),
-              "hu", "left")
+        memb.withColumn("_r", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("_r") <= KMV_K)
+        .select(F.col("h").alias("hu"), "_ina", "_inb")
     )
     agg = flagged.agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -1157,23 +1169,26 @@ def kmv_union_report(
     matches/n_kept · est(|A ∪ B|), jaccard_milli integer. This is the
     day-level rollup the streaming stores promise: two snapshots'
     overlap without re-reading either snapshot — the inputs are
-    ≤ KMV_K-row stores, so the whole report is sketch-sized work."""
+    ≤ KMV_K-row stores, so the whole report is sketch-sized work.
+
+    Union + membership is ONE aggregation over the tagged union of the
+    two stores (not a distinct-union re-joined against each side, which
+    referenced each input lineage three times and made Catalyst re-plan
+    and re-run each store's build three times — r12 plan audit)."""
     from pyspark.sql import Window as W
 
-    a = sk_a.select(*group_cols, "h")
-    b = sk_b.select(*group_cols, "h")
-    union_sk = (
-        a.unionByName(b).distinct()
-        .withColumn(
+    a = sk_a.select(*group_cols, "h").withColumn("_side", F.lit(0))
+    b = sk_b.select(*group_cols, "h").withColumn("_side", F.lit(1))
+    memb = a.unionByName(b).groupBy(*group_cols, "h").agg(
+        F.max(F.when(F.col("_side") == 0, F.lit(1))).alias("_ina"),
+        F.max(F.when(F.col("_side") == 1, F.lit(1))).alias("_inb"),
+    )
+    flagged = (
+        memb.withColumn(
             "_r", F.row_number().over(
                 W.partitionBy(*group_cols).orderBy("h")))
         .filter(F.col("_r") <= KMV_K)
         .drop("_r")
-    )
-    flagged = (
-        union_sk
-        .join(a.withColumn("_ina", F.lit(1)), [*group_cols, "h"], "left")
-        .join(b.withColumn("_inb", F.lit(1)), [*group_cols, "h"], "left")
     )
     agg = flagged.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -1213,26 +1228,23 @@ def q_sketch_kmv_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     so DuckDB replicates every value bit-for-bit. Exact when the union
     fits the sketch. Identity matches + only_a + only_b = n_kept holds
     by construction (each union hash is in at least one side's sketch).
-    """
+
+    Same single-aggregation union+membership shape as
+    q_sketch_kmv_intersect (one corpus scan, not four — see its
+    docstring)."""
     from pyspark.sql import Window as W
 
     tok = _tokens(spark, sf_dir).withColumn(
         "half", (F.col("doc_id") % 2).cast("int"))
     sk = kmv_sketch(tok, ["half"], "w")
-    a = sk.filter(F.col("half") == 0).select("h")
-    b = sk.filter(F.col("half") == 1).select("h")
-    union_sk = (
-        a.unionByName(b).distinct()
-        .withColumn("_r", F.row_number().over(W.orderBy("h")))
-        .filter(F.col("_r") <= KMV_K)
-        .select(F.col("h").alias("hu"))
+    memb = sk.groupBy("h").agg(
+        F.max(F.when(F.col("half") == 0, F.lit(1))).alias("_ina"),
+        F.max(F.when(F.col("half") == 1, F.lit(1))).alias("_inb"),
     )
     flagged = (
-        union_sk
-        .join(a.select(F.col("h").alias("hu"), F.lit(1).alias("_ina")),
-              "hu", "left")
-        .join(b.select(F.col("h").alias("hu"), F.lit(1).alias("_inb")),
-              "hu", "left")
+        memb.withColumn("_r", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("_r") <= KMV_K)
+        .select(F.col("h").alias("hu"), "_ina", "_inb")
     )
     agg = flagged.agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -1276,9 +1288,18 @@ def kmv_pairwise_report(sk: DataFrame, group_col: str) -> DataFrame:
     quadratic in the number of GROUPS, never touching the corpus
     (for very large S, pre-filter the pair table to candidates). Same
     estimator discipline as kmv_union_report, so the DuckDB oracle
-    matches bit-for-bit."""
+    matches bit-for-bit.
+
+    The input sketch is pin()ned (a ≤ k·S-row materialization) before
+    the fan-out: the pair scaffold + both join sides reference it five
+    times, and without the pin Catalyst planned the full corpus
+    scan+hash+top-k lineage at every reference (r12 plan audit: 12
+    FileScans at the gate query, where one is sufficient)."""
     from pyspark.sql import Window as W
 
+    from graphview_spark.plans import lazy as _lazy
+
+    sk = _lazy.pin(sk.select(F.col(group_col).alias(group_col), "h"))
     g = F.col(group_col)
     srcs = sk.select(g.alias("s")).distinct()
     pairs = (
