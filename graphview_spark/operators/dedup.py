@@ -76,18 +76,24 @@ def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
     """Distinct word n-gram shingles of a space-tokenized text column.
 
     Guarded so short documents yield [] (Spark's ``sequence`` would
-    otherwise emit a *descending* range when stop < start).
+    otherwise emit a *descending* range when stop < start). The split
+    array is lambda-bound via ``eval_once`` so the document is
+    tokenized once per row, not once per shingle position.
     """
-    words = F.split(text, " ")
-    return F.when(
-        F.size(words) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from graphview_spark.operators import eval_once
+
+    def _shingles(words: Column) -> Column:
+        return F.when(
+            F.size(words) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return eval_once(F.split(text, " "), _shingles)
 
 
 def _sql_shingles(n: int = SHINGLE_N) -> str:
@@ -579,6 +585,12 @@ _EMBED_LSH_SEED = 101
 EMBED_LSH_TARGET_OCC = 2       # target expected rows per sign bucket
 EMBED_LSH_MAX_BITS = 24        # 16M buckets; far past any tested rung
 _EMBED_LSH_MISS = 2e-3         # per-pair miss budget at cosine 0.99
+# rows per Arrow-batched matmul task (the coalesce target feeding the
+# bucketing pandas UDF): ~16 MB of 64-dim doubles per task, big enough
+# to amortize the per-task Python boundary, small enough that real
+# corpora still fan out wide (coalesce never splits, so this only
+# collapses tiny inputs)
+EMBED_LSH_MATMUL_ROWS = 32_768
 
 
 def _lsh_shape(max_label_rows: int | None) -> tuple[int, int]:
@@ -670,7 +682,15 @@ def _table_buckets_col(v: Column, planes: list[list[list[float]]]) -> Column:
         bk = (signs * powers).sum(axis=2).astype(np.int32)
         return pd.Series(list(bk))
 
-    return _buckets(v)
+    # non-deterministic mark (guide §4.4): consumers posexplode this
+    # column, and Generate(outer=false) lets the optimizer INFER a
+    # `size(udf(v)) > 0 AND isnotnull(udf(v))` filter which it then
+    # pushes below the union/scan — re-evaluating the matmul once per
+    # copy (measured: THREE ArrowEvalPython nodes for one call site,
+    # 14.2s vs 0.4s for the bucketing pass at sf0.1). The function is
+    # pure; the mark only forbids the optimizer from duplicating or
+    # reordering it.
+    return _buckets.asNondeterministic()(v)
 
 
 def embed_cosine_pairs(
@@ -707,13 +727,18 @@ def embed_cosine_pairs(
     is ≥ 1-1e-6; tests/test_dedup.py asserts LSH ≡ exact on such a
     fixture.
 
-    ``stats`` = (max label rows, data dim), if the caller already knows
-    them (e.g. from the per-corpus stat cache — see q_dedup_embed_cosine):
-    routing then costs NOTHING. Otherwise one map-side-combinable
-    aggregate probes both. When every label fits under
-    ``label_threshold`` the _lbl_n bookkeeping join is skipped entirely
-    — the all-small case (the common one at gate scale) runs the exact
-    leg straight over ``emb``.
+    ``stats`` = (max label rows, data dim) or the richer
+    (max label rows, MIN label rows, data dim, total rows), if the
+    caller already knows them (e.g. from the per-corpus stat cache —
+    see q_dedup_embed_cosine): routing then costs NOTHING. Otherwise
+    one map-side-combinable aggregate probes all four. When every label
+    fits under ``label_threshold`` the _lbl_n bookkeeping join is
+    skipped entirely — the all-small case (the common one at gate
+    scale) runs the exact leg straight over ``emb``; symmetrically,
+    when the MIN label size already exceeds the threshold (the
+    clone-union gate queries, or a uniformly dense corpus) EVERY label
+    routes big, so the sizes join, the pin and the empty exact leg are
+    all skipped and the LSH leg runs straight over ``emb``.
 
     ``shape`` pins the LSH leg's (bits, tables) instead of deriving it
     from the stats — the hook that lets a GATE-SCALE corpus drive the
@@ -733,18 +758,22 @@ def embed_cosine_pairs(
     # frame. Under lazy plan inspection there is no materialized frame
     # to probe, so BOTH legs build (mx=None) — the worst-case plan is
     # what gets audited.
-    mx = data_dim = None
+    mx = mn = data_dim = n_rows = None
     if stats is not None:
-        mx, data_dim = stats
+        if len(stats) == 4:
+            mx, mn, data_dim, n_rows = stats
+        else:  # legacy (max label rows, dim) hint — min/total unknown
+            mx, data_dim = stats
     elif not _lazy.is_lazy():
         row = (
             emb.groupBy("label")
             .agg(F.count(F.lit(1)).alias("_n"),
                  F.max(F.size("v")).alias("_d"))
-            .agg(F.max("_n"), F.max("_d"))
+            .agg(F.max("_n"), F.min("_n"), F.max("_d"), F.sum("_n"))
             .first()
         )
-        mx, data_dim = row[0] or 0, row[1]
+        mx, mn = row[0] or 0, row[1] or 0
+        data_dim, n_rows = row[2], row[3] or 0
     if label_threshold is None:
         # exact contract: every label takes the exact leg, no stats
         # consulted, no LSH leg even under lazy plan audit
@@ -761,6 +790,9 @@ def embed_cosine_pairs(
     elif mx is not None and mx <= label_threshold:
         # all labels small: no _lbl_n join, no pin, exact leg only
         small, big = emb, None
+    elif mn is not None and mn > label_threshold:
+        # all labels big: no _lbl_n join, no pin, no (empty) exact leg
+        small, big = None, emb
     else:
         sizes = emb.groupBy("label").agg(
             F.count(F.lit(1)).alias("_lbl_n"))
@@ -771,25 +803,28 @@ def embed_cosine_pairs(
     cosine = dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
 
     # exact leg: chunk-salted within-label self-join (parallelism =
-    # label_count × EMBED_CHUNKS shuffle cells instead of label_count)
-    a = small.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("nv").alias("na"), "label",
-        F.pmod(F.col("vec_id"), F.lit(EMBED_CHUNKS)).alias("chunk"),
-    )
-    b = small.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("nv").alias("nb"), "label",
-    ).withColumn(
-        "chunk", F.explode(F.sequence(F.lit(0), F.lit(EMBED_CHUNKS - 1)))
-    )
-    exact = (
-        a.join(b, ["label", "chunk"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(cosine, 4))
-        .filter(F.col("cosine") >= cosine_t)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    # label_count × EMBED_CHUNKS shuffle cells instead of label_count);
+    # skipped outright when the stats prove every label routes big
+    exact = None
+    if small is not None:
+        a = small.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+            F.col("nv").alias("na"), "label",
+            F.pmod(F.col("vec_id"), F.lit(EMBED_CHUNKS)).alias("chunk"),
+        )
+        b = small.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+            F.col("nv").alias("nb"), "label",
+        ).withColumn(
+            "chunk", F.explode(F.sequence(F.lit(0), F.lit(EMBED_CHUNKS - 1)))
+        )
+        exact = (
+            a.join(b, ["label", "chunk"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cosine", F.round(cosine, 4))
+            .filter(F.col("cosine") >= cosine_t)
+            .select("vec_a", "vec_b", "cosine")
+        )
     if big is None or (mx is not None and mx <= label_threshold):
         return exact
 
@@ -798,12 +833,29 @@ def embed_cosine_pairs(
     # stays O(1) as labels grow (mx=None under lazy audit → default).
     bits, tables = shape if shape is not None else _lsh_shape(mx)
     planes = _embed_lsh_planes(dim, bits, tables)
-    keyed = big.select(
+    # right-size the Arrow-batched matmul's task count to the data: the
+    # pandas-UDF boundary costs ~10-15ms per task regardless of rows, so
+    # a tiny corpus spread over defaultParallelism scan partitions pays
+    # pure overhead (64 × ~60-row tasks measured 0.9s vs 0.3s at sf0.1).
+    # coalesce() never INCREASES partitions, so at scale — where
+    # rows/EMBED_LSH_MATMUL_ROWS exceeds the scan's partition count —
+    # this is a no-op and the scan parallelism stands (guide §2/§4:
+    # scale-adaptive, not tuned to either rung).
+    src = big
+    if n_rows is not None and n_rows > 0:
+        src = big.coalesce(
+            max(1, -(-int(n_rows) // EMBED_LSH_MATMUL_ROWS)))
+    keyed = src.select(
         "vec_id", "label", _table_buckets_col(F.col("v"), planes).alias("_bk")
     ).select(
         "vec_id", "label",
         F.posexplode("_bk").alias("_table", "_bucket"),
     )
+    # pin before the self-join: both join sides would otherwise
+    # re-evaluate the ArrowEvalPython matmul subtree (measured 3.4s vs
+    # 0.55s for the candidate stage at sf0.1) — the keyed frame is
+    # ids-only (4 narrow columns × rows·tables), never the vectors
+    keyed = _lazy.pin(keyed)
     cand = (
         keyed.alias("x")
         .join(
@@ -832,22 +884,24 @@ def embed_cosine_pairs(
         .filter(F.col("cosine") >= cosine_t)
         .select("vec_a", "vec_b", "cosine")
     )
-    return exact.unionByName(approx)
+    return approx if exact is None else exact.unionByName(approx)
 
 
-# (max label rows, data dim) per (app, corpus dir) — the same session
-# cache discipline as _SIG_CACHE: computed once, reused by every
+# (max label rows, min label rows, data dim, total rows) per (app,
+# corpus dir) — the same session cache discipline as _SIG_CACHE:
+# computed once (one map-side-combinable aggregate), reused by every
 # embed-routing consumer, keyed by applicationId so a new session never
 # trusts a dead session's numbers.
-_EMB_STAT_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
+_EMB_STAT_CACHE: dict[tuple[str, str], tuple[int, int, int, int]] = {}
 
 
 def _embed_stats(spark: SparkSession, sf_dir: str,
-                 emb: DataFrame) -> tuple[int, int] | None:
-    """Cached (max label rows, embedding dim) for a corpus dir — makes
-    embed_cosine_pairs' small-label routing FREE on every call after the
-    first. None under lazy plan inspection (no jobs may run; the callee
-    then builds the worst-case both-legs plan for the audit)."""
+                 emb: DataFrame) -> tuple[int, int, int, int] | None:
+    """Cached (max label rows, min label rows, embedding dim, total
+    rows) for a corpus dir — makes embed_cosine_pairs' label routing
+    FREE on every call after the first. None under lazy plan inspection
+    (no jobs may run; the callee then builds the worst-case both-legs
+    plan for the audit)."""
     from graphview_spark.plans import lazy as _lazy
 
     if _lazy.is_lazy():
@@ -862,10 +916,10 @@ def _embed_stats(spark: SparkSession, sf_dir: str,
             emb.groupBy("label")
             .agg(F.count(F.lit(1)).alias("_n"),
                  F.max(F.size("v")).alias("_d"))
-            .agg(F.max("_n"), F.max("_d"))
+            .agg(F.max("_n"), F.min("_n"), F.max("_d"), F.sum("_n"))
             .first()
         )
-        st = (row[0] or 0, row[1])
+        st = (row[0] or 0, row[1] or 0, row[2], row[3] or 0)
         _EMB_STAT_CACHE[key] = st
     return st
 
@@ -950,7 +1004,8 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     st = _embed_stats(spark, sf_dir, emb)
-    stats = (2 * st[0], st[1]) if st is not None else None
+    # clone-union doubles every label count and the total exactly
+    stats = (2 * st[0], 2 * st[1], st[2], 2 * st[3]) if st else None
     return embed_cosine_pairs(
         doubled, EMBED_LSH_GATE_T, label_threshold=16, stats=stats)
 
@@ -983,7 +1038,7 @@ def q_dedup_embed_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     st = _embed_stats(spark, sf_dir, emb)
-    stats = (2 * st[0], st[1]) if st is not None else None
+    stats = (2 * st[0], 2 * st[1], st[2], 2 * st[3]) if st else None
     return embed_cosine_pairs(
         doubled, EMBED_LSH_GATE_T, label_threshold=16, stats=stats,
         shape=_lsh_shape(EMBED_LSH_HI_LABEL_ROWS))

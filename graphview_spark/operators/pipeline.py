@@ -44,17 +44,23 @@ MIX_BUCKETS = 1000        # acceptance-hash granularity
 
 def _word_ngrams(text: Column, n: int) -> Column:
     """Distinct word n-grams of a space-tokenized text column (same
-    guard as dedup.shingles_col: short docs yield [])."""
-    words = F.split(text, " ")
-    return F.when(
-        F.size(words) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    guard as dedup.shingles_col: short docs yield []). The split array
+    is lambda-bound via ``eval_once`` so the document is tokenized once
+    per row, not once per n-gram position."""
+    from graphview_spark.operators import eval_once
+
+    def _grams(words: Column) -> Column:
+        return F.when(
+            F.size(words) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return eval_once(F.split(text, " "), _grams)
 
 
 def _sql_word_ngrams(n: int) -> str:
@@ -332,15 +338,24 @@ def q_pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key before the shuffle) → join the winners back on the hash → one
     shuffle on doc_id to reassemble in position order. Returns
     (doc_id, n_chunks, n_kept, clean_text)."""
-    docs = read_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS)
-        ),
-    )
+    from graphview_spark.operators import eval_once
+    from graphview_spark.operators.dedup import read_spread
+
+    # spread: the chunking transform is the per-row-heavy pass (no-op
+    # at scale); eval_once binds the split so the document tokenizes
+    # once per row, not once per chunk slice
+    docs = read_spread(spark, sf_dir, "documents", "doc_id")
+
+    def _chunks(words: Column) -> Column:
+        n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS)
+            ),
+        )
+
+    chunks = eval_once(F.split(F.col("text"), " "), _chunks)
     exploded = docs.select(
         "doc_id", F.posexplode(chunks).alias("idx", "chunk")
     ).withColumn("h", F.md5("chunk"))
@@ -553,22 +568,32 @@ def q_pipeline_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime stats; at scale it degrades to a shuffle join on token, and
     hot stopword keys are exactly what AQE skew-join splits. The final
     per-doc aggregate shuffles once on doc_id."""
+    from graphview_spark.plans import lazy as _lazy
+
+    # NOT spread: the unigram tokenize is one plain split per row (no
+    # quadratic HOF), so a repartition would cost a text shuffle for
+    # nothing — measured 0.61s → 1.03s for the count pass at sf0.1
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # pinned: the token count table feeds BOTH the (N, V) aggregate and
+    # the scored join — unpinned, the explode+groupBy over the corpus
+    # re-ran once per reference
+    counts = _lazy.pin(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")))
     tot = counts.agg(
         F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
     )
     nll = F.round(
         -F.log((F.col("c") + 1) / (F.col("N") + F.col("V"))) * 1e6, 0
     ).cast("long")
-    scored = (
-        tok.join(counts, "token")
-        .join(F.broadcast(tot))
-        .select("doc_id", nll.alias("nll"))
-    )
+    # score the count table (one log/round per DISTINCT token — the
+    # same value each occurrence would compute), then one join onto
+    # the token stream carrying only the 8-byte nll
+    scored_counts = counts.join(F.broadcast(tot)).select(
+        "token", nll.alias("nll"))
+    scored = tok.join(scored_counts, "token").select("doc_id", "nll")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(
@@ -611,18 +636,27 @@ def q_pipeline_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-nat snap as the unigram makes the per-doc sum
     order-independent. Docs with < 2 tokens have no transitions and are
     excluded (mirrored by the oracle)."""
-    docs = read_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    from graphview_spark.operators.dedup import read_spread
+
+    # spread: the per-row transform below is the expensive part; a
+    # single-file gate-scale scan would run it on one core (read_spread
+    # is a no-op once the scan has ≥ cores splits). Staging the split
+    # array as a projected column keeps it evaluated once per row —
+    # inlined, element_at(split(text), i) re-split the document per
+    # bigram position (measured 5.0s → 0.9s for this pass at sf0.1).
+    docs = read_spread(spark, sf_dir, "documents", "doc_id")
+    w = F.col("_w")
     bigs = (
-        docs.filter(F.size(words) >= 2)
+        docs.select("doc_id", F.split("text", " ").alias("_w"))
+        .filter(F.size(w) >= 2)
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(words) - 1),
+                    F.sequence(F.lit(1), F.size(w) - 1),
                     lambda i: F.struct(
-                        F.element_at(words, i).alias("prev"),
-                        F.element_at(words, i + 1).alias("cur"),
+                        F.element_at(w, i).alias("prev"),
+                        F.element_at(w, i + 1).alias("cur"),
                     ),
                 )
             ).alias("bg"),
@@ -636,20 +670,36 @@ def q_pipeline_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # context counts, the scored join) — unmaterialized it would
     # re-tokenize the corpus three times
     bigs = _lazy.pin(bigs)
-    cb = bigs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
-    cc = bigs.groupBy("prev").agg(F.count(F.lit(1)).alias("cc"))
+    # pinned: the bigram count table feeds BOTH the scored join and the
+    # context-count derivation below — unpinned, Spark re-plans (and
+    # re-runs) the full groupBy over the stream once per reference
+    cb = _lazy.pin(
+        bigs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb")))
+    # context count = Σ_cur cb(prev, cur): derived from the bigram COUNT
+    # table instead of a second full aggregation pass over the pinned
+    # stream — the count table is the smaller frame at every scale
+    cc = cb.groupBy("prev").agg(F.sum("cb").alias("cc"))
     vocab = (
-        docs.select(F.explode(words).alias("token"))
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
         .agg(F.count_distinct("token").alias("V"))
     )
     nll = F.round(
         -F.log((F.col("cb") + 1) / (F.col("cc") + F.col("V"))) * 1e6, 0
     ).cast("long")
-    scored = (
-        bigs.join(cb, ["prev", "cur"])
-        .join(cc, "prev")
+    # score the COUNT table (one nll per DISTINCT bigram — identical
+    # value to scoring each occurrence, it is a pure function of
+    # (cb, cc, V)), then attach to the stream with a single join: the
+    # corpus-sized bigram stream used to shuffle TWICE (join on
+    # (prev, cur), re-shuffle the joined stream on prev); now the
+    # second join runs count-table vs count-table
+    scored_counts = (
+        cb.join(cc, "prev")
         .join(F.broadcast(vocab))
-        .select("doc_id", nll.alias("nll"))
+        .select("prev", "cur", nll.alias("nll"))
+    )
+    scored = (
+        bigs.join(scored_counts, ["prev", "cur"])
+        .select("doc_id", "nll")
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),

@@ -290,16 +290,23 @@ def q_text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphview_spark.operators.dedup import read_spread
 
     docs = read_spread(spark, sf_dir, "documents", "doc_id")
-    words = _words(F.col("text"))
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
+
+    # eval_once: inlined, element_at(split(text), i) re-tokenizes the
+    # document once per bigram position
+    def _bigrams(words: Column) -> Column:
+        return F.when(
+            F.size(words) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(words, i), F.element_at(words, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    from graphview_spark.operators import eval_once
+
+    bigrams = eval_once(_words(F.col("text")), _bigrams)
     return (
         docs.select(F.explode(bigrams).alias("ngram"))
         .groupBy("ngram")
@@ -450,20 +457,40 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n log n) per doc; the earlier O(distinct × n) filter-per-distinct
     form went superlinear in corpus time once sf0.1's longer documents
     arrived (SCALECHECK r4: 0.7 → 12.7 s for 10× rows)."""
-    docs = read_table(spark, sf_dir, "documents")
-    words = _words(F.col("text"))
-    n = F.size(words)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
+    from graphview_spark.operators import eval_once
+    from graphview_spark.operators.dedup import read_spread
+
+    # spread (no-op at scale): the per-row HOF pipeline below is the
+    # whole query; a single-file scan would run it on one core
+    docs = read_spread(spark, sf_dir, "documents", "doc_id")
+
+    # eval_once binds the split so all three derived columns (bigrams,
+    # token count, distinct count) tokenize the document once — and the
+    # bigram lambda stops re-splitting per position
+    def _feats(words: Column) -> Column:
+        n = F.size(words)
+        bigrams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(words, i), F.element_at(words, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    docs = docs.select("doc_id", bigrams.alias("g"), n.alias("n_words"),
-                       F.size(F.array_distinct(words)).alias("n_uniq"))
+        ).otherwise(F.array().cast("array<string>"))
+        return F.struct(
+            bigrams.alias("g"), n.alias("n_words"),
+            F.size(F.array_distinct(words)).alias("n_uniq"))
+
+    # staged projection: _f is non-cheap and referenced three times, so
+    # CollapseProject keeps the alias instead of inlining it per field
+    docs = docs.select(
+        "doc_id", eval_once(_words(F.col("text")), _feats).alias("_f")
+    ).select(
+        "doc_id", F.col("_f.g").alias("g"),
+        F.col("_f.n_words").alias("n_words"),
+        F.col("_f.n_uniq").alias("n_uniq"),
+    )
     # longest equal run in the sorted array == max multiplicity
     top_cnt = F.aggregate(
         F.array_sort(F.col("g")),
@@ -730,25 +757,28 @@ def duplicated_ngram_fraction(
     document. Boilerplate, mirrored pages and template farms score
     high; unique prose scores ~0.
 
-    Plan shape at 100 TB: one explode pass over the corpus → gram
-    doc-frequency groupBy (grams are distinct per doc, so a plain
-    COUNT is the document frequency — fully map-side combinable) → one
-    gram-keyed join back → per-doc count aggregate. Three shuffles,
-    all on high-cardinality keys; the corpus text itself never
-    shuffles, only (doc_id, gram) pairs. The ratio uses the exact
+    Plan shape at 100 TB: one explode pass over the corpus → doc
+    frequency as a gram-partitioned window count (grams are distinct
+    per doc, so a plain COUNT over the gram partition is the document
+    frequency) → per-doc count aggregate → left join onto the doc ids.
+    Two corpus-sized shuffles (gram, then doc_id), both on
+    high-cardinality keys; the corpus text itself never shuffles, only
+    (doc_id, gram) pairs. The ratio uses the exact
     integer round-half-up identity so both engines agree at halfway
     points. Returns (doc_id, n_grams, n_dup, dup_fraction, flagged)
     for every doc; gram-less docs (< n words) score 0.0."""
     from pyspark.sql import Window as W
 
     from graphview_spark.operators.pipeline import _word_ngrams
-    from graphview_spark.plans import lazy as _lazy
 
-    # pinned: BOTH the doc-frequency aggregate and the join side read
-    # the exploded grams — unmaterialized, the corpus tokenizes twice
-    grams = _lazy.pin(docs.select(
+    # NOT pinned: since the doc-frequency moved from groupBy+join-back
+    # (two readers) to a single window pass, the exploded grams have
+    # exactly one consumer — materializing them (a full write+read of
+    # the exploded corpus) bought nothing and at 100 TB would spill the
+    # whole gram stream to local disk before the first exchange
+    grams = docs.select(
         "doc_id", F.explode(_word_ngrams(F.col("text"), n)).alias("gram")
-    ))
+    )
     # doc frequency as a gram-partitioned window count: ONE shuffle on
     # gram (vs groupBy + join back = two), then the per-doc aggregate
     per_doc = (
@@ -780,7 +810,12 @@ def duplicated_ngram_fraction(
 
 
 def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    from graphview_spark.operators.dedup import read_spread
+
+    # spread: the 5-gram explode is the per-row-heavy pass; a
+    # single-file gate-scale scan would serialize it on one core
+    # (read_spread is a no-op once the scan has ≥ cores splits)
+    docs = read_spread(spark, sf_dir, "documents", "doc_id")
     return duplicated_ngram_fraction(docs)
 
 
