@@ -828,13 +828,19 @@ def label_propagation(
             .groupBy(F.col("sink").alias("__id"), "label")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        w = W.partitionBy("__id").orderBy(
-            F.col("__c").desc(), F.col("label").asc()
-        )
+        # argmax as ONE hash aggregate: min over (−count, label) structs
+        # picks the most frequent label with smallest-label tie-break —
+        # the identical total order the previous row_number window used
+        # (r12 optimization, guide §2.3/§2.4: map-side partial min over
+        # narrow structs replaces a sort-based window whose partition
+        # key differed from the count's grouping key, dropping the
+        # per-round sort and shuffling integer pairs instead of ranked
+        # rows; counts are ≥ 1 so the negation cannot overflow)
         pick = (
-            counts.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("__id", F.col("label").alias("__new"))
+            counts.groupBy("__id")
+            .agg(F.min(F.struct((-F.col("__c")).alias("__nc"),
+                                F.col("label"))).alias("__m"))
+            .select("__id", F.col("__m.label").alias("__new"))
         )
         labels = (
             labels.join(pick, labels["id"] == pick["__id"], "left")

@@ -75,18 +75,27 @@ def _assign(
     the ``extra`` keys when present — each subspace only sees its own
     codebook), argmin of the rounded squared distance, cluster-id
     tie-break."""
-    w = W.partitionBy("vec_id", *extra).orderBy(
-        F.col("d2").asc(), F.col("cluster").asc())
     joined = (
         emb.join(F.broadcast(cent), list(extra))
         if extra
         else emb.crossJoin(F.broadcast(cent))
     )
+    # argmin as ONE hash aggregate (r12 optimization, guide §2.3/§2.4):
+    # min over (d2, cluster, v) structs — comparison short-circuits at
+    # the (d2 asc, cluster asc) prefix, exactly the previous window's
+    # order ((d2, cluster) is unique per group: cluster ids are unique
+    # within a codebook), and v rides along as payload (constant per
+    # vec_id, never reached by the comparison). The map-side partial
+    # min reduces each task's vec×k candidate rows to one row per vec
+    # BEFORE the exchange — the window form shuffled and sorted all
+    # vec×k rows every Lloyd iteration.
     return (
         joined.withColumn("d2", _sq_dist(F.col("v"), F.col("c")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", *extra, "v", "cluster", "d2")
+        .groupBy("vec_id", *extra)
+        .agg(F.min(F.struct("d2", "cluster", "v")).alias("__m"))
+        .select("vec_id", *extra, F.col("__m.v").alias("v"),
+                F.col("__m.cluster").alias("cluster"),
+                F.col("__m.d2").alias("d2"))
     )
 
 

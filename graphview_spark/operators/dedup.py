@@ -1293,12 +1293,17 @@ def incremental_verdicts(sigs: DataFrame, newdocs: DataFrame) -> DataFrame:
                     F.round(_jaccard(F.col("sh_n"), F.col("sh_i")), 3))
         .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
     )
-    w = W.partitionBy("doc_id").orderBy(
-        F.col("jaccard").desc(), F.col("doc_idx").asc())
+    # best match as ONE hash aggregate (r12, guide §2.4): min over
+    # (−jaccard, doc_idx) structs is the window's exact (jaccard desc,
+    # doc_idx asc) order — (doc_id, doc_idx) pairs are unique so the
+    # order is total; jaccard ≥ T > 0 after the filter, negation exact.
+    # Map-side partial min replaces a sort window over the candidates.
     best = (
-        verified.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("doc_idx").alias("matched_id"), "jaccard")
+        verified.groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("jaccard")).alias("__nj"),
+                            F.col("doc_idx"))).alias("__m"))
+        .select("doc_id", F.col("__m.doc_idx").alias("matched_id"),
+                (-F.col("__m.__nj")).alias("jaccard"))
     )
     return (
         newdocs.join(best, "doc_id", "left")

@@ -339,15 +339,20 @@ def q_ml_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = topk.groupBy("query_id", "true_label", "label").agg(
         F.count(F.lit(1)).alias("n_votes")
     )
-    wv = W.partitionBy("query_id").orderBy(
-        F.col("n_votes").desc(), F.col("label").asc()
-    )
+    # winning label as ONE hash aggregate (r12, guide §2.4): min over
+    # (−n_votes, label) structs is the window's exact (votes desc,
+    # label asc) order — (query_id, label) rows are unique post-groupBy
+    # so the order is total. true_label is constant per query, so it
+    # joins the grouping key; map-side partial min replaces the sort
+    # window over the vote table.
     return (
-        votes.withColumn("vr", F.row_number().over(wv))
-        .filter(F.col("vr") == 1)
+        votes.groupBy("query_id", "true_label")
+        .agg(F.min(F.struct((-F.col("n_votes")).alias("__nv"),
+                            F.col("label"))).alias("__m"))
         .select(
             "query_id", "true_label",
-            F.col("label").alias("predicted_label"), "n_votes",
+            F.col("__m.label").alias("predicted_label"),
+            (-F.col("__m.__nv")).alias("n_votes"),
         )
     )
 
