@@ -638,38 +638,42 @@ def q_pipeline_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded (mirrored by the oracle)."""
     from graphview_spark.operators.dedup import read_spread
 
-    # spread: the per-row transform below is the expensive part; a
+    # spread: the per-row pass below is the expensive part; a
     # single-file gate-scale scan would run it on one core (read_spread
-    # is a no-op once the scan has ≥ cores splits). Staging the split
-    # array as a projected column keeps it evaluated once per row —
-    # inlined, element_at(split(text), i) re-split the document per
-    # bigram position (measured 5.0s → 0.9s for this pass at sf0.1).
+    # is a no-op once the scan has ≥ cores splits). The bigram array is
+    # built with NO higher-order function: any lambda (transform /
+    # eval_once) in the generator expression forces GenerateExec out of
+    # whole-stage codegen into interpreted per-row eval — measured at
+    # sf10 (noop, min-of-2, this host): staged-column + transform
+    # 79.2s, eval_once + transform 9.6s, arrays_zip(slice, slice) 2.8s
+    # — the unigram explode floor is 2.1s. arrays_zip/slice/size are
+    # plain codegen expressions (codegen CSE shares the split), so the
+    # tokenize stays fused and linear. Row identity vs the transform
+    # shape verified exceptAll both ways = 0 at sf1 and sf10.
+    # Docs with < 2 tokens yield empty zip arrays and explode drops
+    # them — identical to the previous size>=2 pre-filter.
     docs = read_spread(spark, sf_dir, "documents", "doc_id")
-    w = F.col("_w")
+    w = F.split("text", " ")
+    bg_arr = F.arrays_zip(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+    )
     bigs = (
-        docs.select("doc_id", F.split("text", " ").alias("_w"))
-        .filter(F.size(w) >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 1),
-                    lambda i: F.struct(
-                        F.element_at(w, i).alias("prev"),
-                        F.element_at(w, i + 1).alias("cur"),
-                    ),
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", F.col("bg.prev").alias("prev"),
-                F.col("bg.cur").alias("cur"))
+        docs.select("doc_id", F.explode(bg_arr).alias("bg"))
+        .select("doc_id", F.col("bg.0").alias("prev"),
+                F.col("bg.1").alias("cur"))
     )
     from graphview_spark.plans import lazy as _lazy
 
-    # pinned: the bigram stream feeds THREE consumers (bigram counts,
-    # context counts, the scored join) — unmaterialized it would
-    # re-tokenize the corpus three times
-    bigs = _lazy.pin(bigs)
+    # NOT pinned: the stream has only TWO consumers since cc moved onto
+    # the count table (r12), and the bigram stream is BIGGER in bytes
+    # than the source text (explode ≈ 2× text + struct overhead,
+    # uncompressed in checkpoint storage), so materializing it costs
+    # more than the linear eval_once tokenize it saves — measured at
+    # sf1: pin write 9.7s + two pinned reads vs 3.4s per recompute
+    # (stage probe, OPTIMIZATION_r12.md); at 100 TB the checkpoint
+    # write/read of ~3× the corpus loses to two compressed-parquet
+    # scans by the same argument.
     # pinned: the bigram count table feeds BOTH the scored join and the
     # context-count derivation below — unpinned, Spark re-plans (and
     # re-runs) the full groupBy over the stream once per reference
@@ -697,8 +701,20 @@ def q_pipeline_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(vocab))
         .select("prev", "cur", nll.alias("nll"))
     )
+    # SHUFFLE_HASH on the count-table side: the static planner otherwise
+    # picks the join's build side from SIZE ESTIMATES, and the stream's
+    # estimate is the COMPRESSED parquet size (the 31-word corpus
+    # compresses ~50x), so at sf10 it chose to BROADCAST THE BIGRAM
+    # STREAM — the driver collected 27.5M rows into a hash relation
+    # (230s, a 239s heartbeat-timeout GC freeze). The hint only fixes
+    # the build side (count table, the provably smaller frame at every
+    # scale); it asserts nothing about broadcastability, so it stays
+    # honest at 100 TB where the vocab² count table outgrows any
+    # broadcast, and AQE skew-splitting still applies to the stream's
+    # exchange. Measured sf10: 254.1s -> 26.9s full query (count
+    # protocol, same host); sf0.1 profile unchanged within noise.
     scored = (
-        bigs.join(scored_counts, ["prev", "cur"])
+        bigs.join(scored_counts.hint("shuffle_hash"), ["prev", "cur"])
         .select("doc_id", "nll")
     )
     return scored.groupBy("doc_id").agg(
