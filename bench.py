@@ -56,12 +56,18 @@ def provenance() -> dict:
     # The generated evidence files are excluded: BENCH_LOCAL.json is
     # rewritten by the very run being stamped (it would force
     # dirty=true on every settled bench), and the .md artifacts record
-    # results rather than produce them.
+    # results rather than produce them. Untracked files are excluded
+    # too (-uno): the driver drops its own BENCH_r{N}/VERIFY_r{N} JSONs
+    # next to the repo before benching, and those records cannot change
+    # what the bench computes — only a MODIFIED tracked file can
+    # (VERDICT r12 "Next #9": a clean-HEAD bench must stamp
+    # dirty=false; a modified source file must still trip it).
     artifacts = [":!BENCH_LOCAL.json", ":!CHECKS_LOCAL.md",
                  ":!PLANS.md", ":!SCALECHECK.md"]
     return {
         "head": _git("rev-parse", "--short=12", "HEAD") or "unknown",
-        "dirty": bool(_git("status", "--porcelain", "--", ".", *artifacts)),
+        "dirty": bool(_git("status", "--porcelain", "-uno", "--", ".",
+                           *artifacts)),
         "host_fingerprint": (
             f"{platform.node()}/{os.cpu_count()}cpu/{mem_gib}GiB"
         ),

@@ -1,8 +1,8 @@
-"""Dump .explain("formatted") for named queries to plans/r12/.
+"""Dump .explain("formatted") for named queries to plans/r<N>/.
 
-Usage: python tools/explain_dump.py <suffix> [query ...]
+Usage: [GV_PLANS_DIR=r13] python tools/explain_dump.py <suffix> [query ...]
 
-Writes plans/r12/<query>_<suffix>.txt for each named query (default:
+Writes plans/<GV_PLANS_DIR>/<query>_<suffix>.txt for each named query (default:
 every registered query). ``suffix`` is typically ``before`` or
 ``after``. Plans are built under lazy_plans() so checkpoint/pin call
 sites expose the full logical pipeline instead of a LogicalRDD scan —
@@ -18,7 +18,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT_DIR = os.path.join(_REPO, "plans", "r12")
+OUT_DIR = os.path.join(
+    _REPO, "plans", os.environ.get("GV_PLANS_DIR", "r13"))
 
 
 def main() -> None:
