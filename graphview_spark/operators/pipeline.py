@@ -40,6 +40,13 @@ PACK_SHARDS = 8           # parallel packing streams (per-task sort bound)
 QUANTILE_KEEP = 0.5       # keep docs at/above this per-lang score quantile
 MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
 MIX_BUCKETS = 1000        # acceptance-hash granularity
+# Measured-size broadcast gate for the bigram LM's scored count table
+# (rows counted on the PINNED cb checkpoint, never an estimate — the
+# same discipline as algorithms._LOOP_BCAST_ROWS). 1M (prev, cur, nll)
+# rows ≈ low hundreds of MB as a hash relation: safely under the 8 GB
+# broadcast cap, far above any corpus whose vocab² table should
+# shuffle instead.
+BIGRAM_BCAST_ROWS = 1_000_000
 
 
 def _word_ngrams(text: Column, n: int) -> Column:
@@ -628,14 +635,18 @@ def q_pipeline_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bigrams come straight off the split array with one map-only
     transform (no lag window, so no extra doc-keyed shuffle); counts
     are map-side-combinable groupBys joined back onto the bigram
-    stream WITHOUT broadcast hints — the bigram count table scales
+    stream without BROADCAST hints — the bigram count table scales
     super-linearly with corpus vocabulary (the worst of the LM count
-    tables at 100 TB), so the joins must be free to stay shuffle joins
-    on (prev, cur)/(prev); AQE broadcast-converts them at small SF from
-    runtime sizes. Only the 1-row V aggregate keeps a hint. The same
-    integer micro-nat snap as the unigram makes the per-doc sum
-    order-independent. Docs with < 2 tokens have no transitions and are
-    excluded (mirrored by the oracle)."""
+    tables at 100 TB), so no hint may assert it broadcastable. The
+    1-row V aggregate keeps a broadcast hint, and the scored join
+    carries a SHUFFLE_HASH build-side hint — scale-safe because it
+    only picks which side builds the hash table (the count table, the
+    provably smaller frame at every scale) and never asserts
+    broadcastability; see the in-line comment at the join for the
+    sf10 planner failure it fixes. The same integer micro-nat snap as
+    the unigram makes the per-doc sum order-independent. Docs with
+    < 2 tokens have no transitions and are excluded (mirrored by the
+    oracle)."""
     from graphview_spark.operators.dedup import read_spread
 
     # spread: the per-row pass below is the expensive part; a
@@ -701,20 +712,34 @@ def q_pipeline_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(vocab))
         .select("prev", "cur", nll.alias("nll"))
     )
-    # SHUFFLE_HASH on the count-table side: the static planner otherwise
-    # picks the join's build side from SIZE ESTIMATES, and the stream's
-    # estimate is the COMPRESSED parquet size (the 31-word corpus
-    # compresses ~50x), so at sf10 it chose to BROADCAST THE BIGRAM
-    # STREAM — the driver collected 27.5M rows into a hash relation
-    # (230s, a 239s heartbeat-timeout GC freeze). The hint only fixes
-    # the build side (count table, the provably smaller frame at every
-    # scale); it asserts nothing about broadcastability, so it stays
-    # honest at 100 TB where the vocab² count table outgrows any
-    # broadcast, and AQE skew-splitting still applies to the stream's
-    # exchange. Measured sf10: 254.1s -> 26.9s full query (count
-    # protocol, same host); sf0.1 profile unchanged within noise.
+    # Build-side choice for the scored join, r12+r13:
+    # - The static planner picks the build side from SIZE ESTIMATES,
+    #   and the stream's estimate is the COMPRESSED parquet size (the
+    #   31-word corpus compresses ~50x), so at sf10 it chose to
+    #   BROADCAST THE BIGRAM STREAM — the driver collected 27.5M rows
+    #   into a hash relation (230s, a 239s heartbeat-timeout GC
+    #   freeze). r12 fixed the build side with a SHUFFLE_HASH hint on
+    #   the count table (provably the smaller frame at every scale):
+    #   measured sf10 254.1s -> 26.9s.
+    # - r13 (VERDICT r12 "Next #2"): even with the right build side,
+    #   the SHJ still shuffles the FULL bigram stream — the residual
+    #   13.8× cost at 10× data. The count table is bounded by vocab²,
+    #   and cb is already pinned (an EAGER localCheckpoint), so its
+    #   TRUE row count is one cheap job over materialized partitions —
+    #   the same measured-size gate as algorithms._LOOP_BCAST_ROWS,
+    #   not an estimate and not a blanket hint. Below the gate the
+    #   scored count table is broadcast (the corpus-sized stream never
+    #   shuffles for the join, and the following doc_id aggregation is
+    #   map-side combined); above it — vocab² outgrowing memory at
+    #   100 TB — the r12 shuffle_hash shape stands. Under lazy_plans()
+    #   no job may run, so the audit takes the worst-case (shuffle)
+    #   branch — PLANS.md budgets stay the unmaterialized worst case.
+    if not _lazy.is_lazy() and cb.count() <= BIGRAM_BCAST_ROWS:
+        scored_counts = F.broadcast(scored_counts)
+    else:
+        scored_counts = scored_counts.hint("shuffle_hash")
     scored = (
-        bigs.join(scored_counts.hint("shuffle_hash"), ["prev", "cur"])
+        bigs.join(scored_counts, ["prev", "cur"])
         .select("doc_id", "nll")
     )
     return scored.groupBy("doc_id").agg(
