@@ -32,6 +32,11 @@ DIM = 64
 N_PLANES = 8
 ANN_COSINE_T = 0.35
 _SEED = 7
+# q_sim_topk shared-corpus pin gate: checkpoint bytes ≈ rows × ~600 B
+# (64 f64 dims + norm + ids), so 2^22 rows ≈ 2.5 GiB of executor-local
+# store — safely bounded on any worker; a 100 TB corpus falls back to
+# per-leg pruned parquet scans instead of a corpus-sized checkpoint.
+SIM_PIN_ROWS = 1 << 22
 
 
 def _planes() -> list[list[float]]:
@@ -64,23 +69,48 @@ def bucket_col(v: Column) -> Column:
 # brute-force top-k
 # --------------------------------------------------------------------------
 
-def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k neighbors for the query subset. Deterministic
-    tie-break: (rounded cosine desc, neighbor id asc)."""
-    emb = read_spread(spark, sf_dir, "embeddings", "vec_id").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+def _emb_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One normalized read of the embeddings corpus: (vec_id, v, nv,
+    label). q_sim_topk pins this ONCE and feeds every leg — brute
+    corpus, IVF centroids, IVF probe join AND both 20-row query sides —
+    so the executed plan scans the corpus a single time (VERDICT r12
+    "Next #7") instead of once per consumer, and the per-row norm
+    aggregate runs once per vector."""
+    return read_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+        "label",
     ).withColumn("nv", norm_col(F.col("v")))
-    # query side re-reads unspread: it is broadcast anyway, and routing
-    # 20 rows through a repartition exchange is a wasted stage
-    q = (
-        read_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").cast("array<double>").alias("qv"),
+
+
+def q_sim_topk_bruteforce(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for the query subset. Deterministic
+    tie-break: (rounded cosine desc, neighbor id asc). ``emb`` lets
+    q_sim_topk share one pinned normalized corpus across its legs."""
+    shared = emb is not None
+    if not shared:
+        emb = _emb_normed(spark, sf_dir)
+    if shared:
+        # the pinned frame: a 20-row filter over the checkpoint, no
+        # extra corpus scan and no repartition exchange
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
         )
-        .withColumn("nq", norm_col(F.col("qv")))
-    )
+    else:
+        # query side re-reads unspread: it is broadcast anyway, and
+        # routing 20 rows through a repartition exchange is a wasted
+        # stage
+        q = (
+            read_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < N_QUERIES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("qv"),
+            )
+            .withColumn("nq", norm_col(F.col("qv")))
+        )
     # norms are per-row columns on both join inputs — evaluated once per
     # vector (the join boundary stops projection collapse), not per pair
     cosine = dot_col(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
@@ -189,15 +219,17 @@ IVF_NPROBE = 2
 IVF_K = 3
 
 
-def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sim_ivf_topk(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None,
+) -> DataFrame:
     """IVF-style ANN: centroids = per-label mean embedding (rounded to
     6dp so the quantizer is engine-portable); each query probes its
     IVF_NPROBE nearest centroids and ranks only those labels' vectors.
     At scale the inverted lists are label-partitioned parquet — a probe
-    reads nprobe/nlist of the corpus instead of all of it."""
-    emb = read_spread(spark, sf_dir, "embeddings", "vec_id").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
-    ).withColumn("nv", norm_col(F.col("v")))
+    reads nprobe/nlist of the corpus instead of all of it. ``emb`` lets
+    q_sim_topk share one pinned normalized corpus across its legs."""
+    if emb is None:
+        emb = _emb_normed(spark, sf_dir)
     # centroid per label: element-wise mean via posexplode → regroup
     cent = (
         emb.select("label", F.posexplode("v").alias("pos", "val"))
@@ -283,10 +315,35 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged result — the exact baseline plus the nprobe/nlist scale path
     over the same query set (their agreement rate IS the recall check a
     real ANN deployment monitors)."""
-    brute = q_sim_topk_bruteforce(spark, sf_dir).withColumn(
+    from graphview_spark.plans import lazy as _lazy
+
+    # ONE corpus scan for the whole dual-method query: the normalized
+    # corpus is pinned and every leg — brute pairs, IVF centroid build,
+    # IVF probe join, both query sides — reads the checkpoint (VERDICT
+    # r12 "Next #7"): executed parquet scans 10 → 1 and the per-row
+    # norm fold runs once per vector instead of once per consumer.
+    # GATED on corpus size (same measured-size discipline as the
+    # bigram broadcast and the embed label-stats routing): a
+    # localCheckpoint materializes the corpus WITH its vectors to
+    # executor-local storage (~rows × 600 B), which is exactly the
+    # unbounded-intermediate pin the r12 bigram un-pin removed — so
+    # above SIM_PIN_ROWS each leg scans the (column-pruned,
+    # distributed) parquet itself, the shape this query shipped with.
+    # The row probe is a parquet-footer count, not a data pass. Under
+    # lazy_plans() no job may run; the audit takes the pin branch
+    # (pass-through), so the audited plan is the fully expanded
+    # worst-case pipeline (PLANS.md sim_topk budget 8).
+    if _lazy.is_lazy() or (
+        read_table(spark, sf_dir, "embeddings").count() <= SIM_PIN_ROWS
+    ):
+        emb = _lazy.pin(_emb_normed(spark, sf_dir))
+    else:
+        emb = None
+    brute = q_sim_topk_bruteforce(spark, sf_dir, emb=emb).withColumn(
         "method", F.lit("brute")
     )
-    ivf = q_sim_ivf_topk(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    ivf = q_sim_ivf_topk(spark, sf_dir, emb=emb).withColumn(
+        "method", F.lit("ivf"))
     return brute.unionByName(ivf)
 
 
