@@ -159,6 +159,22 @@ def _replay_through_engine(
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         str(_replay_shards(spark, build, total_rows)))
+    # state-store provider probe hook (VERDICT r12 "Next #4"): the
+    # default HDFSBackedStateStoreProvider keeps every shard's map on
+    # heap and pays a full-snapshot commit per batch; RocksDB commits
+    # incrementally — which side wins is rung-dependent, so the
+    # provider stays an env-selected parameter (scale runs set
+    # GV_REPLAY_STATESTORE=rocksdb; the local default is Spark's own).
+    store = os.environ.get("GV_REPLAY_STATESTORE")
+    prev_store = None
+    if store:
+        cls = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider" if store == "rocksdb" else store)
+        prev_store = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", cls)
     try:
         built = build(stream, meta) if metadata_fn is not None \
             else build(stream)
@@ -172,6 +188,9 @@ def _replay_through_engine(
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_store is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_store)
     return spark.table(name)
 
 

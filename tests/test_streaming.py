@@ -526,3 +526,21 @@ def test_streaming_bucket_counts_two_store_drift_equals_batch(
         F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("cb"))
     direct = sorted(tuple(r) for r in drift_report(direct_cnt).collect())
     assert streamed == direct
+
+
+def test_replay_statestore_provider_hook_identical(spark, monkeypatch):
+    """GV_REPLAY_STATESTORE swaps the streaming state-store provider
+    (round-13 probe hook, VERDICT r12 "Next #4"): the RocksDB provider
+    must produce the identical drained result as the default, and the
+    session conf must be restored afterwards."""
+    from graphview_spark.streaming.replay import q_stream_dedup_replay
+
+    sf = "/root/testdata/sf0.001"
+    default = q_stream_dedup_replay(spark, sf)
+    before = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    monkeypatch.setenv("GV_REPLAY_STATESTORE", "rocksdb")
+    rocks = q_stream_dedup_replay(spark, sf)
+    assert default.exceptAll(rocks).count() == 0
+    assert rocks.exceptAll(default).count() == 0
+    assert spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass") == before
