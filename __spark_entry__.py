@@ -92,46 +92,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # (rel_grouping_sets, rel_lateral, rel_window_dist, rel_distinct_agg,
 # rel_exists_semi, rel_in_subquery — consecutive r5-r11 rows; all six
 # stay oracle-swept per-SF by tools/check.py).
+# Round-13 rotation (VERDICT r12 "Next #8"), 16 swaps. The verdict
+# named the r10 trio (sketch_bloom_decontam / sketch_hdr_quantile /
+# sample_weighted) as next-oldest, but CORRECTNESS_r10–r12 show all
+# three held roster slots through r12 (fresh rows) — the actual
+# next-oldest per the committed correctness files are the r2–r5-era
+# rel_/match_/text_ entries below, so those rotate IN:
+# IN — rel_top_n_per_group (last row r2), rel_scalar_surface,
+# rel_having, rel_set_ops, rel_cte_derived, rel_semi_anti,
+# rel_subqueries, rel_rollup_distinct (r3), match_shared_nation,
+# match_urgent_orders, match_refers_2hop (r3), match_degree_cols,
+# match_join_qualified (r4), match_view_degrees (r5),
+# text_fingerprint (r3), text_normalize (r3).
+# OUT — the freshest longest-streak r12 rows: search_chunks,
+# graph_ppr, pipeline_temperature_mix (r5–r12 streaks), stream_trending,
+# match_cte, graph_hits, graph_weighted_paths (re-rowed r12),
+# events_anomaly, events_json, ml_knn, ml_rproject, text_gopher,
+# graph_closeness, graph_ktruss (r6–r12 streaks), sketch_distinct_hll,
+# sketch_hll_union (r8–r12). Every rotated-out name stays in
+# extra_queries(), in the bench, and in the tools/check.py per-SF
+# sweep; family coverage keeps ≥1 gate row each (events →
+# events_sessionize, search → search_hybrid, sketch → cms/bloom/hdr,
+# graph → scc/scc_peel/betweenness ×2).
 GATE_ROSTER = [
-    # relational dialect (r2 singles back in)
+    # relational dialect (r2/r3 parked entries back in)
     "rel_scalar_subquery", "rel_window_rank",
-    "rel_not_exists_anti",
-    # round-12 new operators (first driver rows)
+    "rel_not_exists_anti", "rel_top_n_per_group", "rel_scalar_surface",
+    "rel_having", "rel_set_ops", "rel_cte_derived", "rel_semi_anti",
+    "rel_subqueries", "rel_rollup_distinct",
+    # round-12 new operators (second driver rows)
     "sketch_kmv_diff", "sketch_kmv_pairwise", "ml_pq_topk",
     "dedup_incremental", "pipeline_drift", "stream_drift_replay",
     # temporal / events
-    "events_anomaly", "events_json", "events_sessionize",
-    # MATCH surface (stalwart back in; customers_per_region stays the
-    # per-round entry() smoke)
-    "match_cte",
+    "events_sessionize",
+    # MATCH surface (r3–r5 parked entries back in;
+    # customers_per_region stays the per-round entry() smoke)
+    "match_shared_nation", "match_urgent_orders", "match_refers_2hop",
+    "match_degree_cols", "match_view_degrees", "match_join_qualified",
     # planner statistics (sampling tables)
     "stats_sampled_degree",
-    # dedup family (the NEW forced-shape LSH row takes the embed slot)
+    # dedup family
     "dedup_embed_lsh_hi",
-    # text analysis (r2 single back in)
-    "text_stats_quality", "text_gopher", "text_dup_spans",
+    # text analysis (r3 parked entries back in)
+    "text_stats_quality", "text_dup_spans", "text_fingerprint",
+    "text_normalize",
     # sampling
     "sample_cluster_split", "sample_weighted",
-    # similarity / ML (r2 single back in)
-    "sim_topk", "ml_knn", "ml_rproject",
-    # sketches (NEW r12: the Bloom auto-sizing path's cross-engine row)
-    "sketch_distinct_hll", "sketch_hll_union", "sketch_cms_counts",
+    # similarity / ML
+    "sim_topk",
+    # sketches
+    "sketch_cms_counts",
     "sketch_cms_union", "sketch_bloom_decontam", "sketch_bloom_autom",
     "sketch_hdr_quantile",
-    # streaming (three NEW r12 rows: two-store KMV day rollup; the
-    # real-engine watermark-dedup and interval-join replays; plus the
-    # parked stalwart stream_trending back in)
+    # streaming
     "stream_kmv_rollup", "stream_dedup_replay", "stream_interval_replay",
-    "stream_trending",
-    # graph algorithms (parked stalwarts hits/weighted_paths back in)
-    "graph_hits", "graph_weighted_paths", "graph_ppr", "graph_closeness",
-    "graph_ktruss", "graph_scc", "graph_scc_peel", "graph_betweenness",
+    # graph algorithms
+    "graph_scc", "graph_scc_peel", "graph_betweenness",
     "graph_betweenness_bfs",
-    # pipeline (parked stalwart chunk_dedup back in)
-    "pipeline_chunk_dedup", "pipeline_temperature_mix",
+    # pipeline
+    "pipeline_chunk_dedup",
     "pipeline_perplexity", "pipeline_perplexity_bigram",
     # search / retrieval
-    "search_chunks", "search_hybrid",
+    "search_hybrid",
     # skew handling
     "skew_salted_agg",
 ]
