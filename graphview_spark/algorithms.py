@@ -1667,27 +1667,63 @@ def _closure_mass_estimate(e: DataFrame, budget: int,
                            F.col("src").alias("id"))
     frontier = settled
     mass = 0
-    for _ in range(max_depth):
-        nxt = (
-            frontier.join(e, frontier["id"] == e["src"])
+
+    # Both loop frames are bounded BY CONSTRUCTION: the frontier was
+    # counted ≤ abort_at at the previous pair's check (else the inf
+    # exit fired) and settled ≤ seeds + abort_at for the same reason —
+    # so when that bound clears the loop-broadcast gate, the expansion
+    # join broadcasts the frontier (e never shuffles) and the
+    # anti-join broadcasts the settled set: one shuffle per hop (the
+    # distinct) instead of three. Same measured-bound discipline as
+    # _shortcut_closure's delta broadcast.
+    bcast_ok = abort_at + n_seeds <= _LOOP_BCAST_ROWS
+
+    def _hop(fr, st):
+        if bcast_ok:
+            fr, st = F.broadcast(fr), F.broadcast(st)
+        return (
+            fr.join(e, fr["id"] == e["src"])
             .select("s", F.col("sink").alias("id"))
             .distinct()
-            .join(settled, ["s", "id"], "left_anti")
+            .join(st, ["s", "id"], "left_anti")
             .transform(_ckpt_lazy)
         )
-        c = nxt.count()
-        if c == 0:
+
+    # TWO BFS hops per Spark action (round 13, VERDICT r12 "Next #5"):
+    # at estimate scale the frontier frames are tiny (bounded by
+    # abort_at rows), so the verdict's wall time is pure per-job
+    # scheduling floor × hop count — measured 12.9-15.9 s per verdict
+    # at sf1 (~34 hops). The fused pair shares one materializing
+    # count: hop 1 is a lazy localCheckpoint (LogicalRDD — both its
+    # consumers, hop 2 and the tagged count, read the one persisted
+    # copy), and a single groupBy-tag aggregate returns both frontier
+    # sizes. Mass accumulation, exits and the cycle-pair correction
+    # are value-identical to the one-hop loop (the abort fires at
+    # pair granularity — one bounded hop later, same verdict).
+    for _ in range(max(1, max_depth // 2)):
+        nxt1 = _hop(frontier, settled)
+        settled1 = settled.unionByName(nxt1)
+        nxt2 = _hop(nxt1, settled1)
+        counts = dict(
+            nxt1.select(F.lit(1).alias("_h"))
+            .unionByName(nxt2.select(F.lit(2).alias("_h")))
+            .groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        )
+        c1, c2 = counts.get(1, 0), counts.get(2, 0)
+        if c1 == 0 or c2 == 0:
+            done = settled if c1 == 0 else settled1
             cyc = (
-                settled.join(e, settled["id"] == e["src"])
+                done.join(e, done["id"] == e["src"])
                 .filter(F.col("sink") == F.col("s"))
                 .select("s").distinct().count()
             )
-            return (mass + cyc) / n_seeds * n_src
-        mass += c
+            return (mass + c1 + cyc) / n_seeds * n_src
+        mass += c1 + c2
         if mass > abort_at:
             return float("inf")
-        settled = settled.unionByName(nxt)
-        frontier = nxt
+        settled = settled1.unionByName(nxt2)
+        frontier = nxt2
     return float("inf")
 
 
@@ -2009,6 +2045,10 @@ def _scc_trim(remaining, e, parts, size_shuffle, max_rounds: int = 256):
 # that point). A closure attempt that still blows its budget or
 # compose prediction bails in bounded work and FB peeling resumes.
 _SCC_FINISH_NODES = 4096
+# re-run the peel's closure-mass verdict only after the class
+# restriction shrank the residual edge frame geometrically (≤0.8× the
+# count at the last doomed verdict) — see _scc_peel_rounds round-13 note
+_SCC_RECHECK_SHRINK = 0.8
 # ADVICE r9 #2: the peel's mass-verdict budget and the routed closure
 # attempt's own budget MUST be the same number — if they diverge, the
 # verdict can say "fits" while the attempt trips (or vice versa). One
@@ -2025,29 +2065,40 @@ def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle,
     the oracle-gated peel fixture uses this so the FB fixpoint leg
     stays driver-verified instead of being short-circuited)."""
     cutoff = _SCC_FINISH_NODES if finish_nodes is None else finish_nodes
-    mass_checked = False
+    doomed_at_edges = None
     for _ in range(max_rounds):
         n_remaining = remaining.count()
         if n_remaining == 0:
             return
         size_shuffle(n_remaining)
         try_closure = n_remaining <= cutoff
-        if not try_closure and cutoff and not mass_checked:
+        if not try_closure and cutoff:
             # Round 9: the node-count cutoff alone leaves big-but-easy
             # residuals (the sf1 trim core: ~30k nodes of short mutual
             # chains, closure mass ~15 pairs/node) paying FB fixpoints
             # (~35s at sf1) when O(log depth) closure squarings finish
             # them in seconds. One sampled-BFS mass estimate — the same
-            # estimator the top-level strategy pick uses — decides;
-            # checked once per peel (estimates don't improve midway,
-            # and a fit-verdict that still fails pays the attempt's own
-            # bounded guards, then FB resumes). finish_nodes=0 disables
-            # this with the cutoff, keeping the oracle-gated FB-leg
-            # fixture on the FB path.
-            mass_checked = True
+            # estimator the top-level strategy pick uses — decides.
+            # Round 13 (VERDICT r12 "Next #5"): the verdict is
+            # re-evaluated after any round whose class restriction cut
+            # the edge frame below _SCC_RECHECK_SHRINK × the count at
+            # the last DOOMED verdict — "checked once" left the sf1
+            # residual paying three FB fixpoints (20 + 22 + 12 s) when
+            # round 1's restriction (94k → 68k edges) had already made
+            # the closure finish viable (~5 s, measured). A re-check
+            # only fires on a geometric edge shrink, so a peel whose
+            # restriction never bites pays the estimator exactly once,
+            # as before; a fit-verdict that still fails pays the
+            # attempt's own bounded guards, then FB resumes.
+            # finish_nodes=0 disables this with the cutoff, keeping
+            # the oracle-gated FB-leg fixture on the FB path.
             n_e = e.count()
-            budget = _PEEL_BUDGET_FACTOR * max(n_e, 1)
-            try_closure = not _closure_mass_doomed(e, budget)
+            if (doomed_at_edges is None
+                    or n_e <= _SCC_RECHECK_SHRINK * doomed_at_edges):
+                budget = _PEEL_BUDGET_FACTOR * max(n_e, 1)
+                try_closure = not _closure_mass_doomed(e, budget)
+                if not try_closure:
+                    doomed_at_edges = n_e
         if try_closure:
             # skip_mass_check: this round's verdict (or the ≤cutoff
             # size) already routed here — re-estimating inside the
