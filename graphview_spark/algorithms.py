@@ -1425,7 +1425,7 @@ def _shortcut_closure(e: DataFrame, budget_factor: int = 32,
         n = g.agg(F.count(F.lit(1))).first()[0]
         budget = budget_factor * max(n, 1)
         if (not skip_mass_check and n >= _MASS_ESTIMATE_MIN_EDGES
-                and _closure_mass_doomed(g, budget)):
+                and _closure_mass_doomed(g, budget, n_edges=n)):
             # the sampled-BFS mass estimate says the finished closure
             # cannot fit the budget — skip the attempt entirely instead
             # of discovering it rounds (and minutes) later
@@ -1544,6 +1544,50 @@ _PROBE_MOD = 16
 # once before its attempt — linear cost to dodge a quadratic trap.
 _MASS_ESTIMATE_MIN_EDGES = 100_000
 _MASS_SEEDS = 256
+# edge frames at or below this row count run the mass-estimate BFS on
+# the driver over one collected copy (see _closure_mass_estimate);
+# kept equal to _LOOP_BCAST_ROWS — if a frame is small enough to ship
+# to every executor as a broadcast, one driver copy is strictly less
+# memory — but a separate knob so tests can force either path
+_MASS_DRIVER_EDGES = 1_000_000
+
+
+def _mass_bfs_driver(pairs, seed_ids, n_src: int, budget: int,
+                     max_depth: int) -> float:
+    """Exact driver-side transcription of _closure_mass_estimate's
+    distributed two-hop loop, for edge frames under _MASS_DRIVER_EDGES:
+    same seeds (selected in Spark by the same xxhash64 filter), same
+    pair-granularity exits, same cycle-pair correction, same returned
+    float — only the substrate differs (Python sets instead of
+    per-hop Spark jobs). Keep the two in lockstep: the gate must never
+    change the verdict, only where it is computed."""
+    adj: dict = {}
+    for row in pairs:
+        adj.setdefault(row[0], set()).add(row[1])
+    n_seeds = len(seed_ids)
+    abort_at = 2.0 * budget * n_seeds / n_src
+    settled = {(s, s) for s in seed_ids}
+    frontier = settled
+    mass = 0
+
+    def _hop(fr, st):
+        return {(s, t) for (s, i) in fr for t in adj.get(i, ())} - st
+
+    for _ in range(max(1, max_depth // 2)):
+        nxt1 = _hop(frontier, settled)
+        settled1 = settled | nxt1
+        nxt2 = _hop(nxt1, settled1)
+        c1, c2 = len(nxt1), len(nxt2)
+        if c1 == 0 or c2 == 0:
+            done = settled if c1 == 0 else settled1
+            cyc = len({s for (s, i) in done if s in adj.get(i, ())})
+            return (mass + c1 + cyc) / n_seeds * n_src
+        mass += c1 + c2
+        if mass > abort_at:
+            return float("inf")
+        settled = settled1 | nxt2
+        frontier = nxt2
+    return float("inf")
 # Asymmetric skip threshold (round 9, calibrated on measured cases):
 # per-seed reach is heavy-tailed — a handful of deep srcs carry much
 # of the closure mass — so the sampled mean carries real variance at
@@ -1565,7 +1609,8 @@ _MASS_SEEDS = 256
 _MASS_SKIP_FRACTION = 0.7
 
 
-def _closure_mass_doomed(e: DataFrame, budget: int) -> bool:
+def _closure_mass_doomed(e: DataFrame, budget: int,
+                         n_edges: int | None = None) -> bool:
     """True when the finished closure's estimated mass cannot fit
     ``budget`` — the strategy verdict both closure loops and the SCC
     peel consult.
@@ -1621,15 +1666,16 @@ def _closure_mass_doomed(e: DataFrame, budget: int) -> bool:
     prediction bails BEFORE paying the 17-billion-pair compose, 8.4 s
     total. Numbers in SCALECHECK.md round-12."""
     thresh = _MASS_SKIP_FRACTION * budget
-    if _closure_mass_estimate(e, budget) > thresh:
+    if _closure_mass_estimate(e, budget, n_edges=n_edges) > thresh:
         return True
     rev = e.select(F.col("sink").alias("src"), F.col("src").alias("sink"))
-    return _closure_mass_estimate(rev, budget) > thresh
+    return _closure_mass_estimate(rev, budget, n_edges=n_edges) > thresh
 
 
 def _closure_mass_estimate(e: DataFrame, budget: int,
                            max_depth: int = 64,
-                           sample_target: int | None = None) -> float:
+                           sample_target: int | None = None,
+                           n_edges: int | None = None) -> float:
     """Estimated reach-pair count of the FINISHED closure, from a BFS
     over a deterministic hash-sample of ~_MASS_SEEDS source nodes:
     mass ≈ n_src × mean per-seed reach. The per-seed reach is computed
@@ -1659,6 +1705,32 @@ def _closure_mass_estimate(e: DataFrame, budget: int,
         return 0.0
     k = max(1, n_src // (sample_target or _MASS_SEEDS))
     seeds = srcs.filter(F.pmod(F.xxhash64("src"), F.lit(k)) == 0)
+
+    # Round 13 (VERDICT r12 "Next #5", measured via
+    # tools/probe_scc_phases.py): at sf1 the three strategy verdicts of
+    # q_graph_scc cost 60 s of its 128 s cold run — the BFS frontiers
+    # are abort_at-bounded (~10⁴ rows) and every hop pays the per-job
+    # scheduling floor, not data. When the EDGE frame itself is
+    # broadcast-small (≤ _MASS_DRIVER_EDGES rows — the same bound
+    # _LOOP_BCAST_ROWS uses to ship a frame to every executor, so one
+    # driver copy is strictly lighter), collect it once and run the
+    # identical sampled BFS in plain sets: 3 tiny jobs instead of
+    # 2 + 2·⌈depth/2⌉. Seed selection still happens IN SPARK (the
+    # xxhash64 sample must match the distributed path bit-for-bit), and
+    # _mass_bfs_driver transcribes the pair-granularity loop below
+    # exactly — both paths return the same float for the same frame, so
+    # the strategy verdict is independent of which path computed it
+    # (property-tested both ways in tests/test_loop_scale_guards.py).
+    # Above the gate (true scale) the distributed loop runs unchanged.
+    if n_edges is None:
+        n_edges = e.count()
+    if n_edges <= _MASS_DRIVER_EDGES:
+        seed_ids = [r[0] for r in seeds.collect()]
+        if not seed_ids:  # hash skew emptied the sample
+            return 0.0
+        pairs = e.select("src", "sink").collect()
+        return _mass_bfs_driver(pairs, seed_ids, n_src, budget, max_depth)
+
     n_seeds = seeds.count()
     if n_seeds == 0:  # hash skew emptied the sample: nothing to learn
         return 0.0
@@ -1691,15 +1763,19 @@ def _closure_mass_estimate(e: DataFrame, budget: int,
 
     # TWO BFS hops per Spark action (round 13, VERDICT r12 "Next #5"):
     # at estimate scale the frontier frames are tiny (bounded by
-    # abort_at rows), so the verdict's wall time is pure per-job
-    # scheduling floor × hop count — measured 12.9-15.9 s per verdict
-    # at sf1 (~34 hops). The fused pair shares one materializing
-    # count: hop 1 is a lazy localCheckpoint (LogicalRDD — both its
-    # consumers, hop 2 and the tagged count, read the one persisted
-    # copy), and a single groupBy-tag aggregate returns both frontier
-    # sizes. Mass accumulation, exits and the cycle-pair correction
-    # are value-identical to the one-hop loop (the abort fires at
-    # pair granularity — one bounded hop later, same verdict).
+    # abort_at rows), so the verdict's wall time is mostly per-job
+    # scheduling floor × hop count. The fused pair shares one
+    # materializing count: hop 1 is a lazy localCheckpoint (LogicalRDD
+    # — both its consumers, hop 2 and the tagged count, read the one
+    # persisted copy), and a single groupBy-tag aggregate returns both
+    # frontier sizes. Mass accumulation, exits and the cycle-pair
+    # correction are value-identical to the one-hop loop (the abort
+    # fires at pair granularity — one bounded hop later, same
+    # verdict). Measured: graph_scc sf0.1 6.6 → 3.5 s min-of-3
+    # worktree A/B (its peel consults the verdict at every rung);
+    # at sf1 the hops are no longer pure floor and the fusion is
+    # noise-neutral there — the driver path above is what removes the
+    # sf1 cost; this loop serves frames past _MASS_DRIVER_EDGES.
     for _ in range(max(1, max_depth // 2)):
         nxt1 = _hop(frontier, settled)
         settled1 = settled.unionByName(nxt1)
@@ -2018,6 +2094,13 @@ def _scc_trim(remaining, e, parts, size_shuffle, max_rounds: int = 256):
             .join(sinks, "id", "semi")
             .transform(_ckpt_lazy)
         )
+        # Round 13 probe: fusing the two per-round count jobs (n_keep +
+        # n_edge) into one tagged union count was tried and MEASURED
+        # SLOWER at sf1 (trim 11.1 → 12.5 s, graph_scc 31.4 → 33.4 s):
+        # the fused job serializes keep's and the restriction's
+        # materialization and pays a deeper plan, the same failure mode
+        # as _propagate_fb's rejected two-step fusion. The two-job
+        # shape below stands.
         n_keep = keep.count()
         if n_keep == n_rem:
             return remaining, e
@@ -2083,20 +2166,25 @@ def _scc_peel_rounds(remaining, e, parts, max_rounds, size_shuffle,
             # re-evaluated after any round whose class restriction cut
             # the edge frame below _SCC_RECHECK_SHRINK × the count at
             # the last DOOMED verdict — "checked once" left the sf1
-            # residual paying three FB fixpoints (20 + 22 + 12 s) when
-            # round 1's restriction (94k → 68k edges) had already made
-            # the closure finish viable (~5 s, measured). A re-check
-            # only fires on a geometric edge shrink, so a peel whose
-            # restriction never bites pays the estimator exactly once,
-            # as before; a fit-verdict that still fails pays the
-            # attempt's own bounded guards, then FB resumes.
+            # residual paying an extra FB fixpoint when the first
+            # round's restriction had already made the closure finish
+            # viable. Measured (same-process alternated A/B at sf1,
+            # _SCC_RECHECK_SHRINK 0.8 vs disabled): graph_scc
+            # 32.1/35.5 s vs 45.5/45.1 s — the re-checked verdict
+            # routes the residual to a ~3 s closure finish instead of
+            # a ~12 s propagate round. A re-check only fires on a
+            # geometric edge shrink, so a peel whose restriction never
+            # bites pays the estimator exactly once, as before; a
+            # fit-verdict that still fails pays the attempt's own
+            # bounded guards, then FB resumes.
             # finish_nodes=0 disables this with the cutoff, keeping
             # the oracle-gated FB-leg fixture on the FB path.
             n_e = e.count()
             if (doomed_at_edges is None
                     or n_e <= _SCC_RECHECK_SHRINK * doomed_at_edges):
                 budget = _PEEL_BUDGET_FACTOR * max(n_e, 1)
-                try_closure = not _closure_mass_doomed(e, budget)
+                try_closure = not _closure_mass_doomed(
+                    e, budget, n_edges=n_e)
                 if not try_closure:
                     doomed_at_edges = n_e
         if try_closure:
@@ -2205,7 +2293,8 @@ def _distance_closure(e: DataFrame, budget_factor: int = 32,
         )
         n_e = d0.agg(F.count(F.lit(1))).first()[0]
         budget = budget_factor * max(n_e, 1)
-        if n_e >= _MASS_ESTIMATE_MIN_EDGES and _closure_mass_doomed(d0, budget):
+        if (n_e >= _MASS_ESTIMATE_MIN_EDGES
+                and _closure_mass_doomed(d0, budget, n_edges=n_e)):
             # sampled-BFS mass estimate: the finished distance closure
             # cannot fit — skip the attempt (see _closure_mass_doomed)
             return _finish(d0, False)

@@ -376,3 +376,65 @@ def test_scc_full_results_unchanged_by_trim_and_finish(spark):
     got = {r["id"]: r["scc"] for r in strongly_connected_components(
         nodes, e, budget_factor=1).collect()}
     assert got == {1: 1, 2: 2, 3: 3, 4: 3, 5: 3, 6: 6, 7: 6, 8: 8}
+
+
+def test_mass_estimate_driver_path_matches_distributed(spark, monkeypatch):
+    """Round 13: edge frames under _MASS_DRIVER_EDGES run the sampled
+    BFS on the driver over one collected copy (the per-hop job floor
+    dominated the sf1 strategy verdicts — 60 s of graph_scc's 128 s).
+    The gate must never change the VERDICT, only where it is computed:
+    both paths must return the same float on every family and budget,
+    including inf aborts and the k>1 hash-sampled regime."""
+    import graphview_spark.algorithms as A
+
+    hub = [(0, i) for i in range(1, 600)]  # shallow, n_src big enough
+    hub += [(i, i + 1) for i in range(50, 600, 50)]  # a few 2-chains
+    hub += [(i + 1, i) for i in range(50, 600, 50)]  # ... made mutual
+    fams = {
+        "chain_shortcut_cycle": [(1, 2), (2, 3), (3, 4), (1, 3),
+                                 (5, 6), (6, 5)],
+        "self_loop": [(7, 7)],
+        "deep_chain": [(i, i + 1) for i in range(1, 200)],  # inf: depth
+        "hub_sampled_k_gt_1": hub,
+    }
+    for name, edges in fams.items():
+        e = spark.createDataFrame(edges, "src long, sink long")
+        for budget in (1, 40, 10**6):
+            monkeypatch.setattr(A, "_MASS_DRIVER_EDGES", 10**9)
+            drv = A._closure_mass_estimate(e, budget=budget)
+            monkeypatch.setattr(A, "_MASS_DRIVER_EDGES", -1)
+            dist = A._closure_mass_estimate(e, budget=budget)
+            assert drv == dist, (name, budget, drv, dist)
+
+
+def test_scc_peel_verdict_recheck_fires_only_on_shrink(spark, monkeypatch):
+    """Round 13: _scc_peel_rounds re-consults the closure-mass verdict
+    after a round whose class restriction shrank the edge frame to
+    ≤ _SCC_RECHECK_SHRINK × the count at the last DOOMED verdict, and
+    only then. Two 2-cycles joined by a bridge peel in two FB rounds;
+    round 1's restriction drops the bridge and the peeled cycle's
+    edges (5 → 2 ≤ 0.8×5), so round 2 re-checks — exactly two verdict
+    calls with the re-check on, exactly one with it disabled, and the
+    labels identical either way."""
+    import graphview_spark.algorithms as A
+
+    calls = {"n": 0}
+
+    def spy(e, budget, **kw):
+        calls["n"] += 1
+        return True  # always doomed → pure FB peel
+
+    monkeypatch.setattr(A, "_closure_mass_doomed", spy)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3), (2, 3)], "src long, sink long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    out = A._scc_peel(nodes, e, finish_nodes=1)
+    labels = {r["id"]: r["scc"] for r in out.collect()}
+    assert labels == {1: 1, 2: 1, 3: 3, 4: 3}
+    assert calls["n"] == 2, "shrink must trigger exactly one re-check"
+
+    calls["n"] = 0
+    monkeypatch.setattr(A, "_SCC_RECHECK_SHRINK", 0.0)
+    out = A._scc_peel(nodes, e, finish_nodes=1)
+    assert {r["id"]: r["scc"] for r in out.collect()} == labels
+    assert calls["n"] == 1, "disabled re-check must check exactly once"
