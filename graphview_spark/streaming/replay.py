@@ -132,16 +132,29 @@ def _replay_through_engine(
         meta = metadata_fn(df) if metadata_fn is not None else None
         sliced = df.withColumn(
             "_b", F.ntile(REPLAY_SLICES).over(W.orderBy("ts", "event_id")))
+        # ONE partitionBy write instead of one filtered write per slice
+        # (round 13): the ntile needs a single-partition global sort,
+        # and the old per-slice writes re-ran that sort REPLAY_SLICES
+        # times — the dominant cost of the cold slice build (the r12
+        # sf10 cold run spent ~8 min here). partitionBy splits the one
+        # sorted pass into the same one-file-per-slice layout (the
+        # partition column is dropped from the data files, so the
+        # streamed schema is unchanged), and the dirs are renamed to
+        # the b1..bN names the reader globs.
+        raw = base + "_raw"
+        os.makedirs(base, exist_ok=True)
+        (sliced.coalesce(1).write.partitionBy("_b")
+         .parquet(raw, mode="overwrite"))
         for b in range(1, REPLAY_SLICES + 1):
             d = os.path.join(base, f"b{b}")
-            (sliced.filter(F.col("_b") == b).drop("_b")
-             .coalesce(1).write.parquet(d, mode="overwrite"))
+            os.rename(os.path.join(raw, f"_b={b}"), d)
             # pin arrival order: the file source orders by modification
             # time, and sub-second sequential writes can tie
             for root, _, files in os.walk(d):
                 for f in files:
                     os.utime(os.path.join(root, f),
                              (1_000_000 + b, 1_000_000 + b))
+        shutil.rmtree(raw, ignore_errors=True)
         if cache_key:
             _SLICE_CACHE[key] = (base, total_rows, meta)
     stream = (
